@@ -1,0 +1,112 @@
+"""Newline-delimited JSON source — the reference's only input format.
+
+The reference bulk-loads JSONL from object storage into BigQuery
+(``gcsRef.SourceFormat = bigquery.JSON``, cloud/bq/ops.go:139) from prefixes
+laid out ``<bucket>/<experiment>/<datatype>/YYYY/MM/DD/*`` (tracker/
+job.go:100-107, ops/actions.go:145-146). BigQuery's loader tolerates rows
+whose fields don't match the managed schema, surfacing "No such field:"
+warnings that gardener logs and continues past (ops/actions.go:215-225).
+
+Spark equivalent:
+
+* **Schema-on-read with an explicit schema** — never ``inferSchema`` in
+  production: inference is a full extra pass over 100 TB of text. Callers
+  pass a ``StructType``; unknown fields in the data are silently ignored
+  (BigQuery's tolerated-warning path) and missing fields become NULL
+  (ALLOW_FIELD_RELAXATION semantics, cloud/bq/ops.go:280-282).
+* **PERMISSIVE mode + ``_corrupt_record``** — malformed lines land in a side
+  column instead of failing the load, reproducing log-and-continue. The
+  ``LoadStats`` counters mirror what the reference records from BigQuery
+  LoadStatistics (InputFiles/OutputRows/bad rows, ops/actions.go:290-309).
+
+Scale notes: JSONL is splittable by line, so a day prefix of N files scans
+with full parallelism; ``maxPartitionBytes`` (128 MiB default) bounds task
+input. Parsing is JVM-side (Jackson) inside WholeStageCodegen — no Python in
+the load path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+@dataclass
+class LoadStats:
+    """Mirrors the load statistics the reference records
+    (ops/actions.go:290-309: InputFiles, OutputRows, bad rows)."""
+
+    input_files: int
+    output_rows: int
+    corrupt_rows: int
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+    drop_corrupt: bool = True,
+) -> DataFrame:
+    """Read JSONL under ``path`` with an explicit schema, PERMISSIVE mode.
+
+    Unknown JSON fields are ignored; missing fields are NULL; malformed
+    lines populate only ``_corrupt_record`` (dropped from the result by
+    default — the caller can count them first via ``load_with_stats``).
+    """
+    read_schema = schema
+    if CORRUPT_COL not in [f.name for f in schema.fields]:
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    df = (
+        spark.read.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    if drop_corrupt:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
+
+
+def load_with_stats(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+) -> tuple[DataFrame, LoadStats]:
+    """Read JSONL and report LoadStats (good/corrupt row counts, file count).
+
+    The counting pass is a separate action; callers on the hot path that
+    don't need stats should use ``read_jsonl`` directly (one pass).
+    """
+    # Spark refuses to query _corrupt_record straight off a raw JSON scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed batch first. The
+    # cache holds one landing prefix (one day of one datatype), which is the
+    # stage's working set anyway; the caller's write consumes it immediately.
+    raw = read_jsonl(spark, path, schema, drop_corrupt=False).cache()
+    counts = raw.select(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.col(CORRUPT_COL)).alias("corrupt"),
+    ).first()
+    # File count from the filesystem listing (metadata-only), like the
+    # reference's LoadStatistics.InputFiles — counts empty files too.
+    from etl_gardener_spark.sources.listing import prefix_stats
+
+    paths = [path] if isinstance(path, str) else list(path)
+    n_files = sum(len(prefix_stats(spark, p)[0]) for p in paths)
+    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return good, LoadStats(
+        input_files=n_files,
+        output_rows=int(counts["total"]) - int(counts["corrupt"]),
+        corrupt_rows=int(counts["corrupt"]),
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a DataFrame as newline-delimited JSON (test/fixture helper)."""
+    df.write.mode(mode).json(path)

@@ -1,0 +1,70 @@
+"""Loader for the driver's synthetic parquet tables (TESTDATA.md).
+
+The testdata parquet files carry INT64 TIMESTAMP(NANOS) columns, which
+Spark's vectorized parquet reader rejects outright (PARQUET_TYPE_ILLEGAL) —
+Spark timestamps are microsecond-precision. We read nanos as raw INT64
+(``spark.sql.legacy.parquet.nanosAsLong``) and convert with integer division
+(``ns DIV 1000`` — integer math, not float, to keep microsecond exactness at
+1e18-nanosecond magnitudes), which is bit-identical to how DuckDB truncates
+nanos to its microsecond timestamps — so oracle comparisons line up exactly.
+
+Nanos columns are detected from parquet file metadata via pyarrow — a
+driver-side, metadata-only read (no data scanned), so it costs nothing at
+100 TB: one footer read per table, not per file, since a table's schema is
+uniform.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.read_schema(path)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if pat.is_timestamp(typ) and typ.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read ``<sf_dir>/<name>.parquet`` with nanos timestamps normalized to
+    Spark TimestampType (microseconds, truncating — DuckDB-identical)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_columns(path)
+    if nanos and spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,143 @@
+"""Warehouse layout and partition-grain table operations.
+
+The reference addresses every write at the granularity of one BigQuery day
+partition (``datatype$YYYYMMDD``, tracker/job.go:48-50) across three dataset
+tiers per experiment — ``tmp`` (landing), ``raw`` (deduped archive), ``join``
+(annotated) — see config/config.go:39-43. This module reproduces that
+contract on Hive-partitioned Parquet:
+
+    <root>/<tier>_<experiment>/<datatype>/date=YYYY-MM-DD/part-*.parquet
+
+Partition-grain semantics on plain Parquet:
+
+* **Replace one day** (BigQuery WriteTruncate + partition decorator,
+  cloud/bq/ops.go:158-176) → ``INSERT OVERWRITE`` with
+  ``spark.sql.sources.partitionOverwriteMode=dynamic``: Spark stages the new
+  files and commits only the ``date=`` directories present in the incoming
+  DataFrame. Other days are untouched.
+* **Append a day** (BigQuery WriteAppend load, cloud/bq/ops.go:130-155) →
+  ``mode("append")`` into the partitioned layout.
+* **Drop one day** (table-partition delete, cloud/bq/ops.go:221-228) →
+  remove the ``date=YYYY-MM-DD`` directory through the Hadoop FileSystem API
+  (works for any Hadoop-compatible FS: local, HDFS, cloud object stores).
+
+Scale notes (100 TB): per-day partitioning bounds every pipeline stage's
+working set to one day of one datatype — the same isolation the reference
+relies on for cost ("roughly proportional to the memory footprint of the
+table partition", cloud/bq/ops.go:187-189). Reads always filter on the
+``date`` partition column so Catalyst prunes to one directory; writes never
+rewrite more than the day being processed. Days are independent, so a
+backfill parallelizes across dates with zero write conflicts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date as Date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DATE_COL = "date"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    return _hadoop_path(spark, path).getFileSystem(hconf)
+
+
+@dataclass(frozen=True)
+class Warehouse:
+    """Three-tier warehouse rooted at ``root``.
+
+    Mirrors the reference's dataset tiers (tracker/job.go:41-45): the unit of
+    addressing is ``(tier, experiment, datatype, date)``, exactly the
+    reference's Job key (tracker/job.go:28-45).
+    """
+
+    root: str
+
+    def table_path(self, tier: str, experiment: str, datatype: str) -> str:
+        return f"{self.root}/{tier}_{experiment}/{datatype}"
+
+    def partition_path(
+        self, tier: str, experiment: str, datatype: str, day: Date
+    ) -> str:
+        return f"{self.table_path(tier, experiment, datatype)}/{DATE_COL}={day.isoformat()}"
+
+    # -- reads ------------------------------------------------------------
+
+    def read(self, spark: SparkSession, tier: str, experiment: str, datatype: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(tier, experiment, datatype))
+
+    def read_partition(
+        self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date
+    ) -> DataFrame:
+        """One day of one datatype; the ``date=`` filter prunes at the source.
+
+        Equivalent to the reference's universal ``WHERE date = "YYYY-MM-DD"``
+        predicate (cloud/bq/ops.go:192,207,240).
+        """
+        df = self.read(spark, tier, experiment, datatype)
+        return df.filter(F.col(DATE_COL) == F.lit(day.isoformat()).cast("date"))
+
+    # -- writes -----------------------------------------------------------
+
+    def append(self, df: DataFrame, tier: str, experiment: str, datatype: str) -> None:
+        """WriteAppend into the partitioned layout (load path, T1)."""
+        (
+            df.write.mode("append")
+            .partitionBy(DATE_COL)
+            .parquet(self.table_path(tier, experiment, datatype))
+        )
+
+    def overwrite_partitions(
+        self, df: DataFrame, tier: str, experiment: str, datatype: str
+    ) -> None:
+        """Replace exactly the day partitions present in ``df`` (T2/T3/T5).
+
+        Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+        ``session.get_spark``); equivalent to BigQuery's partition decorator
+        + WriteTruncate (cloud/bq/ops.go:171, tracker/job.go:48-50).
+        """
+        spark = df.sparkSession
+        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        if mode.lower() != "dynamic":
+            raise RuntimeError(
+                "overwrite_partitions requires dynamic partitionOverwriteMode; "
+                "use session.get_spark() or set the conf explicitly"
+            )
+        (
+            df.write.mode("overwrite")
+            .partitionBy(DATE_COL)
+            .parquet(self.table_path(tier, experiment, datatype))
+        )
+
+    def delete_partition(
+        self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date
+    ) -> bool:
+        """Drop one day partition (T4, cloud/bq/ops.go:221-228).
+
+        Returns True if the partition existed. Metadata-only (a directory
+        delete) — no data is read or shuffled, matching the reference's
+        O(1) table-partition delete.
+        """
+        path = self.partition_path(tier, experiment, datatype, day)
+        fs = _hadoop_fs(spark, path)
+        p = _hadoop_path(spark, path)
+        if not fs.exists(p):
+            return False
+        fs.delete(p, True)
+        return True
+
+    def partition_exists(
+        self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date
+    ) -> bool:
+        path = self.partition_path(tier, experiment, datatype, day)
+        fs = _hadoop_fs(spark, path)
+        return bool(fs.exists(_hadoop_path(spark, path)))

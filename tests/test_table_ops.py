@@ -1,0 +1,203 @@
+"""End-to-end pipeline test: Load -> Dedup -> Copy -> Delete -> Join over a
+JSONL landing fixture, mirroring the reference's state sequence
+(README.md:40-51) and checked against a DuckDB oracle on the same JSONL."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from etl_gardener_spark.table_ops import JobSpec, OpStats, TableOps
+from etl_gardener_spark.warehouse import Warehouse
+
+NDT7_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "parser", T.StructType([T.StructField("Time", T.TimestampType())])
+        ),
+        T.StructField(
+            "a",
+            T.StructType([T.StructField("MeanThroughputMbps", T.DoubleType())]),
+        ),
+        T.StructField("raw", T.StringType()),
+    ]
+)
+
+ANN_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "parser", T.StructType([T.StructField("Time", T.TimestampType())])
+        ),
+        T.StructField(
+            "client",
+            T.StructType(
+                [
+                    T.StructField(
+                        "Geo", T.StructType([T.StructField("CountryCode", T.StringType())])
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _write_landing(root: str, day: str, rows: list[dict], n_files: int = 3) -> str:
+    prefix = os.path.join(root, "bucket", "ndt", "ndt7", *day.split("-"))
+    os.makedirs(prefix, exist_ok=True)
+    for i in range(n_files):
+        with open(os.path.join(prefix, f"part{i}.jsonl"), "w") as f:
+            for r in rows[i::n_files]:
+                f.write(json.dumps(r) + "\n")
+    return prefix
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    rows = []
+    # 10 ids; ids 0-3 duplicated with increasing parser.Time (latest wins)
+    for i in range(10):
+        copies = 3 if i < 4 else 1
+        for c in range(copies):
+            rows.append(
+                {
+                    "id": f"id{i}",
+                    "parser": {"Time": f"2024-03-01T0{c + 1}:00:00Z"},
+                    "a": {"MeanThroughputMbps": float(i * 10 + c)},
+                    "raw": "x" * 8,
+                }
+            )
+    # one unknown extra field (tolerated), one corrupt line (dropped)
+    rows.append(
+        {
+            "id": "id10",
+            "parser": {"Time": "2024-03-01T05:00:00Z"},
+            "a": {"MeanThroughputMbps": 1.0},
+            "raw": "y",
+            "unknown_field": 42,
+        }
+    )
+    prefix = _write_landing(str(tmp_path / "landing"), "2024/03/01", rows)
+    with open(os.path.join(prefix, "corrupt.jsonl"), "w") as f:
+        f.write('{"id": "bad",,,\n')
+    return prefix
+
+
+def test_full_pipeline(spark, tmp_path, landing):
+    wh = Warehouse(str(tmp_path / "wh"))
+    job = JobSpec(experiment="ndt", datatype="ndt7", date=date(2024, 3, 1))
+    ops = TableOps(spark, wh, job)
+
+    # T1: Load
+    st = ops.load_to_tmp(landing, NDT7_SCHEMA)
+    assert st.rows_out == 19  # 4*3 + 6 + 1
+    assert st.corrupt_rows == 1
+    assert st.input_files == 4
+
+    # T2: Dedup (keep latest parser.Time per id+date)
+    st = ops.dedup()
+    assert st.rows_out == 11
+    assert st.rows_deleted == 8
+    tmp = wh.read_partition(spark, "tmp", "ndt", "ndt7", job.date)
+    best = {r.id: r.a.MeanThroughputMbps for r in tmp.collect()}
+    assert best["id0"] == 2.0  # copy c=2 has latest Time
+    assert best["id9"] == 90.0
+
+    # dedup is idempotent (restartable stage)
+    st = ops.dedup()
+    assert st.rows_deleted == 0
+
+    # T3: Copy to raw
+    st = ops.copy_to_raw()
+    assert st.rows_out == 11
+
+    # T4: Delete tmp
+    st = ops.delete_tmp()
+    assert st.detail["existed"]
+    assert not wh.partition_exists(spark, "tmp", "ndt", "ndt7", job.date)
+
+    # T5: Join — seed a deduped annotation table incl. a d-1 row
+    from datetime import datetime
+
+    ann_rows = [
+        {"id": "id0", "parser": {"Time": datetime(2024, 2, 29, 23)},
+         "client": {"Geo": {"CountryCode": "US"}}},
+        {"id": "id1", "parser": {"Time": datetime(2024, 3, 1, 4)},
+         "client": {"Geo": {"CountryCode": "DE"}}},
+    ]
+    import pyspark.sql.functions as F
+
+    ann_df = spark.createDataFrame(ann_rows, schema=ANN_SCHEMA)
+    wh.append(
+        ann_df.withColumn(
+            "date",
+            F.when(F.col("id") == "id0", F.lit("2024-02-29").cast("date")).otherwise(
+                F.lit("2024-03-01").cast("date")
+            ),
+        ),
+        "raw",
+        "ndt",
+        "annotation2",
+    )
+    st = ops.join()
+    assert st.rows_out == 11
+    joined = wh.read_partition(spark, "join", "ndt", "ndt7", job.date)
+    assert joined.columns == ["id", "parser", "client", "a", "raw", "date"]
+    got = {r.id: r.client for r in joined.collect()}
+    assert got["id0"].Geo.CountryCode == "US"  # matched via d-1 window
+    assert got["id1"].Geo.CountryCode == "DE"
+    assert got["id2"] is None
+
+    # Oracle: replay the same semantics in DuckDB over the landing JSONL
+    con = duckdb.connect()
+    dedup_sql = f"""
+      SELECT id, a.MeanThroughputMbps AS mbps FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY parser.Time DESC) rn
+        FROM read_json_auto('{landing}/part*.jsonl')
+      ) WHERE rn = 1
+    """
+    expect = dict(con.execute(dedup_sql).fetchall())
+    got_raw = {
+        r.id: r.a.MeanThroughputMbps
+        for r in wh.read_partition(spark, "raw", "ndt", "ndt7", job.date).collect()
+    }
+    assert got_raw == expect
+
+
+def test_dry_run_returns_plan_without_executing(spark, tmp_path, landing):
+    wh = Warehouse(str(tmp_path / "wh"))
+    job = JobSpec(experiment="ndt", datatype="ndt7", date=date(2024, 3, 1))
+    ops = TableOps(spark, wh, job)
+    ops.load_to_tmp(landing, NDT7_SCHEMA)
+
+    st = ops.dedup(dry_run=True)
+    assert isinstance(st, OpStats)
+    assert "Window" in st.dry_run_plan
+    # dry run left the data untouched
+    assert wh.read_partition(spark, "tmp", "ndt", "ndt7", job.date).count() == 19
+
+
+def test_partition_overwrite_only_touches_target_day(spark, tmp_path):
+    """Dynamic partition overwrite must not clobber sibling days
+    (BigQuery partition decorator semantics, tracker/job.go:48-50)."""
+    import pyspark.sql.functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.range(10).withColumn(
+        "date",
+        F.when(F.col("id") < 5, F.lit("2024-03-01")).otherwise(F.lit("2024-03-02")).cast("date"),
+    )
+    wh.append(base, "raw", "exp", "dt")
+    # overwrite only day 1 with 2 rows
+    repl = spark.range(2).withColumn("date", F.lit("2024-03-01").cast("date"))
+    wh.overwrite_partitions(repl, "raw", "exp", "dt")
+    out = wh.read(spark, "raw", "exp", "dt")
+    assert out.filter("date = '2024-03-01'").count() == 2
+    assert out.filter("date = '2024-03-02'").count() == 5
