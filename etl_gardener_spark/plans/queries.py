@@ -1,0 +1,514 @@
+"""Query registry — every implemented operator exposed as a named query over
+the driver's synthetic tables, each paired with an ANSI-SQL oracle that
+DuckDB runs on the same parquet inputs.
+
+Mapping policy (FIXTURES.md F6): the reference's operators are exercised on
+the driver's tables — dedup over ``events`` (computed keys, priority
+orders), annotation join over ``events``/``orders``/``customer``, partition
+copy/delete/load over ``events`` by day — plus analytics and LLM-pipeline
+extension operators. Column names are aliased identically in the Spark plan
+and the oracle SQL (the driver's comparator sorts columns by name before
+hashing). Float aggregates are rounded on BOTH sides: Spark and DuckDB sum
+doubles in different orders, so unrounded sums differ in final ulps.
+
+Each entry: ``name -> QueryDef(fn, oracle, tags)`` where ``fn(spark,
+sf_dir) -> DataFrame`` and ``oracle`` is DuckDB SQL over pre-registered
+views (or None for non-SQL-expressible ops — the driver then records a
+weaker rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_gardener_spark.operators.dedup import DedupSpec, dedup_delete_set, dedup_keep_best
+from etl_gardener_spark.operators.join import join_annotate
+from etl_gardener_spark.sources.jsonl import read_jsonl, write_jsonl
+from etl_gardener_spark.sources.tables import load_table
+from etl_gardener_spark.warehouse import Warehouse
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Gardener parity: dedup family (reference Q1, Q3-Q5 semantics)
+# ---------------------------------------------------------------------------
+
+_EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@query(
+    "dedup_keep_best",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type, CAST(ts AS DATE)
+        ORDER BY ts DESC, event_id DESC) rn
+      FROM events) t WHERE rn = 1
+    """,
+    tags=("parity", "dedup"),
+)
+def dedup_keep_best_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active dedup template (cloud/bq/ops.go:184-218) mapped onto events:
+    key = (user_id, event_type, day), priority = latest ts (event_id
+    tiebreak for a deterministic total order)."""
+    df = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    spec = DedupSpec(
+        partition_keys={"user_id": "user_id", "event_type": "event_type"},
+        order_keys=[("ts", False), ("event_id", False)],
+        date_col="date",
+    )
+    return dedup_keep_best(df, spec).select(*_EVENTS_COLS)
+
+
+@query(
+    "dedup_delete_set",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type, CAST(ts AS DATE)
+        ORDER BY ts DESC, event_id DESC) rn
+      FROM events) t WHERE rn > 1
+    """,
+    tags=("parity", "dedup"),
+)
+def dedup_delete_set_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE set of the reference's dedup DML (rows removed,
+    cloud/bq/ops.go:190-218) — complement of dedup_keep_best."""
+    df = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    spec = DedupSpec(
+        partition_keys={"user_id": "user_id", "event_type": "event_type"},
+        order_keys=[("ts", False), ("event_id", False)],
+        date_col="date",
+    )
+    return dedup_delete_set(df, spec).select(*_EVENTS_COLS)
+
+
+@query(
+    "dedup_legacy_regex_key",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY REGEXP_REPLACE(source, '[0-9]+$', ''), lang
+        ORDER BY n_chars DESC, doc_id ASC) rn
+      FROM documents) t WHERE rn = 1
+    """,
+    tags=("parity", "dedup"),
+)
+def dedup_legacy_regex_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy NDT dedup shape (cloud/bq/dedup.go:23-38): regex-normalized
+    key + multi-column priority, on documents (key = source sans trailing
+    digits + lang; priority = longest doc, doc_id tiebreak)."""
+    df = load_table(spark, sf_dir, "documents")
+    spec = DedupSpec(
+        partition_keys={
+            "base_source": "REGEXP_REPLACE(source, '[0-9]+$', '')",
+            "lang": "lang",
+        },
+        order_keys=[("n_chars", False), ("doc_id", True)],
+        date_col=None,
+    )
+    return dedup_keep_best(df, spec)
+
+
+@query(
+    "dedup_legacy_concat_key",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY CONCAT(CAST(user_id AS VARCHAR), '|', event_type,
+                            '|', CAST(CAST(ts AS DATE) AS VARCHAR))
+        ORDER BY ts DESC, event_id DESC) rn
+      FROM events) t WHERE rn = 1
+    """,
+    tags=("parity", "dedup"),
+)
+def dedup_legacy_concat_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy sidestream/traceroute dedup shape (cloud/bq/dedup.go:41-68):
+    CONCAT-computed composite key incl. a timestamp rendered as string."""
+    df = load_table(spark, sf_dir, "events")
+    spec = DedupSpec(
+        partition_keys={
+            "key": (
+                "CONCAT(CAST(user_id AS STRING), '|', event_type, '|',"
+                " CAST(CAST(ts AS DATE) AS STRING))"
+            )
+        },
+        order_keys=[("ts", False), ("event_id", False)],
+        date_col=None,
+    )
+    return dedup_keep_best(df, spec).select(*_EVENTS_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Gardener parity: annotation join (reference Q2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_annotate",
+    """
+    SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+           c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           o.o_orderstatus, o.o_totalprice, o.o_orderpriority
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("parity", "join"),
+)
+def join_annotate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 column semantics (cloud/bq/ops.go:234-253): left join USING(key),
+    output = key, leading fact cols, ann payload (EXCEPT key), fact payload.
+    customer is the small annotation side -> broadcast (zero fact shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    return join_annotate(
+        orders, customer, on="o_custkey", leading=["o_orderkey", "o_orderdate"]
+    )
+
+
+@query(
+    "join_annotation_window",
+    """
+    WITH ann AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+             ts AS last_ts
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) rn
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-14' AND DATE '2024-01-15'
+      ) t WHERE rn = 1
+    ), fact AS (
+      SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    )
+    SELECT f.user_id, f.event_id, f.ts,
+           a.last_event_type, a.last_value, a.last_ts,
+           f.event_type, f.value, f.props
+    FROM fact f LEFT JOIN ann a ON f.user_id = a.user_id
+    """,
+    tags=("parity", "join", "flagship"),
+)
+def join_annotation_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Q2 shape (cloud/bq/ops.go:234-253): facts of day d left-joined
+    with a deduped annotation table scanned over [d-1, d]. Here: each
+    2024-01-15 event annotated with that user's latest event in the 2-day
+    window. Dedup feeds join, as in the reference pipeline."""
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    fact = events.filter(F.col("date") == F.lit("2024-01-15").cast("date"))
+    ann_src = events.filter(
+        F.col("date").between(
+            F.lit("2024-01-14").cast("date"), F.lit("2024-01-15").cast("date")
+        )
+    )
+    spec = DedupSpec(
+        partition_keys={"user_id": "user_id"},
+        order_keys=[("ts", False), ("event_id", False)],
+        date_col=None,
+    )
+    ann = dedup_keep_best(ann_src, spec).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    out = join_annotate(
+        fact.select(*_EVENTS_COLS), ann, on="user_id", leading=["event_id", "ts"]
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Gardener parity: partition copy / delete / JSONL load round-trips (T1/T3/T4)
+# ---------------------------------------------------------------------------
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _scratch(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"etl_gardener_spark_{prefix}_")
+
+
+@query(
+    "copy_partition",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE CAST(ts AS DATE) = DATE '2024-01-15'",
+    tags=("parity", "warehouse"),
+)
+def copy_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 CopyToRaw (cloud/bq/ops.go:158-176) exercised for real: write
+    events into a tmp-tier day-partitioned table, dynamic-overwrite the
+    2024-01-15 partition into raw, read the raw partition back."""
+    from datetime import date as D
+
+    day = D(2024, 1, 15)
+    wh = Warehouse(_scratch("copy"))
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    wh.append(events.filter(F.col("date") == day), "tmp", "exp", "events")
+    tmp = wh.read_partition(spark, "tmp", "exp", "events", day)
+    wh.overwrite_partitions(tmp, "raw", "exp", "events")
+    return wh.read_partition(spark, "raw", "exp", "events", day).select(*_EVENTS_COLS)
+
+
+@query(
+    "delete_partition",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE CAST(ts AS DATE) <> DATE '2024-01-15'",
+    tags=("parity", "warehouse"),
+)
+def delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 DeleteTmp (cloud/bq/ops.go:221-228) exercised for real: write all
+    events day-partitioned, drop exactly the 2024-01-15 partition, return
+    the survivors."""
+    from datetime import date as D
+
+    wh = Warehouse(_scratch("delete"))
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    wh.append(events, "tmp", "exp", "events")
+    assert wh.delete_partition(spark, "tmp", "exp", "events", D(2024, 1, 15))
+    return wh.read(spark, "tmp", "exp", "events").select(*_EVENTS_COLS)
+
+
+@query(
+    "load_jsonl",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("parity", "source"),
+)
+def load_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 LoadToTmp source path (cloud/bq/ops.go:130-155): events written as
+    newline-delimited JSON, re-read with the explicit landing schema
+    (PERMISSIVE). Round-trip must be lossless incl. microsecond
+    timestamps."""
+    out = _scratch("load")
+    events = load_table(spark, sf_dir, "events")
+    write_jsonl(events, os.path.join(out, "landing"))
+    return read_jsonl(spark, os.path.join(out, "landing"), _EVENTS_SCHEMA).select(
+        *_EVENTS_COLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics core (extension surface the 100 TB pipeline needs): aggregation,
+# multi-way joins, top-k windows, sessionization, time rollups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("analytics", "agg"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan one fact table, hash-aggregate on two low-card
+    keys. Map-side partial aggregation collapses 100 TB to a few rows before
+    the (tiny) shuffle; whole plan is WholeStageCodegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact ⋈ three shrinking dims. All dim joins are
+    broadcasts (customer/nation/region are tiny vs lineitem), so the fact
+    table is never shuffled — only the final few-hundred-row aggregate is."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) rk
+      FROM orders) t WHERE rk <= 3
+    """,
+    tags=("analytics", "window"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer. rank<=k lets Spark's WindowGroupLimit
+    keep a bounded per-key heap instead of a full sort at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("analytics", "window", "sessionize"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits a user's event stream
+    into sessions (lag + running sum — one shuffle on user_id, both windows
+    share it). The standard pre-aggregation for behavioral pipelines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    )
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "hourly_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "agg", "time"),
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour rollup, the batch twin of the streaming windowed agg in
+    streaming/ (same grouping keys, same results)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}

@@ -35,6 +35,11 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
+# Spark's JSON default timestamp pattern is millisecond-precision; the
+# reference's data carries microsecond event times, so the landing format
+# pins microseconds (lossless JSONL round-trip).
+TIMESTAMP_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
 
 @dataclass
 class LoadStats:
@@ -66,6 +71,10 @@ def read_jsonl(
     df = (
         spark.read.schema(read_schema)
         .option("mode", "PERMISSIVE")
+        .option("timestampFormat", TIMESTAMP_FORMAT)
+        # Accept timestamps that don't carry the full microsecond pattern
+        # (e.g. "...T01:00:00Z") instead of marking the row corrupt.
+        .option("enableDateTimeParsingFallback", "true")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
@@ -109,4 +118,4 @@ def load_with_stats(
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write a DataFrame as newline-delimited JSON (test/fixture helper)."""
-    df.write.mode(mode).json(path)
+    df.write.mode(mode).option("timestampFormat", TIMESTAMP_FORMAT).json(path)
