@@ -1,0 +1,315 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard. The LLM-training-data dedup family, built Spark-first.
+
+Design constraints at 100 TB:
+
+* **Never O(n²).** All-pairs similarity over billions of docs is off the
+  table. Every near-dup operator here reduces to equi-joins on computed
+  keys (shingle, LSH band bucket, SimHash band) so Spark executes them as
+  shuffle joins with map-side combine — the candidate set, not the corpus,
+  is quadratic (and only within buckets).
+* **Deterministic hashing.** All hashes derive from md5 of content —
+  stable across runs, partitions, engines (so the DuckDB oracles can
+  reproduce results bit-for-bit, and reruns of an idempotent pipeline
+  stage agree).
+* **No Python in the hot path.** Shingling, hashing, min-reduction, band
+  keys: all Catalyst expressions over arrays (higher-order functions).
+
+MinHash here uses a *string-min* construction: hash_i(shingle) =
+md5(i || '|' || shingle), and the signature component is the
+lexicographic minimum hex digest over the document's shingle set. This is
+a valid min-wise family (md5 output ordered as a 128-bit integer — hex
+string order == numeric order since digests are fixed-width), and it
+sidesteps hex->int conversion so every engine computes identical
+signatures.
+
+The reference has no near-dup operators (its dedup is exact-key windowed
+keep-best, cloud/bq/ops.go:184-218); this module is the north-star
+extension layered on the same shuffle/join core (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.functions.text import fingerprint_md5, shingles, ws_tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by content fingerprint (md5 of normalized text).
+
+    Output: one row per duplicate *group* (fingerprint, n_copies, keep_id =
+    smallest id — the deterministic survivor). groupBy is a single shuffle
+    on the 16-byte fingerprint with map-side partial aggregation.
+    """
+    return (
+        df.select(fingerprint_md5(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one document (smallest id) per content fingerprint.
+
+    Same shape as the reference's keep-best window dedup with the
+    fingerprint as partition key and the id as priority order — one
+    shuffle, survivors only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint_md5(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_component(shingle_arr: Column, i: int) -> Column:
+    """min over shingles of md5(i || '|' || shingle) — one signature slot."""
+    return F.array_min(
+        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) MinHash signature over distinct word n-grams.
+
+    One narrow projection — no shuffle. Documents with fewer than ``n``
+    tokens have no shingles and are dropped (nothing to match on).
+    """
+    sh = F.array_distinct(shingles(text_col, n))
+    out = df.select(
+        F.col(id_col),
+        *[ _minhash_component(sh, i).alias(f"sig_{i}") for i in range(num_hashes)],
+    )
+    return out.filter(F.col("sig_0").isNotNull())
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs via banded LSH: split the k-slot signature into
+    ``bands`` bands of k/bands rows; docs agreeing on ALL rows of any band
+    become a candidate pair.
+
+    Plan shape: explode to (id, band, band_key) — band_key = md5 of the
+    band's concatenated slots — then self-equi-join on (band, band_key)
+    with id< id to orient pairs, then distinct. The join key is a hash
+    bucket, so work scales with bucket occupancy, never corpus².
+    """
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = (
+        sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(id_col, "bk.band", "bk.band_key")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs with word-n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
+
+    Without ``candidates``: exact sparse algorithm — explode distinct
+    shingles, self-join on shingle (only co-occurring docs ever meet),
+    count intersections, join per-doc set sizes, filter. Three shuffles
+    (shingle join, pair count, size join) and no corpus² term: cost is
+    sum over shingles of (docs-per-shingle choose 2) — the standard
+    inverted-index bound.
+
+    With ``candidates`` (e.g. from MinHash LSH): verify only candidate
+    pairs. Jaccard is recomputed exactly, so LSH only affects recall,
+    never precision.
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    tok = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash per document: (id, simhash).
+
+    token_hash = first 8 hex chars of md5(token) as an int (conv base
+    16->10); each bit position accumulates +1/-1 per token occurrence
+    (with multiplicity); bit set iff the sum is > 0.
+
+    Plan: explode tokens -> explode 32 bit positions -> two-level
+    aggregation back to one row per doc. Both aggregations get map-side
+    partial combine; the only shuffle key is (id, bit) then (id). At
+    100 TB a Pandas-UDF per-doc simhash would avoid the 32x row blowup,
+    but the expression form keeps everything in codegen and benchmarks
+    faster until documents get very long.
+    """
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    hashed = toks.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"),
+    )
+    bits = hashed.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        F.col("th"),
+    ).select(
+        id_col,
+        "bit",
+        # SQL-form shift: the PySpark shiftright wrapper wants a literal
+        # shift amount, but the SQL function accepts a column.
+        F.expr("CASE WHEN (shiftright(th, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
+            "contrib"
+        ),
+    )
+    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
+    return (
+        bit_sums.withColumn(
+            "bit_val",
+            F.expr(
+                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").alias("simhash"))
+    )
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Pairs of docs with SimHash Hamming distance <= max_hamming.
+
+    Banded by pigeonhole: with ``bands`` equal bit-slices, any pair within
+    Hamming distance bands-1 agrees exactly on at least one slice — so an
+    equi-join per slice finds all such pairs without n² comparison, then
+    the exact Hamming filter (bit_count(xor)) keeps true matches.
+    Requires max_hamming <= bands - 1 for lossless recall.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole recall needs max_hamming <= bands - 1")
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(mask)
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

@@ -506,6 +506,10 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Extension queries register themselves on import.
+from etl_gardener_spark.plans import queries_llm  # noqa: E402,F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.fn for name, qd in REGISTRY.items()}
 

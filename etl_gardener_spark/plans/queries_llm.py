@@ -1,0 +1,526 @@
+"""LLM-data-pipeline extension queries: text analysis, dedup family
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), embedding similarity
+search, multimodal feature extraction, streaming rollup.
+
+Every oracle mirrors the Spark computation exactly — same tokenizer, same
+md5-derived hashes, same float64 fold order, same rounding — so the
+driver's value-hash comparison is bit-stable. Hash-dependent operators are
+deterministic BY DESIGN (md5 of content, not RNG): rerunning a 100 TB dedup
+job reproduces the same survivor set, which is what makes the pipeline
+stages idempotent and restartable.
+
+Integer-ish outputs are cast to BIGINT on the Spark side so schemas line up
+with DuckDB (whose len()/row_number() return BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.functions import text as TX
+from etl_gardener_spark.operators import multimodal as MM
+from etl_gardener_spark.operators import neardup as ND
+from etl_gardener_spark.operators import similarity as SIM
+from etl_gardener_spark.plans.queries import query
+from etl_gardener_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments (DuckDB dialect, mirroring functions/text.py)
+# ---------------------------------------------------------------------------
+
+_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+)
+
+_DOCS_CTE = f"WITH d AS (SELECT *, {_TOKS} AS toks FROM documents)"
+
+# 3-token shingles over toks (1-based list indexing)
+_SHINGLES = (
+    "list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+_EN_STOPS = "['the','a','and','of','to','is','in','it']"
+
+
+def _stops_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{s}'" for s in TX.STOPWORDS[lang]) + "]"
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains({_stops_sql(lang)}, t)))"
+        " AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    f"""
+    {_DOCS_CTE}
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_regex_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           ROUND(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+                 / len(toks), 4) AS avg_token_len,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr
+    FROM d
+    """,
+    tags=("llm", "text"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace + BPE-ish regex counts,
+    char count, mean token length, type/token ratio). Pure codegen'd
+    expressions — one scan, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens("text")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.regex_token_count("text").cast("long").alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+        F.round(TX.type_token_ratio("text"), 4).alias("ttr"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    f"""
+    {_DOCS_CTE}
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(toks, t -> list_contains({_EN_STOPS}, t)))
+                 AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           ROUND(CAST(length(text) - length(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4
+                ) AS punct_ratio,
+           ROUND(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)),
+                 4) AS quality
+    FROM d
+    """,
+    tags=("llm", "text"),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter features: stopword ratio, punctuation
+    ratio, and the composite score (length/diversity/punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(TX.stopword_ratio("text", "en"), 4).alias("stopword_ratio"),
+        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "doc_langid",
+    f"""
+    {_DOCS_CTE}
+    SELECT doc_id,
+           {_hits_sql("de")} AS hits_de, {_hits_sql("en")} AS hits_en,
+           {_hits_sql("es")} AS hits_es, {_hits_sql("fr")} AS hits_fr,
+           {_hits_sql("zh")} AS hits_zh,
+           CASE
+             WHEN {_hits_sql("de")} = greatest({_hits_sql("de")}, {_hits_sql("en")},
+                  {_hits_sql("es")}, {_hits_sql("fr")}, {_hits_sql("zh")}) THEN 'de'
+             WHEN {_hits_sql("en")} = greatest({_hits_sql("de")}, {_hits_sql("en")},
+                  {_hits_sql("es")}, {_hits_sql("fr")}, {_hits_sql("zh")}) THEN 'en'
+             WHEN {_hits_sql("es")} = greatest({_hits_sql("de")}, {_hits_sql("en")},
+                  {_hits_sql("es")}, {_hits_sql("fr")}, {_hits_sql("zh")}) THEN 'es'
+             WHEN {_hits_sql("fr")} = greatest({_hits_sql("de")}, {_hits_sql("en")},
+                  {_hits_sql("es")}, {_hits_sql("fr")}, {_hits_sql("zh")}) THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM d
+    """,
+    tags=("llm", "text"),
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID: per-language hit counts + argmax
+    prediction (alphabetical tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    cols = TX.langid_struct("text")
+    hit_cols = [c.cast("long").alias(f"hits_{lg}") for c, lg in
+                zip(cols[:-1], sorted(TX.STOPWORDS))]
+    return d.select("doc_id", *hit_cols, cols[-1])
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    {_DOCS_CTE}
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           list_aggregate(list_transform({_SHINGLES}, s -> md5(s)), 'min')
+             AS shingle_fp
+    FROM d
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact dedup key) and
+    the min-shingle-hash rolling fingerprint (1-slot MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp"),
+        TX.shingle_fingerprint("text", 3).alias("shingle_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_exact_dup_groups",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct content fingerprint with
+    copy count and the deterministic survivor (min id)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.exact_dup_groups(d, "text", "doc_id")
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    sig_cols = ",\n       ".join(
+        f"list_aggregate(list_transform(sh, s -> md5(CAST({i} AS VARCHAR) || '|' || s)),"
+        f" 'min') AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    {_DOCS_CTE},
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM d
+           WHERE len(toks) >= 3),
+    sig AS (SELECT doc_id, sh,
+       {sig_cols}
+      FROM sh),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+             ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+    j AS (SELECT c.id_a, c.id_b,
+            ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))),
+                  6) AS jaccard
+          FROM cand c
+          JOIN sig sa ON c.id_a = sa.doc_id
+          JOIN sig sb ON c.id_b = sb.doc_id)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+@query("doc_minhash_lsh_pairs", _minhash_oracle(), tags=("llm", "dedup", "lsh"))
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12) + LSH(4 bands x 3 rows) candidate generation, then exact
+    3-gram Jaccard verification at >= 0.5. The full near-dup pipeline:
+    shingle -> minhash -> band -> bucket-join -> verify."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = ND.minhash_signature(d, "text", "doc_id", num_hashes=12, n=3)
+    cand = ND.minhash_lsh_candidates(sig, "doc_id", num_hashes=12, bands=4)
+    return ND.jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.5, candidates=cand
+    )
+
+
+@query(
+    "doc_jaccard_pairs",
+    f"""
+    {_DOCS_CTE},
+    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM d
+           WHERE len(toks) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+    tags=("llm", "dedup"),
+)
+def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join, no LSH) —
+    the ground truth the LSH variant approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+_HEX_TO_INT = (
+    "CAST(list_sum(list_transform(string_split(substr(md5(tok), 1, 8), ''),"
+    " (c, i) -> (strpos('0123456789abcdef', c) - 1) * 16 ** (8 - i)))"
+    " AS BIGINT)"
+)
+
+_SIMHASH_CTE = f"""
+    {_DOCS_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    h AS (SELECT doc_id, {_HEX_TO_INT} AS th FROM t),
+    bit_sums AS (
+      SELECT doc_id, bit, SUM(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, (SELECT unnest(range(0, 32)) AS bit) bits
+      GROUP BY doc_id, bit),
+    sim AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+      FROM bit_sums GROUP BY doc_id)
+"""
+
+
+@query(
+    "doc_simhash",
+    _SIMHASH_CTE + "SELECT doc_id, simhash FROM sim",
+    tags=("llm", "dedup"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-derived token hashes, bit-majority
+    vote with multiplicity)."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.simhash(d, "text", "doc_id")
+
+
+@query(
+    "doc_simhash_pairs",
+    _SIMHASH_CTE
+    + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("llm", "dedup", "lsh"),
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3, found via 4-band
+    pigeonhole equi-join (lossless for d <= bands-1); the oracle brute-forces
+    all pairs — identical result set, quadratic cost (oracle-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    sim = ND.simhash(d, "text", "doc_id")
+    out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=3, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {_DIM + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (SQRT({_dot_sql(a, a)}) * SQRT({_dot_sql(b, b)})))"
+    )
+
+
+@query(
+    "emb_ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "ann"),
+)
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors over the corpus —
+    the exact ANN baseline (broadcast queries, one corpus scan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _srp_oracle(num_planes: int = 4, k: int = 5) -> str:
+    planes = SIM.srp_planes(num_planes, _DIM)
+
+    def plane_lit(p: list[float]) -> str:
+        return "([" + ",".join(repr(v) for v in p) + "]::DOUBLE[])"
+
+    def bucket_sql(vec: str) -> str:
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_sql(vec, plane_lit(planes[i]))} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(num_planes)
+        )
+        return f"({bits})"
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, {bucket_sql("embedding")} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket
+          FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM e c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_ann_topk_lsh", _srp_oracle(), tags=("llm", "ann", "lsh"))
+def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-5: deterministic md5-derived hyperplanes
+    bucket the corpus; only same-bucket vectors are scored. The scale path
+    (hash lookup instead of corpus scan per query)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_lsh(
+        e, e.filter(F.col("vec_id") < 10), k=5, num_planes=4, dim=_DIM
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@query(
+    "emb_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cosine_sql("a.embedding", "b.embedding")}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.4
+    """,
+    tags=("llm", "ann", "dedup"),
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.4), exact all-pairs.
+    (The LSH-bucketed variant is ``embedding_near_dup_pairs(use_lsh=True)``;
+    at corpus scale the bucket join replaces the cross join.)"""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(e, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_image_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           sha256(text) AS sha256,
+           octet_length(encode(text)) % 640 AS width,
+           octet_length(encode(text)) % 480 AS height,
+           CAST(3 AS BIGINT) AS channels
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload image pipeline: attach binary + typed metadata, then
+    Arrow-batched mapInPandas decode/feature-extract (decoder stubbed —
+    deterministic byte-derived dims + sha256; plumbing is real)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(d, "text", "doc_id", modality="image")
+    out = MM.extract_image_features(media, "doc_id")
+    return out.select(
+        "doc_id",
+        "byte_len",
+        "sha256",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+    )
+
+
+@query(
+    "mm_frame_hashes",
+    """
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, octet_length(encode(text)) // 16, 4)) AS frame_idx
+      FROM documents)
+    SELECT doc_id, frame_idx, md5(substr(text, frame_idx * 16 + 1, 16)) AS frame_md5
+    FROM f
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Video' frame sampling over the binary payload: 16-byte frames,
+    every 4th sampled, md5 per frame — mapInPandas with output-cardinality
+    blowup kept inside the task. (Oracle slices the text — identical bytes
+    for this ASCII corpus.)"""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(d, "text", "doc_id")
+    out = MM.sample_frames(media, "doc_id", frame_bytes=16, stride=4)
+    return out.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_md5")
+
+
+@query("mm_audio_features", None, tags=("llm", "multimodal"))
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Audio' feature extraction (librosa import-gated; deterministic byte
+    stats stub here). Rows-only check: byte-mean arithmetic isn't cleanly
+    SQL-expressible over blobs in the oracle dialect."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(d, "text", "doc_id", modality="audio")
+    return MM.extract_audio_features(media, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_hourly_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("llm", "streaming"),
+)
+def stream_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup executed as a Structured Streaming query
+    (watermark + tumbling window, memory sink, drained synchronously) —
+    must equal the batch oracle exactly."""
+    from etl_gardener_spark.streaming.events import stream_hourly_rollup
+
+    return stream_hourly_rollup(spark, sf_dir)

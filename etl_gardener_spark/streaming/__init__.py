@@ -1,0 +1,6 @@
+"""Structured Streaming operators (extension surface — the reference is
+daily-batch only, SURVEY.md §2.2 'Streaming-only operators: absent')."""
+
+from etl_gardener_spark.streaming.events import stream_hourly_rollup
+
+__all__ = ["stream_hourly_rollup"]

@@ -1,0 +1,90 @@
+"""Structured Streaming over the events table: tumbling-window rollup with
+watermarked event time.
+
+The reference has no streaming (daily batch only); this is the extension
+path for the same pipeline when data arrives continuously. The streaming
+query is the exact twin of the batch ``hourly_rollup`` plan — same grouping,
+same aggregates — demonstrating the batch/streaming unification Spark's
+incrementalized execution gives: one logical plan, two execution modes.
+
+Production shape: ``readStream`` from a file source or Kafka, 10-minute
+watermark bounding state for late data, ``append`` mode into a partitioned
+sink via ``foreachBatch`` (which would reuse ``Warehouse.
+overwrite_partitions`` for exactly-once day-partition writes). For
+deterministic local verification we drive the stream to completion with
+``processAllAvailable`` over the static parquet file and collect from a
+memory sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Streaming needs an explicit schema. The testdata's ts column is
+# nanosecond INT64 (see sources/tables.py) — read as long, convert.
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_agg(events: DataFrame) -> DataFrame:
+    """The windowed aggregation, shared by stream and batch: tumbling
+    1-hour event-time windows per event_type."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the hourly rollup as a real streaming query over the events
+    parquet (file micro-batches), drain it, and return the result."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file streaming source wants a directory; point it at the scale
+    # directory and glob-filter to the events file.
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = hourly_agg(events)
+
+    name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # Materialize before the in-memory sink table goes away.
+    out = spark.table(name)
+    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    return result
