@@ -139,13 +139,17 @@ def fingerprint_md5(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles (n consecutive whitespace tokens, space-joined).
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an existing token-array column.
 
-    SQL mirror: list_transform(range(1, len(toks) - n + 2),
-    i -> toks[i] || ' ' || ... || toks[i+n-1]).
+    IMPORTANT (performance): pass an *attribute* (a column staged by a
+    previous ``select``), not an inline expression. The construction
+    indexes the token array n times per shingle; if ``toks`` is an
+    unevaluated expression tree, every ``element_at`` re-evaluates it —
+    measured 35x slower on real documents. Catalyst's CollapseProject
+    preserves a staged projection because duplicating a non-cheap
+    expression fails its collapse check.
     """
-    toks = ws_tokens(col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -155,6 +159,18 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (n consecutive whitespace tokens, space-joined).
+
+    SQL mirror: list_transform(range(1, len(toks) - n + 2),
+    i -> toks[i] || ' ' || ... || toks[i+n-1]).
+
+    Convenience inline form — fine for one-off expressions; hot paths
+    should stage tokens first and use ``shingles_of`` (see its docstring).
+    """
+    return shingles_of(ws_tokens(col), n)
 
 
 def shingle_fingerprint(col: Column | str, n: int = 3) -> Column:

@@ -33,7 +33,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from etl_gardener_spark.functions.text import fingerprint_md5, shingles, ws_tokens
+from etl_gardener_spark.functions.text import (
+    fingerprint_md5,
+    shingles_of,
+    ws_tokens,
+)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) with sh = distinct word n-gram shingles, staged through two
+    projections (tokens -> shingles) so the token array is computed once
+    per row and indexed as an attribute — not re-split per element_at
+    (35x difference; see functions/text.shingles_of). Docs with no
+    shingles (< n tokens) are dropped."""
+    t1 = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
+    return (
+        t1.select(
+            F.col(id_col),
+            F.array_distinct(shingles_of(F.col("__toks"), n)).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -80,27 +102,48 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_component(shingle_arr: Column, i: int) -> Column:
-    """min over shingles of md5(i || '|' || shingle) — one signature slot."""
-    return F.array_min(
-        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-    )
-
-
 def minhash_signature(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signature over distinct word n-grams.
 
-    One narrow projection — no shuffle. Documents with fewer than ``n``
-    tokens have no shingles and are dropped (nothing to match on).
+    The whole signature is ONE nested higher-order expression —
+    ``transform(0..k-1, i -> array_min(transform(shingles, s -> md5(i|s))))``
+    — so the (expensive) shingle array is evaluated once per row, not once
+    per slot: Catalyst's CollapseProject would otherwise inline a
+    per-slot copy of the shingling pipeline.
+
+    ``materialize=True`` (default) eagerly localCheckpoints the signature
+    relation — a narrow (id + k hex strings) table, ~500 bytes/doc — so the
+    downstream LSH **self-join reads it twice instead of recomputing the
+    hash pipeline twice**. This is the standard materialization barrier
+    before self-joins; at corpus scale it also truncates the plan so AQE
+    sizes the join from real statistics.
+
+    Documents with fewer than ``n`` tokens have no shingles and are dropped
+    (nothing to match on).
     """
-    sh = F.array_distinct(shingles(text_col, n))
-    out = df.select(
-        F.col(id_col),
-        *[ _minhash_component(sh, i).alias(f"sig_{i}") for i in range(num_hashes)],
+    staged = shingle_sets(df, text_col, id_col, n)
+    sig_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
     )
-    return out.filter(F.col("sig_0").isNotNull())
+    out = staged.select(F.col(id_col), sig_arr.alias("sig"))
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out.select(
+        id_col, *[F.col("sig")[i].alias(f"sig_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_candidates(
@@ -169,13 +212,35 @@ def jaccard_pairs(
     sum over shingles of (docs-per-shingle choose 2) — the standard
     inverted-index bound.
 
-    With ``candidates`` (e.g. from MinHash LSH): verify only candidate
-    pairs. Jaccard is recomputed exactly, so LSH only affects recall,
-    never precision.
+    With ``candidates`` (e.g. from MinHash LSH): the inverted index is
+    skipped entirely — candidate pairs join directly to the two documents'
+    shingle sets and the intersection is computed per pair with array
+    functions. Work is proportional to |candidates|, not to shingle
+    co-occurrence (the whole point of LSH). Jaccard is exact either way,
+    so LSH only affects recall, never precision.
     """
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # The shingle relation feeds multiple plan branches; materialize once
+    # instead of recomputing the shingling pipeline per branch.
+    sh = shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
+
+    if candidates is not None:
+        sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        return (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    inter_sz
+                    / (F.size("sh_a") + F.size("sh_b") - inter_sz),
+                    6,
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
 
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     tok = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
@@ -191,8 +256,6 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
     )

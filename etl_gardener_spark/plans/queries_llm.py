@@ -178,10 +178,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact dedup key) and
     the min-shingle-hash rolling fingerprint (1-slot MinHash)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select("doc_id", "text", TX.ws_tokens("text").alias("__toks"))
+    return staged.select(
         "doc_id",
         TX.fingerprint_md5("text").alias("fp"),
-        TX.shingle_fingerprint("text", 3).alias("shingle_fp"),
+        F.array_min(
+            F.transform(TX.shingles_of(F.col("__toks"), 3), F.md5)
+        ).alias("shingle_fp"),
     )
 
 

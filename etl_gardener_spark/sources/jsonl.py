@@ -59,28 +59,32 @@ def read_jsonl(
 ) -> DataFrame:
     """Read JSONL under ``path`` with an explicit schema, PERMISSIVE mode.
 
-    Unknown JSON fields are ignored; missing fields are NULL; malformed
-    lines populate only ``_corrupt_record`` (dropped from the result by
-    default — the caller can count them first via ``load_with_stats``).
+    Unknown JSON fields are ignored; missing fields are NULL. With
+    ``drop_corrupt=True`` (default) malformed lines are dropped at parse
+    time (``DROPMALFORMED`` — no side column ever enters the plan, so
+    count-only queries stay legal and column pruning is unconstrained).
+    With ``drop_corrupt=False`` malformed lines populate only
+    ``_corrupt_record`` (PERMISSIVE) so ``load_with_stats`` can count them.
     """
+    reader = (
+        spark.read.option("timestampFormat", TIMESTAMP_FORMAT)
+        # Accept timestamps that don't carry the full microsecond pattern
+        # (e.g. "...T01:00:00Z") instead of marking the row corrupt.
+        .option("enableDateTimeParsingFallback", "true")
+    )
+    if drop_corrupt:
+        return reader.schema(schema).option("mode", "DROPMALFORMED").json(path)
     read_schema = schema
     if CORRUPT_COL not in [f.name for f in schema.fields]:
         read_schema = T.StructType(
             list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
         )
-    df = (
-        spark.read.schema(read_schema)
+    return (
+        reader.schema(read_schema)
         .option("mode", "PERMISSIVE")
-        .option("timestampFormat", TIMESTAMP_FORMAT)
-        # Accept timestamps that don't carry the full microsecond pattern
-        # (e.g. "...T01:00:00Z") instead of marking the row corrupt.
-        .option("enableDateTimeParsingFallback", "true")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
-    if drop_corrupt:
-        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return df
 
 
 def load_with_stats(

@@ -101,19 +101,15 @@ class Warehouse:
     ) -> None:
         """Replace exactly the day partitions present in ``df`` (T2/T3/T5).
 
-        Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
-        ``session.get_spark``); equivalent to BigQuery's partition decorator
-        + WriteTruncate (cloud/bq/ops.go:171, tracker/job.go:48-50).
+        Dynamic partition-overwrite is forced per-write via the writer
+        option (effective regardless of the session's global conf), so only
+        the ``date=`` directories present in ``df`` are replaced —
+        equivalent to BigQuery's partition decorator + WriteTruncate
+        (cloud/bq/ops.go:171, tracker/job.go:48-50).
         """
-        spark = df.sparkSession
-        mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        if mode.lower() != "dynamic":
-            raise RuntimeError(
-                "overwrite_partitions requires dynamic partitionOverwriteMode; "
-                "use session.get_spark() or set the conf explicitly"
-            )
         (
             df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(DATE_COL)
             .parquet(self.table_path(tier, experiment, datatype))
         )
