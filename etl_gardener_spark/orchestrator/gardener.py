@@ -1,0 +1,109 @@
+"""Process assembly — the reference's ``main()`` (cmd/gardener/gardener.go:222-309).
+
+``Gardener.start`` wires config → tracker (with recovery) → iterators → job
+service → monitor (+ standard actions) → Jobs API, and ``stop`` shuts the
+loops down cleanly (the reference's errgroup teardown, gardener.go:292-308).
+In-flight jobs resume after a restart because no leases survive it
+(ops/ops.go:33-40) and every pipeline stage is idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from etl_gardener_spark.orchestrator.actions import StandardActions
+from etl_gardener_spark.orchestrator.api import create_app, serve_background
+from etl_gardener_spark.orchestrator.config import GardenerConfig
+from etl_gardener_spark.orchestrator.iterators import (
+    DailyIterator,
+    HistoricalIterator,
+    JobIterator,
+)
+from etl_gardener_spark.orchestrator.job import Job
+from etl_gardener_spark.orchestrator.job_service import JobService
+from etl_gardener_spark.orchestrator.monitor import Monitor
+from etl_gardener_spark.orchestrator.tracker import Tracker
+from etl_gardener_spark.sources.listing import has_files
+from etl_gardener_spark.warehouse import Warehouse
+
+
+class Gardener:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: GardenerConfig,
+        warehouse_root: str,
+        landing_root: str,
+        schema_for: Callable[[Job], T.StructType],
+        state_dir: str,
+        daily_delay_sec: float = 10.5 * 3600,
+        poll_period_sec: float | None = None,
+        retry_delay_sec: float = 120.0,
+    ):
+        self.spark = spark
+        self.config = config
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+        self.tracker = Tracker(
+            saver_path=os.path.join(state_dir, "tracker-state-v2.json")
+        )
+        cursor_path = os.path.join(state_dir, "date-cursors.json")
+
+        specs = [s.job_spec() for s in config.sources]
+        daily = JobIterator(
+            DailyIterator(
+                delay_sec=daily_delay_sec,
+                cursor_path=cursor_path,
+                start=config.start_date,
+            ),
+            specs,
+        )
+        hist_specs = [s.job_spec() for s in config.historical_sources]
+        historical = JobIterator(
+            HistoricalIterator(config.start_date, cursor_path=cursor_path),
+            hist_specs,
+        )
+        full_history = {s.datatype for s in config.sources if s.full_history}
+
+        def probe(job: Job) -> bool:
+            return has_files(self.spark, f"{landing_root}/{job.prefix()}")
+
+        self.job_service = JobService(
+            daily, historical, full_history=full_history, has_files=probe
+        )
+        self.monitor = Monitor(self.tracker, retry_delay_sec=retry_delay_sec)
+        StandardActions(
+            spark,
+            Warehouse(warehouse_root),
+            landing_root,
+            schema_for,
+            self.tracker,
+        ).install(self.monitor)
+        self.app = create_app(self.tracker, self.job_service)
+        self._poll_period = (
+            poll_period_sec
+            if poll_period_sec is not None
+            else config.polling_interval_sec
+        )
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+
+    def start(self, api_port: int | None = None) -> None:
+        self._threads.append(self.monitor.watch(self._stop, self._poll_period))
+        self._threads.append(self.tracker.save_every(60.0, self._stop))
+        if api_port is not None:
+            self._threads.append(serve_background(self.app, api_port))
+
+    def stop(self) -> None:
+        self._stop.set()
+        for t in self._threads:
+            if t.daemon:
+                continue
+            t.join(timeout=10)
+        self.monitor.shutdown()
+        self.tracker.save(force=True)

@@ -194,11 +194,18 @@ class TableOps:
         """
         j = self.job
         fact = self.wh.read_partition(self.spark, "raw", j.experiment, j.datatype, j.date)
-        ann = self.wh.read(self.spark, "raw", j.experiment, j.annotation_datatype)
-        lo = (j.date - timedelta(days=1)).isoformat()
-        hi = j.date.isoformat()
-        ann = ann.filter(F.col(DATE_COL).between(lo, hi))  # ops.go:247
-        out = join_annotate(fact, ann, on="id", leading=["date", "parser"])
+        ann_path = self.wh.table_path("raw", j.experiment, j.annotation_datatype)
+        if self.wh.path_exists(self.spark, ann_path):
+            ann = self.wh.read(self.spark, "raw", j.experiment, j.annotation_datatype)
+            lo = (j.date - timedelta(days=1)).isoformat()
+            hi = j.date.isoformat()
+            ann = ann.filter(F.col(DATE_COL).between(lo, hi))  # ops.go:247
+            out = join_annotate(fact, ann, on="id", leading=["date", "parser"])
+        else:
+            # Annotation table absent: the join gate admits this case
+            # (ops/actions.go:31-54 — "or absent"); materialize the fact
+            # partition unannotated rather than failing the job.
+            out = fact
         if dry_run:
             return OpStats(op="join", dry_run_plan=explain_str(out))
         t0 = time.monotonic()

@@ -131,6 +131,10 @@ class Warehouse:
         fs.delete(p, True)
         return True
 
+    def path_exists(self, spark: SparkSession, path: str) -> bool:
+        fs = _hadoop_fs(spark, path)
+        return bool(fs.exists(_hadoop_path(spark, path)))
+
     def partition_exists(
         self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date
     ) -> bool:

@@ -1,0 +1,112 @@
+"""End-to-end orchestration test (reference ops/actions_test.go:23-152):
+seed jobs via the Jobs API, report postProcessing like a parser would, and
+let the Monitor's standard action chain drive Load → Dedup → Copy → Delete →
+Join → Complete against real Spark + warehouse directories."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date as Date
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_gardener_spark.orchestrator import job as J
+from etl_gardener_spark.orchestrator.config import GardenerConfig, SourceConfig
+from etl_gardener_spark.orchestrator.gardener import Gardener
+from etl_gardener_spark.orchestrator.job import Datasets
+from etl_gardener_spark.warehouse import Warehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "parser", T.StructType([T.StructField("Time", T.TimestampType())])
+        ),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_day(root: str, job_prefix: str, rows: list[dict]) -> None:
+    d = os.path.join(root, job_prefix)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part0.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def gardener(spark, tmp_path):
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b",
+                experiment="ndt",
+                datatype="ndt7",
+                datasets=Datasets(tmp="tmp_ndt", raw="raw_ndt", join="ndt"),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    yield g, str(tmp_path / "landing"), str(tmp_path / "wh")
+    g.monitor.shutdown()
+
+
+def test_pipeline_via_monitor(gardener):
+    g, landing, wh_root = gardener
+    job = g.config.sources[0].job_spec().with_date(Date(2024, 3, 1))
+    rows = [
+        {"id": "a", "parser": {"Time": "2024-03-01T01:00:00Z"}, "value": 1.0},
+        {"id": "a", "parser": {"Time": "2024-03-01T02:00:00Z"}, "value": 2.0},
+        {"id": "b", "parser": {"Time": "2024-03-01T01:30:00Z"}, "value": 3.0},
+    ]
+    _write_day(landing, job.prefix(), rows)
+    # annotation2 for the same date: absent → join gate passes (actions.go:31-54)
+
+    client = g.app.test_client()
+    g.tracker.add_job(job)
+    key = job.key()
+    assert (
+        client.post(
+            "/v2/job/update", data={"id": key, "state": J.PARSE_COMPLETE}
+        ).status_code
+        == 200
+    )
+    assert g.monitor.drain(timeout_sec=120.0)
+    st = g.tracker.get_status(key)
+    assert st.state == J.COMPLETE, [si.state for si in st.history]
+    # history walks the full chain
+    states = [si.state for si in st.history]
+    for s in (J.LOADING, J.DEDUPLICATING, J.COPYING, J.DELETING, J.JOINING):
+        assert s in states
+
+    wh = Warehouse(wh_root)
+    spark = g.spark
+    raw = wh.read_partition(spark, "raw", "ndt", "ndt7", job.date)
+    got = {(r.id, r.value) for r in raw.collect()}
+    assert got == {("a", 2.0), ("b", 3.0)}  # deduped: latest parser.Time wins
+    assert not wh.partition_exists(spark, "tmp", "ndt", "ndt7", job.date)
+    joined = wh.read_partition(spark, "join", "ndt", "ndt7", job.date)
+    assert joined.count() == 2
+
+
+def test_pipeline_failure_classification(gardener):
+    g, landing, _ = gardener
+    job = g.config.sources[0].job_spec().with_date(Date(2024, 3, 2))
+    # No landing files written → load fails permanently → Failed state
+    g.tracker.add_job(job)
+    g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+    g.monitor.drain(timeout_sec=60.0)
+    st = g.tracker.get_status(job.key())
+    assert st.state == J.FAILED
