@@ -15,13 +15,14 @@ Design constraints at 100 TB:
 * **No Python in the hot path.** Shingling, hashing, min-reduction, band
   keys: all Catalyst expressions over arrays (higher-order functions).
 
-MinHash here uses a *string-min* construction: hash_i(shingle) =
-md5(i || '|' || shingle), and the signature component is the
-lexicographic minimum hex digest over the document's shingle set. This is
-a valid min-wise family (md5 output ordered as a 128-bit integer — hex
-string order == numeric order since digests are fixed-width), and it
-sidesteps hex->int conversion so every engine computes identical
-signatures.
+MinHash here hashes each shingle ONCE — md5, folded to a 60-bit integer —
+and derives every signature slot by an integer universal-hash permutation
+``(a_i * h32 + b_i) mod p`` over that base hash (the classic
+one-hash-k-permutations construction). That's 1 md5 per shingle instead
+of k, and the permutations are pure 64-bit arithmetic inside codegen; the
+a_i/b_i constants are themselves md5-derived, so signatures stay
+deterministic and engine-portable (DuckDB mirrors the fold and the
+arithmetic exactly).
 
 The reference has no near-dup operators (its dedup is exact-key windowed
 keep-best, cloud/bq/ops.go:184-218); this module is the north-star
@@ -29,6 +30,8 @@ extension layered on the same shuffle/join core (SURVEY.md §7).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -39,22 +42,66 @@ from etl_gardener_spark.functions.text import (
     ws_tokens,
 )
 
+# Universal-hash modulus for MinHash permutations: smallest prime > 2^32.
+# a*h32+b < 2^28 * 2^32 ≈ 2^60 stays well inside int64 in every engine.
+MINHASH_PRIME = 4294967311
+_H32_MOD = 4294967296  # fold the 60-bit shingle hash to 32 bits first
+
+
+def _perm_fn(a: int, b: int):
+    """One-arg lambda factory (a bound via closure — extra lambda params
+    would be misread as Spark's (value, index) higher-order signature)."""
+    return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+
+def perm_consts(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for MinHash permutation i — md5-derived
+    28-bit constants (no RNG: reruns and oracles agree bit-for-bit)."""
+    a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:7], 16)
+    return a, b
+
 
 def shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    """(id, sh) with sh = distinct word n-gram shingles, staged through two
-    projections (tokens -> shingles) so the token array is computed once
-    per row and indexed as an attribute — not re-split per element_at
-    (35x difference; see functions/text.shingles_of). Docs with no
-    shingles (< n tokens) are dropped."""
+    """(id, sh) with sh = distinct word n-gram shingles.
+
+    Plan discipline, in order:
+    1. stage the token array in its own projection (computed once per row,
+       then indexed as an attribute — not re-split per element_at; 35x,
+       see functions/text.shingles_of);
+    2. filter on the CHEAP predicate ``size(tokens) >= n`` *before* the
+       shingle projection. Filtering on ``size(sh) > 0`` after it is
+       equivalent but catastrophic: Catalyst pushes the predicate below
+       the project, so the whole shingle expression is evaluated twice
+       per row (once for the filter, once for the output) — measured 4x
+       on real documents.
+    """
     t1 = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
-    return (
-        t1.select(
-            F.col(id_col),
-            F.array_distinct(shingles_of(F.col("__toks"), n)).alias("sh"),
-        )
-        .filter(F.size("sh") > 0)
+    return t1.filter(F.size("__toks") >= n).select(
+        F.col(id_col),
+        F.array_distinct(shingles_of(F.col("__toks"), n)).alias("sh"),
+    )
+
+
+def shingle_hash_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) with sh = distinct 60-bit integer shingle hashes.
+
+    Each distinct shingle is hashed once — md5, first 15 hex chars folded
+    to an int64 (< 2^60) — and all downstream near-dup math (MinHash
+    permutations, Jaccard intersections, inverted-index joins) runs on
+    8-byte ints instead of ~20-byte strings: one md5 per shingle total,
+    cheaper shuffles, codegen'd comparisons. DuckDB mirror of the fold:
+    list_reduce over md5 hex chars, (x, y) -> x*16+y.
+    """
+    sh = shingle_sets(df, text_col, id_col, n)
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    return sh.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(F.col("sh"), h)).alias("sh"),
     )
 
 
@@ -110,16 +157,17 @@ def minhash_signature(
     n: int = 3,
     materialize: bool = True,
 ) -> DataFrame:
-    """(id, sig_0..sig_{k-1}) MinHash signature over distinct word n-grams.
+    """(id, sig_0..sig_{k-1}) int64 MinHash signature over distinct word
+    n-grams, one-hash-k-permutations construction.
 
-    The whole signature is ONE nested higher-order expression —
-    ``transform(0..k-1, i -> array_min(transform(shingles, s -> md5(i|s))))``
-    — so the (expensive) shingle array is evaluated once per row, not once
-    per slot: Catalyst's CollapseProject would otherwise inline a
-    per-slot copy of the shingling pipeline.
+    Each shingle is hashed once (shingle_hash_sets); slot i is
+    ``min over shingles of (a_i * h32 + b_i) mod MINHASH_PRIME`` — pure
+    integer arithmetic over a staged attribute, so the whole signature
+    costs |shingles| md5 calls + 12·|shingles| multiplies per document
+    (the previous per-slot-md5 construction cost 12·|shingles| md5s).
 
     ``materialize=True`` (default) eagerly localCheckpoints the signature
-    relation — a narrow (id + k hex strings) table, ~500 bytes/doc — so the
+    relation — a narrow (id + k int64) table, ~100 bytes/doc — so the
     downstream LSH **self-join reads it twice instead of recomputing the
     hash pipeline twice**. This is the standard materialization barrier
     before self-joins; at corpus scale it also truncates the plan so AQE
@@ -128,22 +176,22 @@ def minhash_signature(
     Documents with fewer than ``n`` tokens have no shingles and are dropped
     (nothing to match on).
     """
-    staged = shingle_sets(df, text_col, id_col, n)
-    sig_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    staged = shingle_hash_sets(df, text_col, id_col, n).select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda h: h % F.lit(_H32_MOD)).alias("h32"),
     )
-    out = staged.select(F.col(id_col), sig_arr.alias("sig"))
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = perm_consts(i)
+        sig_cols.append(
+            F.array_min(
+                F.transform(F.col("h32"), _perm_fn(a, b))
+            ).alias(f"sig_{i}")
+        )
+    out = staged.select(id_col, *sig_cols)
     if materialize:
         out = out.localCheckpoint(eager=True)
-    return out.select(
-        id_col, *[F.col("sig")[i].alias(f"sig_{i}") for i in range(num_hashes)]
-    )
+    return out
 
 
 def minhash_lsh_candidates(
@@ -168,7 +216,11 @@ def minhash_lsh_candidates(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                        "|",
+                        *[
+                            F.col(f"sig_{b * rows + r}").cast("string")
+                            for r in range(rows)
+                        ],
                     )
                 ).alias("band_key"),
             )
@@ -195,6 +247,55 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline, fused: shingle-hash once, MinHash+LSH
+    candidates, exact Jaccard verification — (id_a, id_b, jaccard).
+
+    The shingle-hash relation is computed ONCE and localCheckpointed; the
+    signature derives from it with pure arithmetic, and the verification
+    join reads the same materialized sets. Running ``minhash_signature``
+    and ``jaccard_pairs`` separately would shingle the corpus twice.
+    """
+    sh = shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
+    staged = sh.select(
+        F.col(id_col),
+        F.transform(F.col("sh"), lambda h: h % F.lit(_H32_MOD)).alias("h32"),
+    )
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = perm_consts(i)
+        sig_cols.append(
+            F.array_min(
+                F.transform(F.col("h32"), _perm_fn(a, b))
+            ).alias(f"sig_{i}")
+        )
+    sig = staged.select(id_col, *sig_cols)
+    cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter_sz / (F.size("sh_a") + F.size("sh_b") - inter_sz), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -205,23 +306,28 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Pairs with word-n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
 
+    Sets are the 60-bit shingle hashes (shingle_hash_sets): 8-byte join
+    keys and array elements instead of shingle strings — the standard
+    hashed-shingle formulation (collisions are ~|shingles|²/2^61 and the
+    oracle mirrors the same hash, so results stay engine-identical).
+
     Without ``candidates``: exact sparse algorithm — explode distinct
-    shingles, self-join on shingle (only co-occurring docs ever meet),
-    count intersections, join per-doc set sizes, filter. Three shuffles
+    shingle hashes, self-join (only co-occurring docs ever meet), count
+    intersections, join per-doc set sizes, filter. Three shuffles
     (shingle join, pair count, size join) and no corpus² term: cost is
     sum over shingles of (docs-per-shingle choose 2) — the standard
     inverted-index bound.
 
     With ``candidates`` (e.g. from MinHash LSH): the inverted index is
     skipped entirely — candidate pairs join directly to the two documents'
-    shingle sets and the intersection is computed per pair with array
+    shingle-hash sets and the intersection is computed per pair with array
     functions. Work is proportional to |candidates|, not to shingle
     co-occurrence (the whole point of LSH). Jaccard is exact either way,
     so LSH only affects recall, never precision.
     """
     # The shingle relation feeds multiple plan branches; materialize once
     # instead of recomputing the shingling pipeline per branch.
-    sh = shingle_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
 
     if candidates is not None:
         sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

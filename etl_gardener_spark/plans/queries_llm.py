@@ -44,6 +44,20 @@ _SHINGLES = (
 _EN_STOPS = "['the','a','and','of','to','is','in','it']"
 
 
+def _h60(s: str) -> str:
+    """60-bit shingle hash: md5 first 15 hex chars folded to BIGINT —
+    exact mirror of neardup.shingle_hash_sets (Spark conv(substr(md5),16,10))."""
+    return (
+        f"list_reduce(list_transform(string_split(substr(md5({s}),1,15), ''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+        " (x, y) -> x * 16 + y)"
+    )
+
+
+# distinct 60-bit shingle hashes per document (neardup.shingle_hash_sets)
+_SHINGLE_HASHES = f"list_distinct(list_transform({_SHINGLES}, s -> {_h60('s')}))"
+
+
 def _stops_sql(lang: str) -> str:
     return "[" + ",".join(f"'{s}'" for s in TX.STOPWORDS[lang]) + "]"
 
@@ -211,20 +225,25 @@ def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
     rows = num_hashes // bands
-    sig_cols = ",\n       ".join(
-        f"list_aggregate(list_transform(sh, s -> md5(CAST({i} AS VARCHAR) || '|' || s)),"
-        f" 'min') AS sig_{i}"
-        for i in range(num_hashes)
-    )
+    sig_exprs = []
+    for i in range(num_hashes):
+        a, b = ND.perm_consts(i)
+        sig_exprs.append(
+            f"list_aggregate(list_transform(sh, h -> ({a} * (h % 4294967296)"
+            f" + {b}) % {ND.MINHASH_PRIME}), 'min') AS sig_{i}"
+        )
+    sig_cols = ",\n       ".join(sig_exprs)
     band_selects = "\n    UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("
-        + " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        + " || '|' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         + ") AS band_key FROM sig"
         for b in range(bands)
     )
     return f"""
     {_DOCS_CTE},
-    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM d
+    sh AS (SELECT doc_id, {_SHINGLE_HASHES} AS sh FROM d
            WHERE len(toks) >= 3),
     sig AS (SELECT doc_id, sh,
        {sig_cols}
@@ -247,14 +266,13 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
 
 @query("doc_minhash_lsh_pairs", _minhash_oracle(), tags=("llm", "dedup", "lsh"))
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12) + LSH(4 bands x 3 rows) candidate generation, then exact
-    3-gram Jaccard verification at >= 0.5. The full near-dup pipeline:
-    shingle -> minhash -> band -> bucket-join -> verify."""
+    """MinHash(12, one-hash-k-permutations) + LSH(4 bands x 3 rows)
+    candidate generation, then exact hashed-shingle Jaccard verification at
+    >= 0.5 — the fused pipeline (shingles hashed once for both the
+    signature and the verification)."""
     d = load_table(spark, sf_dir, "documents")
-    sig = ND.minhash_signature(d, "text", "doc_id", num_hashes=12, n=3)
-    cand = ND.minhash_lsh_candidates(sig, "doc_id", num_hashes=12, bands=4)
-    return ND.jaccard_pairs(
-        d, "text", "doc_id", n=3, threshold=0.5, candidates=cand
+    return ND.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, n=3, threshold=0.5
     )
 
 
@@ -262,7 +280,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_jaccard_pairs",
     f"""
     {_DOCS_CTE},
-    sh AS (SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM d
+    sh AS (SELECT doc_id, {_SHINGLE_HASHES} AS sh FROM d
            WHERE len(toks) >= 3)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -276,8 +294,8 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-index join, no LSH) —
-    the ground truth the LSH variant approximates."""
+    """Exact hashed-shingle Jaccard near-dup pairs (inverted-index join,
+    no LSH) — the ground truth the LSH variant approximates."""
     d = load_table(spark, sf_dir, "documents")
     return ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
 
