@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 from etl_gardener_spark.orchestrator import job as J
+from etl_gardener_spark.orchestrator import metrics
 from etl_gardener_spark.orchestrator.monitor import Action, Monitor, RetryError
 from etl_gardener_spark.orchestrator.tracker import Tracker
 from etl_gardener_spark.table_ops import JobSpec, OpStats, TableOps
@@ -93,6 +94,11 @@ class StandardActions:
             st = self._ops(job).load_to_tmp(prefix, self.schema_for(job))
         except Exception as e:  # noqa: BLE001 — classified below
             raise classify(e) from e
+        # files-per-date histogram (metrics/metrics.go:152-165; recorded
+        # from LoadStatistics in ops/actions.go:290-309)
+        metrics.FILES_PER_DATE.observe(
+            job.experiment, job.datatype, value=st.input_files
+        )
         return self._detail(st)
 
     def dedup(self, job: J.Job) -> str:

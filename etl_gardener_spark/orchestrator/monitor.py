@@ -18,6 +18,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Callable
 
+from etl_gardener_spark.orchestrator import metrics
 from etl_gardener_spark.orchestrator.job import COMPLETE, FAILED, Job, Status
 from etl_gardener_spark.orchestrator.tracker import Tracker
 
@@ -97,22 +98,44 @@ class Monitor:
         return dispatched
 
     def _apply(self, key: str, job: Job, action: Action) -> None:
+        """Run one action; record the reference's observability signals
+        (action duration by outcome, time-in-state, completion/failure
+        counters, in-flight gauge — metrics/metrics.go:16-209,
+        ops/ops.go:46-60)."""
+        t0 = time.monotonic()
+        entered = time.time()
+        st = self._tracker.get_status(key)
+        if st is not None and st.history:
+            entered = st.history[-1].start
+        outcome = "ok"
+        metrics.TASKS_IN_FLIGHT.inc()
         try:
             if action.condition is not None and not action.condition(job):
+                outcome = "waiting"
                 return  # condition not met; stay in state, try next tick
             detail = ""
             if action.action is not None:
                 detail = action.action(job) or ""
+            metrics.STATE_TIME.observe(action.state, value=time.time() - entered)
             self._tracker.set_status(key, action.next_state, detail)
+            if action.next_state == COMPLETE:
+                metrics.COMPLETED.inc(job.experiment, job.datatype)
         except RetryError as e:
             # Stay in state; back off before the next attempt
             # (ops/ops.go:182-184: 2 min sleep on Retry).
+            outcome = "retry"
             self._tracker.set_detail(key, f"retry: {e}")
             with self._lock:
                 self._retry_until[key] = self._clock() + self._retry_delay
         except Exception as e:  # Failure outcome (ops/ops.go:158-165)
+            outcome = "failure"
+            metrics.FAILED.inc(job.experiment, job.datatype)
             self._tracker.set_job_error(key, f"{type(e).__name__}: {e}")
         finally:
+            metrics.TASKS_IN_FLIGHT.dec()
+            metrics.ACTION_DURATION.observe(
+                action.state, outcome, value=time.monotonic() - t0
+            )
             self._release(key)
 
     # -- watch loop (ops/ops.go:198-221; 5s prod period) --------------------

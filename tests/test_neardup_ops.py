@@ -1,0 +1,172 @@
+"""Unit tests for the dedup family and similarity operators on crafted
+corpora with known answers (SURVEY.md §7 extensions; the oracle-driven
+registry tests cover the driver tables, these cover operator semantics on
+adversarial inputs: exact dupes, near dupes, short docs, empty sets)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.operators import neardup as ND
+from etl_gardener_spark.operators import similarity as SIM
+
+DOCS = [
+    # near-identical pair (1-word diff in 12): high jaccard
+    (1, "the quick brown fox jumps over the lazy dog near the river"),
+    (2, "the quick brown fox jumps over the lazy cat near the river"),
+    # exact duplicate of 1 (different id)
+    (3, "the quick brown fox jumps over the lazy dog near the river"),
+    # unrelated
+    (4, "completely different content about spark partitions and shuffles"),
+    # too short for 3-shingles
+    (5, "two words"),
+    # whitespace/case variant of 4 (exact-dup after normalization)
+    (6, "  Completely   DIFFERENT content about spark partitions and shuffles "),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_shingle_sets_drops_short_docs(docs):
+    sh = ND.shingle_sets(docs, "text", "doc_id")
+    got = {r.doc_id: r.sh for r in sh.collect()}
+    assert 5 not in got  # < 3 tokens -> no shingles
+    assert got[1][0] == "the quick brown"
+    assert len(got[1]) == 10  # 12 tokens, distinct 3-grams
+    # hash sets align 1:1 with string sets
+    shh = {r.doc_id: r.sh for r in ND.shingle_hash_sets(docs, "text", "doc_id").collect()}
+    assert set(shh) == set(got)
+    assert all(len(shh[k]) == len(got[k]) for k in got)
+    assert all(isinstance(h, int) and 0 <= h < 1 << 60 for h in shh[1])
+
+
+def test_exact_dedup_and_groups(docs):
+    groups = ND.exact_dup_groups(docs, "text", "doc_id").collect()
+    by_keep = {r.keep_id: r.n_copies for r in groups}
+    assert by_keep[1] == 2  # docs 1,3
+    assert by_keep[4] == 2  # docs 4,6 (normalization: case+whitespace)
+    assert by_keep[2] == 1 and by_keep[5] == 1
+    kept = {r.doc_id for r in ND.exact_dedup(docs, "text", "doc_id").collect()}
+    assert kept == {1, 2, 4, 5}
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ND.jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # exact dup
+    assert pairs[(4, 6)] == 1.0  # normalized dup
+    # 1 vs 2: tokens differ in 1 of 12 -> 3 of 10 distinct shingles differ
+    assert pairs[(1, 2)] == pairs[(2, 3)] == pytest.approx(7 / 13, abs=1e-6)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ND.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.3
+        ).collect()
+    }
+    # identical docs share every band -> always candidates; verified jaccard 1
+    assert out[(1, 3)] == 1.0
+    assert out[(4, 6)] == 1.0
+    # LSH affects recall only: any reported jaccard matches the exact value
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ND.jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    for k, v in out.items():
+        assert exact[k] == v
+
+
+def test_minhash_signature_shape_and_determinism(docs):
+    s1 = ND.minhash_signature(docs, "text", "doc_id", num_hashes=8, materialize=False)
+    assert [f"sig_{i}" for i in range(8)] == s1.columns[1:]
+    a = {tuple(r) for r in s1.collect()}
+    b = {tuple(r) for r in ND.minhash_signature(
+        docs, "text", "doc_id", num_hashes=8, materialize=False).collect()}
+    assert a == b  # md5-derived, no RNG
+    # identical docs -> identical signatures
+    rows = {r.doc_id: tuple(r)[1:] for r in s1.collect()}
+    assert rows[1] == rows[3]
+
+
+def test_simhash_near_pairs(docs):
+    sim = ND.simhash(docs, "text", "doc_id")
+    vals = {r.doc_id: r.simhash for r in sim.collect()}
+    assert vals[1] == vals[3]
+    assert 0 <= vals[1] < 1 << 32
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ND.simhash_near_pairs(sim, "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(1, 3)] == 0
+    with pytest.raises(ValueError):
+        ND.simhash_near_pairs(sim, "doc_id", max_hamming=8, bands=4)
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # ~cos 0.9939 with 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def test_cosine_topk(vecs):
+    out = SIM.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(
+        (r.rank, r.neighbor_id, r.score) for r in out.collect()
+    )
+    assert rows[0][1] == 4 and rows[0][2] == 1.0
+    assert rows[1][1] == 1 and rows[1][2] == pytest.approx(0.993884, abs=1e-5)
+
+
+def test_embedding_near_dup_pairs_exact_gemm(vecs):
+    out = {
+        (r.id_a, r.id_b): r.score
+        for r in SIM.embedding_near_dup_pairs(
+            vecs, id_col="vec_id", vec_col="embedding", threshold=0.9
+        ).collect()
+    }
+    assert out[(0, 4)] == 1.0
+    assert out[(0, 1)] == pytest.approx(0.993884, abs=1e-5)
+    assert (1, 4) in out
+    assert not any({0, 4} & {a, b} and (2 in (a, b) or 3 in (a, b)) for a, b in out)
+
+
+def test_embedding_near_dup_pairs_lsh_subset_of_exact(vecs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup_pairs(
+            vecs, id_col="vec_id", vec_col="embedding", threshold=0.9
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in SIM.embedding_near_dup_pairs(
+            vecs,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.9,
+            use_lsh=True,
+            num_planes=4,
+            dim=4,
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (0, 4) in lsh  # identical vectors always share the SRP bucket

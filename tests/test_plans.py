@@ -1,0 +1,87 @@
+"""Physical-plan quality gates: the properties that make these operators
+scale are asserted, not assumed — filter/column pushdown into the parquet
+scan, partition pruning on the warehouse date column, broadcast joins for
+star dims, WindowGroupLimit for top-k, map-side partial aggregation.
+These are the Spark analogues of the reference's cost discipline (every
+query prunes to one day partition, cloud/bq/ops.go:192-207)."""
+
+from __future__ import annotations
+
+from datetime import date as Date
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.plans.explain import explain_str
+from etl_gardener_spark.plans import queries as Q
+from etl_gardener_spark.sources.tables import load_table
+from etl_gardener_spark.warehouse import Warehouse
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return explain_str(df, "formatted")
+
+
+def test_filter_and_column_pushdown_q1(spark):
+    df = Q.REGISTRY["q1_pricing_summary"].fn(spark, SF)
+    p = plan(df)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # column pruning: untouched wide columns never leave the scan
+    read_schema = p.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+    # map-side partial agg before the exchange
+    assert "partial_sum" in p or "HashAggregate" in p
+
+
+def test_partition_pruning_on_warehouse_date(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    events = load_table(spark, SF, "events").withColumn("date", F.to_date("ts"))
+    wh.append(events, "tmp", "exp", "events")
+    df = wh.read_partition(spark, "tmp", "exp", "events", Date(2024, 1, 15))
+    p = plan(df)
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters")[1][:200]
+    assert "date" in seg and "2024-01-15" in seg
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = Q.REGISTRY["revenue_by_nation"].fn(spark, SF)
+    p = plan(df)
+    # customer, nation, region joins all plan as broadcasts (formatted
+    # output mentions each node twice: tree + details)
+    assert p.count("BroadcastHashJoin") >= 6
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = Q.REGISTRY["topk_per_group"].fn(spark, SF)
+    p = plan(df)
+    # rank<=k pushes a per-key bounded heap below the full window sort
+    assert "WindowGroupLimit" in p
+
+
+def test_annotation_join_is_broadcast(spark):
+    """Q2 shape: the deduped annotation side is small -> broadcast; the
+    fact side must not shuffle for the join."""
+    df = Q.REGISTRY["join_annotation_window"].fn(spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+
+
+def test_dedup_single_shuffle(spark):
+    """Keep-best dedup = one Exchange (the window partitioning); no extra
+    shuffle creeps in between scan and filter."""
+    df = Q.REGISTRY["dedup_keep_best"].fn(spark, SF)
+    p = plan(df)
+    # formatted output mentions the node twice (tree + details)
+    assert p.count("Exchange") == 2
+
+
+def test_jsonl_load_is_dropmalformed_no_corrupt_column(spark):
+    df = Q.REGISTRY["load_jsonl"].fn(spark, SF)
+    # count-only query over the JSON scan stays legal (no corrupt-record
+    # column in the plan) — regression for QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    assert df.count() > 0
+    assert "_corrupt_record" not in plan(df)
