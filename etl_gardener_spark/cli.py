@@ -1,0 +1,121 @@
+"""Command-line entry points, mirroring the reference's binaries:
+
+    python -m etl_gardener_spark load  ...   (cmd/load/load.go:42-79)
+    python -m etl_gardener_spark copy  ...   (cmd/copy/copy.go:44-93)
+    python -m etl_gardener_spark serve ...   (cmd/gardener/gardener.go:222-309)
+
+``load`` runs T1 standalone for one (experiment, datatype, date); ``copy``
+runs T3; ``serve`` boots the full control plane (tracker recovery, monitor,
+Jobs API) from a YAML config. Schemas for ``load`` come from a JSON file of
+Spark StructType.jsonValue() (schema-on-read is explicit in production —
+inference would be a second full pass over the data).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from datetime import date as Date
+
+from pyspark.sql import types as T
+
+
+def _schema_from_json(path: str) -> T.StructType:
+    with open(path) as f:
+        return T.StructType.fromJson(json.load(f))
+
+
+def _spark():
+    from etl_gardener_spark.session import get_spark
+
+    return get_spark(app_name="etl-gardener-spark-cli")
+
+
+def cmd_load(args) -> int:
+    from etl_gardener_spark.table_ops import JobSpec, TableOps
+    from etl_gardener_spark.warehouse import Warehouse
+
+    ops = TableOps(
+        _spark(),
+        Warehouse(args.warehouse),
+        JobSpec(args.experiment, args.datatype, Date.fromisoformat(args.date)),
+    )
+    st = ops.load_to_tmp(args.source, _schema_from_json(args.schema))
+    print(json.dumps(st.__dict__, default=str))
+    return 0
+
+
+def cmd_copy(args) -> int:
+    from etl_gardener_spark.table_ops import JobSpec, TableOps
+    from etl_gardener_spark.warehouse import Warehouse
+
+    ops = TableOps(
+        _spark(),
+        Warehouse(args.warehouse),
+        JobSpec(args.experiment, args.datatype, Date.fromisoformat(args.date)),
+    )
+    st = ops.copy_to_raw(dry_run=args.dry_run)
+    print(json.dumps(st.__dict__, default=str))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from etl_gardener_spark.orchestrator.config import load_config
+    from etl_gardener_spark.orchestrator.gardener import Gardener
+
+    cfg = load_config(args.config)
+    g = Gardener(
+        _spark(),
+        cfg,
+        warehouse_root=args.warehouse,
+        landing_root=args.landing,
+        schema_for=lambda job: _schema_from_json(args.schema),
+        state_dir=args.state_dir,
+    )
+    g.start(api_port=args.port)
+    print(f"gardener serving on :{args.port} (ctrl-c to stop)")
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        g.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_gardener_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("load", help="T1: load a JSONL day prefix into tmp")
+    pl.add_argument("--source", required=True, help="JSONL prefix directory")
+    pl.add_argument("--warehouse", required=True)
+    pl.add_argument("--experiment", required=True)
+    pl.add_argument("--datatype", required=True)
+    pl.add_argument("--date", required=True, help="YYYY-MM-DD")
+    pl.add_argument("--schema", required=True, help="StructType JSON file")
+    pl.set_defaults(fn=cmd_load)
+
+    pc = sub.add_parser("copy", help="T3: copy tmp day partition to raw")
+    pc.add_argument("--warehouse", required=True)
+    pc.add_argument("--experiment", required=True)
+    pc.add_argument("--datatype", required=True)
+    pc.add_argument("--date", required=True)
+    pc.add_argument("--dry-run", action="store_true")
+    pc.set_defaults(fn=cmd_copy)
+
+    ps = sub.add_parser("serve", help="boot the full control plane")
+    ps.add_argument("--config", required=True, help="gardener YAML config")
+    ps.add_argument("--warehouse", required=True)
+    ps.add_argument("--landing", required=True)
+    ps.add_argument("--schema", required=True)
+    ps.add_argument("--state-dir", required=True)
+    ps.add_argument("--port", type=int, default=8080)
+    ps.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -530,6 +530,69 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess GROUP BY user_id, sid
+    ), m AS (SELECT max(ts) AS mx FROM events)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events
+    FROM agg a, m
+    WHERE EXISTS (SELECT 1 FROM agg b WHERE b.user_id = a.user_id
+                  AND b.session_start > a.session_start)
+       OR epoch_ms(a.session_end) + 1800000 < epoch_ms(m.mx) - 1800000
+    """,
+    tags=("llm", "streaming", "stateful"),
+)
+def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: inactivity-gap sessionization via
+    applyInPandasWithState (per-user open-session state, event-time
+    timeouts). The oracle states the closure condition exactly: a session
+    is emitted iff a later session of the same user exists (gap closure)
+    or the final watermark (max event time - 30 min) passed its
+    end + 30 min (timeout closure)."""
+    import uuid as _uuid
+
+    from etl_gardener_spark.streaming.events import _EVENTS_RAW_SCHEMA
+    from etl_gardener_spark.streaming.sessions import sessionize_stream
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    name = f"sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+@query(
     "stream_hourly_rollup",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

@@ -72,8 +72,25 @@ class Warehouse:
 
     # -- reads ------------------------------------------------------------
 
-    def read(self, spark: SparkSession, tier: str, experiment: str, datatype: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(tier, experiment, datatype))
+    def read(
+        self,
+        spark: SparkSession,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read a table; ``merge_schema=True`` reconciles day partitions
+        written with evolving schemas — added fields become NULL on old
+        days (the reference's ALLOW_FIELD_ADDITION / ALLOW_FIELD_RELAXATION
+        semantics, cloud/bq/ops.go:280-282). Off by default: schema merging
+        reads every file footer, which is a metadata scan you only want
+        when evolution actually happened.
+        """
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.table_path(tier, experiment, datatype))
 
     def read_partition(
         self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date
