@@ -577,17 +577,26 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     name = f"sessions_{_uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(events)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # State-store sizing: one store instance per shuffle partition. The
+    # per-batch cost here is store open/commit × partitions, not data
+    # volume — 8 stores beat 32 at this state size (~40% wall). At real
+    # stream scale this is the knob to re-raise.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            sessionize_stream(events)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
 
