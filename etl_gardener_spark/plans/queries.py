@@ -484,6 +484,89 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_purchase_last_click",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS last_click_ts, value AS last_click_value
+               FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.last_click_ts, c.last_click_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.last_click_ts
+    """,
+    tags=("analytics", "join", "asof"),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase attributed to the
+    user's most recent click at or before it — union + single window, one
+    shuffle, vs DuckDB's native ASOF JOIN as the oracle."""
+    from etl_gardener_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("last_click_ts"),
+        F.col("value").alias("last_click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="last_click_ts",
+        payload=["last_click_ts", "last_click_value"],
+    )
+
+
+@query(
+    "daily_active_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("analytics", "agg", "distinct"),
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: DAU per day. Spark expands count(distinct)
+    into a two-phase partial-distinct aggregate — no naive global
+    de-duplication shuffle of raw events."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "agg", "percentile"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). The approx_percentile /
+    t-digest path is the 100 TB variant; the exact one is the oracle-able
+    baseline."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
     "hourly_rollup",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

@@ -1,0 +1,69 @@
+"""As-of join edge cases: equal-time match, no-match NULLs, multiple right
+rows per key, tie-break determinism, payload collision guard."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from etl_gardener_spark.operators.asof import asof_join
+
+
+def ts(h, m=0):
+    return datetime(2024, 3, 1, h, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "A"), (2, ts(12), "B"), (3, ts(9), "C"), (4, ts(11), "D")],
+        ["lid", "lt", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", ts(9), 1.0),
+            ("A", ts(10), 2.0),   # equal-time: must match lid=1
+            ("A", ts(11), 3.0),   # later: never matched by lid=1
+            ("B", ts(8), 4.0),
+            ("C", ts(9, 30), 5.0),  # after lid=3 -> no match
+        ],
+        ["key", "rt", "val"],
+    )
+    return left, right.withColumnRenamed("key", "tag")
+
+
+def test_asof_semantics(frames):
+    left, right = frames
+    out = {
+        r.lid: (r.rt, r.val)
+        for r in asof_join(
+            left, right, on="tag", left_time="lt", right_time="rt",
+            payload=["rt", "val"],
+        ).collect()
+    }
+    assert out[1] == (ts(10), 2.0)   # equal time matches, latest wins
+    assert out[2] == (ts(8), 4.0)
+    assert out[3] == (None, None)    # only later right rows -> NULL
+    assert out[4] == (None, None)    # key absent from right
+
+
+def test_asof_payload_collision(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right.withColumnRenamed("val", "tag2"),
+            on="tag", left_time="lt", right_time="rt", payload=["rt", "tag"],
+        )
+
+
+def test_asof_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, ts(10), "K")], ["lid", "lt", "k"])
+    right = spark.createDataFrame(
+        [("K", ts(9), 1.0, 1), ("K", ts(9), 2.0, 2)], ["k", "rt", "val", "seq"]
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        payload=["val"], right_order="seq",
+    ).collect()
+    assert out[0].val == 2.0  # highest seq wins at equal (key, time)
