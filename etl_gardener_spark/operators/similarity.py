@@ -248,3 +248,112 @@ def embedding_near_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         _pairs, schema="id_a long, id_b long, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer cells + probed search
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer seeds: the first ``n_centroids``
+    corpus vectors by id (collected driver-side — C rows, like broadcast
+    join build sides). A production IVF trains k-means here; seeded
+    centroids keep the build deterministic and oracle-reproducible while
+    exercising the identical plan shape (assignment scan + probed search).
+    """
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(id_col) < n_centroids)
+        .collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-Flat ANN: assign every corpus vector to its nearest centroid
+    cell, then search each query only inside its ``nprobe`` nearest cells.
+
+    Output: (query_id, neighbor_id, score, rank). The scale story vs
+    brute force: the corpus is scanned once to build cells (amortized
+    across all future queries in a real deployment), and each query then
+    touches ~nprobe/C of the corpus via an equi-join on cell — recall is
+    tunable with nprobe, precision is exact (true cosine on candidates).
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    spark = corpus.sparkSession
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], ["cid", "cvec"]
+    ).select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+
+    def ranked_cells(df, out_id: str, out_vec: str, keep: int):
+        """Score every vector against the C broadcast centroids and keep
+        the top ``keep`` cells per vector (rounded cosine DESC, cid ASC).
+        The per-pair cosine is the same fold the oracle computes, so cell
+        assignment is bit-reproducible. One narrow broadcast join of
+        |df| x C rows + one window shuffle — the plan stays ~constant-size
+        (a centroid relation, not C x dim inlined literal expressions,
+        which cost seconds of optimizer time per action)."""
+        scored = (
+            df.select(
+                F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
+            )
+            .join(F.broadcast(cents_df))
+            .select(
+                out_id,
+                out_vec,
+                "cid",
+                F.round(cosine(F.col(out_vec), F.col("cvec")), round_digits).alias(
+                    "__s"
+                ),
+            )
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("__s").desc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep)
+            .select(out_id, out_vec, F.col("cid").alias("cell"))
+        )
+
+    c = ranked_cells(corpus, "neighbor_id", "c_vec", 1)
+    qc = ranked_cells(queries, "query_id", "q_vec", nprobe)
+    # Materialize the index and the probe list before the join. An IVF
+    # index IS a materialized artifact (built once, queried many times);
+    # here it also truncates the plan so the optimizer never re-walks the
+    # C x dim assignment expressions inside the self-join (measured: 10s
+    # of pure driver planning time without this, sub-second with it).
+    c = c.localCheckpoint(eager=True)
+    qc = qc.localCheckpoint(eager=True)
+    scored = (
+        c.join(F.broadcast(qc), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -522,6 +522,40 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_count_errors_before_purchase",
+    """
+    SELECT p.event_id, p.ts, p.user_id,
+           (SELECT COUNT(*) FROM events e
+            WHERE e.user_id = p.user_id AND e.event_type = 'error'
+              AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+           ) AS n_errors_1h
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+    tags=("analytics", "join", "range"),
+)
+def range_count_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/asof.range_count_join): errors in the hour
+    before each purchase, per user — RANGE-frame window over a tagged
+    union (one shuffle), vs the oracle's correlated range predicate."""
+    from etl_gardener_spark.operators.asof import range_count_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return range_count_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        window_sec=3600,
+        count_col="n_errors_1h",
+    )
+
+
+@query(
     "daily_active_users",
     """
     SELECT CAST(ts AS DATE) AS day,

@@ -438,6 +438,46 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    cos_ec = _cosine_sql("e.embedding", "c.cvec")
+    cos_qa = _cosine_sql("q.q_vec", "a.embedding")
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < {n_centroids}),
+    asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND({cos_ec}, 6) DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND({cos_ec}, 6) DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
+        WHERE rn <= {nprobe}),
+    cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                    ROUND({cos_qa}, 6) AS score
+             FROM qprobe q JOIN asg a
+               ON q.cell = a.cell AND a.vec_id <> q.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank FROM cand)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_ann_topk_ivf", _ivf_oracle(), tags=("llm", "ann", "ivf"))
+def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: 16 deterministic coarse-quantizer cells, queries probe
+    their 4 nearest cells, exact cosine re-ranks candidates (top-5). The
+    cell assignment is one narrow corpus projection; per-query search
+    touches ~nprobe/C of the corpus via the cell equi-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @query(
     "emb_near_dup_pairs",
     f"""
