@@ -554,11 +554,30 @@ def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("frame_idx").cast("long").alias("frame_idx"), "frame_md5")
 
 
-@query("mm_audio_features", None, tags=("llm", "multimodal"))
+@query(
+    "mm_audio_features",
+    """
+    WITH t AS (SELECT doc_id, text,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+               FROM documents),
+    u AS (SELECT t.doc_id, unicode(substr(t.text, CAST(r.i AS INT), 1)) AS b
+          FROM t, unnest(range(1, CAST(length(t.text) + 1 AS BIGINT))) AS r(i)),
+    s AS (SELECT doc_id, ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_amplitude,
+                 CAST(MAX(b) AS BIGINT) AS peak_amplitude
+          FROM u GROUP BY doc_id)
+    SELECT t.doc_id, t.byte_len,
+           COALESCE(s.mean_amplitude, 0.0) AS mean_amplitude,
+           COALESCE(s.peak_amplitude, 0) AS peak_amplitude
+    FROM t LEFT JOIN s USING (doc_id)
+    """,
+    tags=("llm", "multimodal"),
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Audio' feature extraction (librosa import-gated; deterministic byte
-    stats stub here). Rows-only check: byte-mean arithmetic isn't cleanly
-    SQL-expressible over blobs in the oracle dialect."""
+    stats stub here — mean/peak byte value). The oracle unnests code
+    points (the corpus is ASCII, so code point == payload byte); the byte
+    sum is integer-exact in both engines, so the rounded means agree
+    bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.attach_binary(d, "text", "doc_id", modality="audio")
     return MM.extract_audio_features(media, "doc_id")
