@@ -396,43 +396,33 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     16->10); each bit position accumulates +1/-1 per token occurrence
     (with multiplicity); bit set iff the sum is > 0.
 
-    Plan: explode tokens -> explode 32 bit positions -> two-level
-    aggregation back to one row per doc. Both aggregations get map-side
-    partial combine; the only shuffle key is (id, bit) then (id). At
-    100 TB a Pandas-UDF per-doc simhash would avoid the 32x row blowup,
-    but the expression form keeps everything in codegen and benchmarks
-    faster until documents get very long.
+    Plan: explode tokens, then ONE groupBy(id) carrying 32 conditional-sum
+    aggregate columns (one per bit) plus the token count; bit b of the
+    result is set iff more than half the token occurrences have bit b set.
+    Everything stays in whole-stage codegen with map-side partial combine,
+    and the shuffle moves |docs| x 33 longs — no 32x per-bit row blowup
+    (the explode-bits formulation shuffled 32 rows per token).
     """
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
     hashed = toks.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"),
     )
-    bits = hashed.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        F.col("th"),
-    ).select(
-        id_col,
-        "bit",
-        # SQL-form shift: the PySpark shiftright wrapper wants a literal
-        # shift amount, but the SQL function accepts a column.
-        F.expr("CASE WHEN (shiftright(th, bit) & 1) = 1 THEN 1 ELSE -1 END").alias(
-            "contrib"
-        ),
+    bit_counts = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
     )
-    bit_sums = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return (
-        bit_sums.withColumn(
-            "bit_val",
-            F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
-                " ELSE CAST(0 AS BIGINT) END"
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").alias("simhash"))
-    )
+    # bit set iff ones outnumber zeros: 2*ones > n (same as sum(+1/-1) > 0)
+    simhash_val = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            2 * F.col(f"__b{b}") > F.col("__n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        simhash_val = term if simhash_val is None else simhash_val + term
+    return bit_counts.select(F.col(id_col), simhash_val.alias("simhash"))
 
 
 def simhash_near_pairs(

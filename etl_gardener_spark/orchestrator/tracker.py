@@ -28,7 +28,7 @@ import threading
 import time
 from typing import Callable
 
-from etl_gardener_spark.orchestrator import persistence
+from etl_gardener_spark.orchestrator import metrics, persistence
 from etl_gardener_spark.orchestrator.job import (
     COMPLETE,
     FAILED,
@@ -86,12 +86,26 @@ class Tracker:
         with self._lock:
             st = self._require(key)
             now = self._clock()
-            if st.state != state:
+            changed = st.state != state
+            if changed:
                 st.new_state(state, now)
             if detail:
                 st.set_detail(detail, now)
             st.heartbeat_time = now
             self._dirty = True
+            job = self._jobs.get(key)
+        if changed and job is not None:
+            # gardener_state_date: per-state progress gauge — the date
+            # (epoch sec) of the job most recently entering each state
+            # (metrics/metrics.go:91-101)
+            import calendar
+
+            metrics.STATE_DATE.set(
+                job.experiment,
+                job.datatype,
+                state,
+                value=float(calendar.timegm(job.date.timetuple())),
+            )
 
     def set_detail(self, key: str, detail: str) -> None:
         with self._lock:
