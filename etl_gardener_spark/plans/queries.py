@@ -601,6 +601,86 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(r.r_name, '<all>') AS region,
+           CASE WHEN r.r_name IS NULL THEN '<all>'
+                ELSE COALESCE(n.n_name, '<all>') END AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("analytics", "agg", "rollup"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets: revenue per (region, nation), per
+    region, and grand total in ONE pass — Spark expands the rollup inside
+    the aggregate (Expand node), so the fact scan happens once, not three
+    times. NULL grouping slots are labeled '<all>' on both engines so the
+    value-hash can't confuse them with real NULL dimension values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
+            F.when(F.col("r_name").isNull(), F.lit("<all>"))
+            .otherwise(F.coalesce(F.col("n_name"), F.lit("<all>")))
+            .alias("nation"),
+            "revenue",
+        )
+    )
+
+
+@query(
+    "moving_avg_value",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 6) AS avg_1h
+    FROM events
+    """,
+    tags=("analytics", "window", "range-frame"),
+)
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour trailing moving average — a RANGE frame over exact
+    epoch microseconds (float seconds would round at frame boundaries).
+    One shuffle on user_id; the frame sweep is a sorted scan."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
+@query(
     "hourly_rollup",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
