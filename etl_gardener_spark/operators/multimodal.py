@@ -194,3 +194,57 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     _ = decoder  # real decoder would replace the stub above
     return df.select(id_col, "payload").mapInPandas(_features, schema=AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_width int, out_height int,"
+    " resized_len long, resized_md5 string"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out_width: int = 64,
+    out_height: int = 48,
+) -> DataFrame:
+    """Resize every image payload to (out_width, out_height).
+
+    Real pipeline: decode -> interpolate -> re-encode inside the Pandas
+    batch (PIL/pyav, import-gated). In this environment the deterministic
+    stand-in "resize" keeps the first out_width*out_height payload bytes
+    (space-padded when short) — byte-exact, so the Spark-side plumbing
+    (Arrow batch shape, schema, per-task work, output hashing) is fully
+    testable against a SQL oracle. Work is embarrassingly parallel: no
+    shuffle, output rows == input rows, batch memory bounded by
+    maxRecordsPerBatch x payload size.
+    """
+    decoder = _try_real_decoder("image")
+    target = out_width * out_height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, lens, hashes = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                dims = _decode_stub(raw)
+                resized = raw[:target].ljust(target, b" ")
+                ids.append(doc_id)
+                ws.append(dims["width"])
+                hs.append(dims["height"])
+                lens.append(len(resized))
+                hashes.append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "out_width": [out_width] * len(ids),
+                    "out_height": [out_height] * len(ids),
+                    "resized_len": lens,
+                    "resized_md5": hashes,
+                }
+            )
+
+    _ = decoder  # real codec would replace the byte-slice stand-in
+    return df.select(id_col, "payload").mapInPandas(_resize, schema=RESIZE_SCHEMA)

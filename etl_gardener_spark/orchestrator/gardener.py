@@ -93,11 +93,27 @@ class Gardener:
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
 
-    def start(self, api_port: int | None = None) -> None:
+    def start(
+        self, api_port: int | None = None, cleanup_period_sec: float = 300.0
+    ) -> None:
         self._threads.append(self.monitor.watch(self._stop, self._poll_period))
         self._threads.append(self.tracker.save_every(60.0, self._stop))
+        self._threads.append(self._cleanup_every(cleanup_period_sec))
         if api_port is not None:
             self._threads.append(serve_background(self.app, api_port))
+
+    def _cleanup_every(self, period_sec: float) -> threading.Thread:
+        """Expiration GC loop: purge stale jobs (24h without updates) and
+        terminal jobs past the cleanup delay (tracker/tracker.go:353-377,
+        scheduled from main in the reference)."""
+
+        def loop():
+            while not self._stop.wait(period_sec):
+                self.tracker.cleanup()
+
+        t = threading.Thread(target=loop, name="tracker-gc", daemon=True)
+        t.start()
+        return t
 
     def stop(self) -> None:
         self._stop.set()

@@ -555,6 +555,38 @@ def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_images",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 AS width,
+           octet_length(encode(text)) % 480 AS height,
+           64 AS out_width, 48 AS out_height,
+           CAST(3072 AS BIGINT) AS resized_len,
+           md5(rpad(substring(text, 1, 3072), 3072, ' ')) AS resized_md5
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over binary payloads (codec import-gated; byte-exact
+    slice-and-pad stand-in here). Embarrassingly parallel mapInPandas —
+    rows in == rows out, no shuffle; the oracle reproduces the resized
+    bytes with string ops (ASCII corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.attach_binary(d, "text", "doc_id", modality="image")
+    out = MM.resize_images(media, "doc_id", out_width=64, out_height=48)
+    return out.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("out_width").cast("long").alias("out_width"),
+        F.col("out_height").cast("long").alias("out_height"),
+        "resized_len",
+        "resized_md5",
+    )
+
+
+@query(
     "mm_audio_features",
     """
     WITH t AS (SELECT doc_id, text,
