@@ -179,3 +179,41 @@ def shingle_fingerprint(col: Column | str, n: int = 3) -> Column:
     lexicographically-smallest shingle hash are near-dup candidates — the
     1-hash special case of the MinHash signature in operators/neardup.py."""
     return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+# ---------------------------------------------------------------------------
+# Staged-token variants: take an already-materialized token-array column.
+# Hot paths should tokenize ONCE per row into an attribute and derive every
+# feature from it — the convenience wrappers above re-run the tokenizer per
+# expression when several features land in one projection (lang-ID alone
+# re-splits 10x per row; see shingles_of for why staging survives Catalyst).
+# ---------------------------------------------------------------------------
+
+
+def stopword_hits_of(toks: Column, lang: str = "en") -> Column:
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+
+def type_token_ratio_of(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def avg_token_len_of(toks: Column) -> Column:
+    return (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
+        / F.size(toks)
+    )
+
+
+def langid_struct_of(toks: Column) -> list[Column]:
+    """Staged-token twin of langid_struct (same tie-break contract)."""
+    langs = sorted(STOPWORDS)
+    hits = {lg: stopword_hits_of(toks, lg) for lg in langs}
+    best = F.greatest(*hits.values())
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(hits[lg] == best, F.lit(lg)).otherwise(pred)
+    return [hits[lg].alias(f"hits_{lg}") for lg in langs] + [
+        pred.alias("lang_pred")
+    ]

@@ -95,20 +95,17 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     char count, mean token length, type/token ratio). Pure codegen'd
     expressions — one scan, zero shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    toks = TX.ws_tokens("text")
-    return d.select(
+    staged = d.select(
+        "doc_id", "text", TX.ws_tokens("text").alias("__toks")
+    )
+    toks = F.col("__toks")
+    return staged.select(
         "doc_id",
-        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         TX.regex_token_count("text").cast("long").alias("n_regex_tokens"),
         F.length("text").cast("long").alias("n_chars_text"),
-        F.round(
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-            )
-            / F.size(toks),
-            4,
-        ).alias("avg_token_len"),
-        F.round(TX.type_token_ratio("text"), 4).alias("ttr"),
+        F.round(TX.avg_token_len_of(toks), 4).alias("avg_token_len"),
+        F.round(TX.type_token_ratio_of(toks), 4).alias("ttr"),
     )
 
 
@@ -135,11 +132,22 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality filter features: stopword ratio, punctuation
     ratio, and the composite score (length/diversity/punctuation)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select("doc_id", "text", TX.ws_tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    length_term = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
+    quality = F.round(
+        0.4 * length_term
+        + 0.3 * TX.type_token_ratio_of(toks)
+        + 0.3 * (1 - TX.punct_ratio("text")),
+        4,
+    )
+    return staged.select(
         "doc_id",
-        F.round(TX.stopword_ratio("text", "en"), 4).alias("stopword_ratio"),
+        F.round(TX.stopword_hits_of(toks, "en") / F.size(toks), 4).alias(
+            "stopword_ratio"
+        ),
         F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
-        TX.quality_score("text").alias("quality"),
+        quality.alias("quality"),
     )
 
 
@@ -170,10 +178,11 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID: per-language hit counts + argmax
     prediction (alphabetical tie-break)."""
     d = load_table(spark, sf_dir, "documents")
-    cols = TX.langid_struct("text")
+    staged = d.select("doc_id", TX.ws_tokens("text").alias("__toks"))
+    cols = TX.langid_struct_of(F.col("__toks"))
     hit_cols = [c.cast("long").alias(f"hits_{lg}") for c, lg in
                 zip(cols[:-1], sorted(TX.STOPWORDS))]
-    return d.select("doc_id", *hit_cols, cols[-1])
+    return staged.select("doc_id", *hit_cols, cols[-1])
 
 
 @query(
