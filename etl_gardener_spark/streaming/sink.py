@@ -1,0 +1,56 @@
+"""Streaming → warehouse sink: materialized-view maintenance with
+exactly-once day-partition writes.
+
+Pattern: a windowed aggregation in ``complete`` output mode feeds
+``foreachBatch``; every micro-batch rewrites exactly the day partitions
+present in the updated result via the warehouse's dynamic partition
+overwrite. Rewriting a partition from the complete aggregate is
+IDEMPOTENT — re-running a batch after a crash produces the same bytes —
+which is how exactly-once semantics survive restarts (the checkpoint
+replays at-least-once; idempotent writes collapse that to exactly-once).
+The same discipline the batch pipeline uses for T2/T3/T5
+(cloud/bq/ops.go WriteTruncate), applied to a continuous source.
+
+Scale notes: complete-mode state is the aggregate (hours x event_types),
+not the events; the watermark bounds in-flight window state. For
+append-scale facts (not aggregates) the pattern inverts: append-mode +
+dedup-on-read by (source offset range), or Delta-style transactional
+sinks — both out of scope for a view-maintenance sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.streaming.events import hourly_agg
+from etl_gardener_spark.warehouse import DATE_COL, Warehouse
+
+
+def stream_hourly_rollup_to_warehouse(
+    events: DataFrame,
+    wh: Warehouse,
+    experiment: str,
+    datatype: str,
+    checkpoint_dir: str,
+    tier: str = "join",
+    query_name: str = "hourly_rollup_sink",
+):
+    """Maintain the hourly rollup of a streaming events frame as a
+    day-partitioned warehouse table. Returns the StreamingQuery.
+    """
+    agg = hourly_agg(events)
+
+    def _write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = batch_df.withColumn(DATE_COL, F.to_date("hour"))
+        if out.isEmpty():
+            return
+        wh.overwrite_partitions(out, tier, experiment, datatype)
+
+    return (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .start()
+    )
