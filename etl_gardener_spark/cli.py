@@ -65,6 +65,8 @@ def cmd_serve(args) -> int:
     from etl_gardener_spark.orchestrator.config import load_config
     from etl_gardener_spark.orchestrator.gardener import Gardener
 
+    from etl_gardener_spark.orchestrator.config import parse_duration
+
     cfg = load_config(args.config)
     g = Gardener(
         _spark(),
@@ -73,6 +75,8 @@ def cmd_serve(args) -> int:
         landing_root=args.landing,
         schema_for=lambda job: _schema_from_json(args.schema),
         state_dir=args.state_dir,
+        job_expiration_sec=parse_duration(args.job_expiration, 24 * 3600.0),
+        cleanup_delay_sec=parse_duration(args.cleanup_delay, 3 * 3600.0),
     )
     g.start(api_port=args.port)
     print(f"gardener serving on :{args.port} (ctrl-c to stop)")
@@ -111,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--schema", required=True)
     ps.add_argument("--state-dir", required=True)
     ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument(
+        "--job-expiration", default="24h",
+        help="purge jobs with no updates for this long (reference "
+        "-job_expiration_time)",
+    )
+    ps.add_argument(
+        "--cleanup-delay", default="3h",
+        help="remove terminal jobs after this long (reference "
+        "-job_cleanup_delay)",
+    )
     ps.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)

@@ -44,13 +44,19 @@ class Gardener:
         daily_delay_sec: float = 10.5 * 3600,
         poll_period_sec: float | None = None,
         retry_delay_sec: float = 120.0,
+        job_expiration_sec: float = 24 * 3600.0,
+        cleanup_delay_sec: float = 3 * 3600.0,
     ):
         self.spark = spark
         self.config = config
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
+        # expiration/cleanup mirror the reference's flags
+        # (-job_expiration_time / -job_cleanup_delay, gardener.go:56-57)
         self.tracker = Tracker(
-            saver_path=os.path.join(state_dir, "tracker-state-v2.json")
+            saver_path=os.path.join(state_dir, "tracker-state-v2.json"),
+            expiration_sec=job_expiration_sec,
+            cleanup_delay_sec=cleanup_delay_sec,
         )
         cursor_path = os.path.join(state_dir, "date-cursors.json")
 

@@ -201,3 +201,25 @@ def test_partition_overwrite_only_touches_target_day(spark, tmp_path):
     out = wh.read(spark, "raw", "exp", "dt")
     assert out.filter("date = '2024-03-01'").count() == 2
     assert out.filter("date = '2024-03-02'").count() == 5
+
+
+def test_stage_reruns_are_idempotent(spark, tmp_path, landing):
+    """Restartability (ops/ops.go:33-40): re-running copy/join after a
+    'crash' must not change the output — partition overwrite replaces, not
+    appends."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    job = JobSpec(experiment="ndt", datatype="ndt7", date=date(2024, 3, 1))
+    ops = TableOps(spark, wh, job)
+    ops.load_to_tmp(landing, NDT7_SCHEMA)
+    ops.dedup()
+
+    st1 = ops.copy_to_raw()
+    st2 = ops.copy_to_raw()  # crash-after-copy, monitor re-runs the stage
+    assert st1.rows_out == st2.rows_out == 11
+    raw = wh.read_partition(spark, "raw", "ndt", "ndt7", job.date)
+    assert raw.count() == 11
+
+    j1 = ops.join()
+    j2 = ops.join()
+    assert j1.rows_out == j2.rows_out
+    assert wh.read_partition(spark, "join", "ndt", "ndt7", job.date).count() == 11
