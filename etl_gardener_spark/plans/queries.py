@@ -703,6 +703,46 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "salted_hourly_rollup",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "agg", "skew"),
+)
+def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup through the salted two-phase aggregation
+    (operators/skew.py): identical results to the direct groupBy — same
+    oracle — with the hot-key fan-out bounded by the salt buckets.
+    Note the rounding happens AFTER the two-phase sum so float fold order
+    matches the single-phase plan's (sum of partial sums of doubles is
+    reassociated; rounding to 2 absorbs it, same contract as every other
+    float aggregate here)."""
+    from etl_gardener_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+            "value",
+            "event_id",
+        ),
+        keys=["hour", "event_type"],
+        aggs={"n": ("event_id", "count"), "__sum_value": ("value", "sum")},
+        salt_col="event_id",
+        salt_buckets=16,
+    )
+    return out.select(
+        "hour",
+        "event_type",
+        "n",
+        F.round(F.col("__sum_value"), 2).alias("total_value"),
+    )
+
+
 # Extension queries register themselves on import.
 from etl_gardener_spark.plans import queries_llm  # noqa: E402,F401
 
