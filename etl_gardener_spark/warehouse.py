@@ -148,6 +148,42 @@ class Warehouse:
         fs.delete(p, True)
         return True
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        bucket_cols: list[str],
+        num_buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> str:
+        """Write a bucketed (and bucket-sorted) table; returns its catalog
+        name. Buckets pre-partition the data by the join/agg key at WRITE
+        time, so repeated joins and aggregations on that key run with ZERO
+        hash exchanges — the shuffle is paid once, at load, instead of per
+        query (asserted in tests/test_bucketing.py). This is the
+        co-located-join strategy for fact tables that are joined on the
+        same key constantly (e.g. id for the annotation join). Files land
+        under the warehouse root (external table); the catalog carries the
+        bucketing metadata Spark needs to elide the exchange.
+        """
+        name = f"{tier}_{experiment}__{datatype}"
+        # Pre-shuffle onto the bucket key so each bucket is written by ONE
+        # task: without this, every task emits its own file per bucket
+        # (tasks x buckets small files — measured 514 files for 8 buckets
+        # on a 32-thread write; 8 after).
+        df = df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", self.table_path(tier, experiment, datatype) + "_bucketed")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(name)
+        return name
+
     def path_exists(self, spark: SparkSession, path: str) -> bool:
         fs = _hadoop_fs(spark, path)
         return bool(fs.exists(_hadoop_path(spark, path)))
