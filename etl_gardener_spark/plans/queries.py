@@ -704,6 +704,45 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brand_revenue",
+    """
+    SELECT p.p_brand AS brand,
+           n.n_name AS supp_nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(AVG(p.p_retailprice), 4) AS avg_retail
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY p.p_brand, n.n_name
+    """,
+    tags=("analytics", "join", "agg"),
+)
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand x supplier nation (TPC-H Q5/Q9 shape over the
+    part/supplier dims): both dims broadcast, the fact never shuffles
+    until the final small aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+        )
+    )
+
+
+@query(
     "salted_hourly_rollup",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
