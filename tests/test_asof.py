@@ -67,3 +67,48 @@ def test_asof_tiebreak_deterministic(spark):
         payload=["val"], right_order="seq",
     ).collect()
     assert out[0].val == 2.0  # highest seq wins at equal (key, time)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=0, max_value=100),  # minute offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(left_rows=asof_rows, right_rows=asof_rows)
+def test_asof_matches_python_reference(spark, left_rows, right_rows):
+    """Property: asof_join == the obvious per-row python scan (latest
+    right at-or-before, ties by highest seq)."""
+    from datetime import timedelta
+
+    base = ts(10)
+    left = [
+        (i, k, base + timedelta(minutes=m))
+        for i, (k, m) in enumerate(left_rows)
+    ]
+    right = [
+        (k, base + timedelta(minutes=m), float(j), j)
+        for j, (k, m) in enumerate(right_rows)
+    ]
+    ldf = spark.createDataFrame(left, ["lid", "k", "lt"])
+    rdf = spark.createDataFrame(right, ["k", "rt", "val", "seq"])
+    got = {
+        r.lid: r.val
+        for r in asof_join(
+            ldf, rdf, on="k", left_time="lt", right_time="rt",
+            payload=["val"], right_order="seq",
+        ).collect()
+    }
+    for lid, k, lt in left:
+        cands = [(rt, seq, val) for (rk, rt, val, seq) in right
+                 if rk == k and rt <= lt]
+        expect = max(cands)[2] if cands else None
+        assert got[lid] == expect, (lid, k, lt, cands)
