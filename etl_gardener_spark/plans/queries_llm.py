@@ -211,6 +211,93 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_clean",
+    f"""
+    {_DOCS_CTE},
+    feat AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             ROUND(0.4 * least(1.0, len(toks) / 100.0)
+                   + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                   + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)),
+                   4) AS quality,
+             {_hits_sql("en")} AS hits_en,
+             greatest({_hits_sql("de")}, {_hits_sql("en")}, {_hits_sql("es")},
+                      {_hits_sql("fr")}, {_hits_sql("zh")}) AS hits_best
+      FROM d),
+    ranked AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keep_id FROM feat)
+    SELECT doc_id,
+           CASE
+             WHEN doc_id <> keep_id THEN 'dup'
+             WHEN quality < 0.5 THEN 'quality'
+             WHEN hits_en < hits_best OR hits_en = 0 THEN 'lang'
+             ELSE 'ok'
+           END AS verdict,
+           quality,
+           (doc_id = keep_id AND quality >= 0.5
+            AND hits_en >= hits_best AND hits_en > 0) AS keep
+    FROM ranked
+    """,
+    tags=("llm", "pipeline"),
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning decision, one pass per doc:
+    exact-dup survivor election (min doc_id per content fingerprint),
+    quality gate (composite score >= 0.5), language gate (English argmax
+    with at least one stopword hit). Emits a verdict ('dup' | 'quality' |
+    'lang' | 'ok', first failing gate wins) and the keep flag — the
+    SELECT a real pipeline would feed to the filtered-corpus writer.
+    Single scan + one window over the fingerprint; all gates share the
+    staged token array."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "text", TX.ws_tokens("text").alias("__toks")
+    )
+    toks = F.col("__toks")
+    length_term = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
+    quality = F.round(
+        0.4 * length_term
+        + 0.3 * TX.type_token_ratio_of(toks)
+        + 0.3 * (1 - TX.punct_ratio("text")),
+        4,
+    )
+    hits = {lg: TX.stopword_hits_of(toks, lg) for lg in sorted(TX.STOPWORDS)}
+    feat = staged.select(
+        "doc_id",
+        TX.fingerprint_md5("text").alias("fp"),
+        quality.alias("quality"),
+        hits["en"].alias("hits_en"),
+        F.greatest(*hits.values()).alias("hits_best"),
+    )
+    from pyspark.sql import Window
+
+    keep_id = F.min("doc_id").over(Window.partitionBy("fp"))
+    ranked = feat.withColumn("keep_id", keep_id)
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("dup"))
+        .when(F.col("quality") < 0.5, F.lit("quality"))
+        .when(
+            (F.col("hits_en") < F.col("hits_best")) | (F.col("hits_en") == 0),
+            F.lit("lang"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    return ranked.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        "quality",
+        (
+            (F.col("doc_id") == F.col("keep_id"))
+            & (F.col("quality") >= 0.5)
+            & (F.col("hits_en") >= F.col("hits_best"))
+            & (F.col("hits_en") > 0)
+        ).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
