@@ -87,3 +87,59 @@ def asof_join(
     return filled.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols], *payload
     )
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    window_sec: int,
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """Range join, count form: for each left row, how many right rows share
+    its key with ``left_time - window_sec <= right_time <= left_time``.
+
+    Same union + window trick as :func:`asof_join`, with a RANGE frame over
+    epoch seconds instead of last-value carry: one shuffle of
+    |left| + |right| rows, a sorted sweep per key, zero pair
+    materialization. The naive formulation — equi-join on the key plus a
+    BETWEEN filter — explodes to |left| x |right-per-key| intermediate rows
+    before filtering, which is exactly the shuffle blowup a 100 TB range
+    join cannot afford.
+
+    Right rows at exactly ``left_time`` count (inclusive window end).
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+    )
+    # exact epoch microseconds: float seconds would round near window
+    # boundaries and disagree with a microsecond-precise range predicate
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "__t", F.unix_micros(F.col("__ts"))
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"))
+        .rangeBetween(-int(window_sec) * 1_000_000, 0)
+    )
+    counted = unioned.select(
+        "__is_left",
+        "__l",
+        F.sum(1 - F.col("__is_left")).over(w).alias(count_col),
+    )
+    return counted.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        F.col(count_col).cast("long").alias(count_col),
+    )

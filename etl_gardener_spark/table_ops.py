@@ -110,7 +110,11 @@ class TableOps:
         df = df.withColumn(DATE_COL, F.lit(self.job.date.isoformat()).cast("date"))
         if dry_run:
             return OpStats(op="load_to_tmp", dry_run_plan=explain_str(df))
-        self.wh.append(df, "tmp", self.job.experiment, self.job.datatype)
+        # append_day, not append: jobs for different dates of one datatype
+        # run concurrently and must not share committer staging state.
+        self.wh.append_day(
+            df, "tmp", self.job.experiment, self.job.datatype, self.job.date
+        )
         return OpStats(
             op="load_to_tmp",
             rows_out=load.output_rows,

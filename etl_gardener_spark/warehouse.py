@@ -95,22 +95,64 @@ class Warehouse:
     def read_partition(
         self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date
     ) -> DataFrame:
-        """One day of one datatype; the ``date=`` filter prunes at the source.
+        """One day of one datatype, read from its ``date=`` directory
+        DIRECTLY — not via a table-root scan plus filter.
 
         Equivalent to the reference's universal ``WHERE date = "YYYY-MM-DD"``
-        predicate (cloud/bq/ops.go:192,207,240).
+        predicate (cloud/bq/ops.go:192,207,240), with one scale-critical
+        difference: a root scan lists EVERY partition's files at planning
+        time, so a concurrent job replacing a sibling date (dynamic
+        overwrite deletes the old files after this listing) fails the read
+        with FileNotFound. Reading the partition path confines both the
+        listing and the read to this job's own date — sibling-date jobs
+        can never interfere — and skips the full-table file listing a
+        100k-partition table would otherwise pay per stage.
         """
-        df = self.read(spark, tier, experiment, datatype)
-        return df.filter(F.col(DATE_COL) == F.lit(day.isoformat()).cast("date"))
+        path = self.partition_path(tier, experiment, datatype, day)
+        if not self.path_exists(spark, path):
+            # Missing partition: fall back to the pruned root scan, which
+            # yields a correctly-typed empty frame when the table exists.
+            df = self.read(spark, tier, experiment, datatype)
+            return df.filter(F.col(DATE_COL) == F.lit(day.isoformat()).cast("date"))
+        return spark.read.parquet(path).withColumn(
+            DATE_COL, F.lit(day.isoformat()).cast("date")
+        )
 
     # -- writes -----------------------------------------------------------
 
     def append(self, df: DataFrame, tier: str, experiment: str, datatype: str) -> None:
-        """WriteAppend into the partitioned layout (load path, T1)."""
+        """WriteAppend into the partitioned layout (load path, T1).
+
+        NOT safe under concurrent appends to the SAME table from multiple
+        jobs: partitionBy-append stages every writer under the one shared
+        ``<table>/_temporary/0`` directory (Hadoop FileOutputCommitter),
+        and parallel commits delete each other's task files. Single-day
+        loads — the pipeline's actual T1 shape — must use
+        :meth:`append_day`, whose staging lives inside the day directory.
+        """
         (
             df.write.mode("append")
             .partitionBy(DATE_COL)
             .parquet(self.table_path(tier, experiment, datatype))
+        )
+
+    def append_day(
+        self, df: DataFrame, tier: str, experiment: str, datatype: str, day: Date
+    ) -> None:
+        """WriteAppend one day of data directly into its ``date=`` directory.
+
+        Concurrent-job safe: each (datatype, date) writes — and stages —
+        under its own partition path, so a backfill fanning out the dates
+        of one datatype never shares committer state (concurrent
+        partitionBy-appends to one table root corrupt each other's
+        ``_temporary`` staging; see :meth:`append`). The ``date`` column
+        is carried by the directory name, exactly as the partitioned
+        writer would lay it out, so readers see one consistent table.
+        """
+        (
+            df.drop(DATE_COL)
+            .write.mode("append")
+            .parquet(self.partition_path(tier, experiment, datatype, day))
         )
 
     def overwrite_partitions(

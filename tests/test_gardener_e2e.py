@@ -110,3 +110,59 @@ def test_pipeline_failure_classification(gardener):
     g.monitor.drain(timeout_sec=60.0)
     st = g.tracker.get_status(job.key())
     assert st.state == J.FAILED
+
+
+def test_six_jobs_concurrently(spark, tmp_path):
+    """The reference's integration shape (ops/actions_test.go:23-152):
+    six jobs across dates and datatypes drive to Complete concurrently
+    through one monitor and one shared SparkSession."""
+    from datetime import timedelta
+
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b", experiment="ndt", datatype="ndt7",
+                datasets=Datasets(tmp="tmp_ndt", raw="raw_ndt", join="ndt"),
+            ),
+            SourceConfig(
+                bucket="b", experiment="ndt", datatype="pcap",
+                datasets=Datasets(tmp="tmp_ndt", raw="raw_ndt", join="ndt"),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    try:
+        jobs = []
+        for spec in cfg.sources:
+            for d in range(3):
+                job = spec.job_spec().with_date(Date(2024, 3, 1) + timedelta(days=d))
+                rows = [
+                    {"id": f"{job.datatype}-{i % 4}",
+                     "parser": {"Time": f"2024-03-0{d+1}T0{i+1}:00:00Z"},
+                     "value": float(i)}
+                    for i in range(6)
+                ]
+                _write_day(str(tmp_path / "landing"), job.prefix(), rows)
+                g.tracker.add_job(job)
+                g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+                jobs.append(job)
+
+        assert g.monitor.drain(timeout_sec=300.0)
+        states = {j.key(): g.tracker.get_status(j.key()).state for j in jobs}
+        assert set(states.values()) == {J.COMPLETE}, states
+
+        wh = Warehouse(str(tmp_path / "wh"))
+        for job in jobs:
+            raw = wh.read_partition(spark, "raw", "ndt", job.datatype, job.date)
+            assert raw.count() == 4  # 6 rows, 4 distinct ids, keep-best
+    finally:
+        g.monitor.shutdown()
