@@ -1,0 +1,89 @@
+"""Distributed connected components over a pair relation.
+
+The missing last step of every near-dup pipeline: pair queries (exact
+fingerprint, MinHash-LSH, SimHash, embedding cosine) emit EDGES, but a
+dedup decision needs per-document CLUSTER ids — transitive closure of the
+pair relation — so one canonical survivor can be elected per cluster.
+The reference has no graph ops at all (its dedup is single-key keep-best,
+cloud/bq/ops.go:184-218); this is part of the LLM-pipeline extension
+surface.
+
+Algorithm: min-label propagation with pointer jumping ("hash-to-min" /
+HCC family). Each round every vertex takes the min of (its label, its
+neighbors' labels, its label's label). The neighbor step alone converges
+in O(diameter) rounds; the label-of-label self-join halves pointer chains
+each round, giving O(log n) worst-case rounds over chain graphs. Every
+step is an equi-join + min-aggregate — shuffle-on-key, map-side combine,
+no collect, no per-vertex driver state — so the same plan runs on a
+1000-executor cluster: per-round cost is |E| + 2|V| shuffled rows.
+Real dedup graphs are near-cliques (LSH buckets), so rounds ~ 2-3.
+
+Lineage is cut with an eager localCheckpoint per round; without it the
+iteration-N plan nests N copies of the join tree and planning time
+explodes (on a cluster, `checkpoint()` to the shuffle-replicated store
+serves the same purpose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every vertex with the minimum vertex id reachable from it.
+
+    Returns (id, component) — component is the cluster's smallest id, so
+    ``id == component`` marks the canonical representative. Vertices
+    absent from ``edges`` come out as singleton clusters.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    # both directions once, reused every round
+    nbr = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+
+    labels = (
+        vertices.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    prev_sum = None
+    for _ in range(max_iter):
+        nmin = (
+            nbr.join(labels.select(F.col("id").alias("v"), "comp"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("ncomp"))
+            .select(F.col("u").alias("id"), "ncomp")
+        )
+        stepped = labels.join(nmin, "id", "left").select(
+            "id", F.least("comp", F.coalesce("ncomp", F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp := min(comp, comp(comp)) — labels are always
+        # vertex ids, so the self-join on comp==id resolves
+        jump = stepped.select(F.col("id").alias("comp"), F.col("comp").alias("jcomp"))
+        labels = (
+            stepped.join(jump, "comp", "left")
+            .select("id", F.least("comp", F.coalesce("jcomp", F.col("comp"))).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # labels are monotone non-increasing: the sum is a fixpoint witness
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            return labels.select("id", F.col("comp").alias("component"))
+        prev_sum = cur_sum
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

@@ -33,7 +33,8 @@ _TOKS = (
     "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
 )
 
-_DOCS_CTE = f"WITH d AS (SELECT *, {_TOKS} AS toks FROM documents)"
+_DOCS_BODY = f"d AS (SELECT *, {_TOKS} AS toks FROM documents)"
+_DOCS_CTE = "WITH " + _DOCS_BODY
 
 # 3-token shingles over toks (1-based list indexing)
 _SHINGLES = (
@@ -298,6 +299,129 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic per-language sampling rates (basis points of 10000) and
+# the train share (percent of kept docs) for doc_sample_split
+_SAMPLE_RATES_BP = {"en": 9000, "de": 6000, "fr": 6000, "es": 6000, "zh": 3000}
+_DEFAULT_RATE_BP = 5000
+_TRAIN_PCT = 90
+
+# 60-bit md5 fold of a salted key, DuckDB side (mirror of Spark
+# conv(substr(md5(.),1,15),16,10))
+_SAMPLE_H = _h60("'sample:' || CAST(doc_id AS VARCHAR)")
+_SPLIT_H = _h60("'split:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "doc_sample_split",
+    f"""
+    WITH rated AS (
+      SELECT doc_id, lang,
+             CASE lang {' '.join(f"WHEN '{lg}' THEN {bp}" for lg, bp in sorted(_SAMPLE_RATES_BP.items()))}
+                  ELSE {_DEFAULT_RATE_BP} END AS rate_bp,
+             {_SAMPLE_H} % 10000 AS sample_bucket,
+             {_SPLIT_H} % 100 AS split_bucket
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN split_bucket < {_TRAIN_PCT} THEN 'train' ELSE 'valid' END
+             AS split
+    FROM rated WHERE sample_bucket < rate_bp
+    """,
+    tags=("llm", "sampling"),
+)
+def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling + train/valid split — the
+    downsample-and-split step of a training-data pipeline. Per-language
+    keep rates are applied by hashing a salted doc key into basis points
+    (md5-derived, so reruns and the oracle reproduce the exact sample —
+    no RNG, no seed plumbing across executors); an independently-salted
+    second hash assigns train/valid. Pure codegen'd expressions: one scan,
+    no shuffle at all — at 100 TB this is a map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    h = lambda salt: (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lg, F.lit(bp))
+            for lg, bp in sorted(_SAMPLE_RATES_BP.items())
+        ],
+        F.lit(_DEFAULT_RATE_BP),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            rate.alias("rate_bp"),
+            (h("sample:") % 10000).alias("sample_bucket"),
+            (h("split:") % 100).alias("split_bucket"),
+        )
+        .filter(F.col("sample_bucket") < F.col("rate_bp"))
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("split_bucket") < _TRAIN_PCT, F.lit("train"))
+            .otherwise(F.lit("valid"))
+            .alias("split"),
+        )
+    )
+
+
+_TFIDF_K = 3
+
+
+@query(
+    "doc_tfidf_top_terms",
+    f"""
+    {_DOCS_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+               AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * (ln((n.n_docs + 1.0)
+                                  / (dfreq.df + 1.0)) + 1.0) DESC, tf.term)
+               AS rn
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf FROM scored WHERE rn <= {_TFIDF_K}
+    """,
+    tags=("llm", "text"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn-style smoothing). Plan shape:
+    explode -> two hash aggregates (map-side combined) -> broadcast of the
+    1-row corpus count -> document-term join -> per-doc WindowGroupLimit
+    top-k. The doc-frequency side shuffles |vocabulary| rows, not
+    |tokens|; ties break on the term itself so results are total-ordered
+    and hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.ws_tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", F.round(score, 6).alias("tfidf"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -319,7 +443,10 @@ def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_dup_groups(d, "text", "doc_id")
 
 
-def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_ctes(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    """CTE chain (no WITH prefix) ending in pairs(id_a, id_b, jaccard) —
+    shared by the pair query's oracle and the cluster query's recursive
+    oracle."""
     rows = num_hashes // bands
     sig_exprs = []
     for i in range(num_hashes):
@@ -338,7 +465,7 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
         for b in range(bands)
     )
     return f"""
-    {_DOCS_CTE},
+    {_DOCS_BODY},
     sh AS (SELECT doc_id, {_SHINGLE_HASHES} AS sh FROM d
            WHERE len(toks) >= 3),
     sig AS (SELECT doc_id, sh,
@@ -355,9 +482,17 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
                   6) AS jaccard
           FROM cand c
           JOIN sig sa ON c.id_a = sa.doc_id
-          JOIN sig sb ON c.id_b = sb.doc_id)
-    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold}
+          JOIN sig sb ON c.id_b = sb.doc_id),
+    pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold})
     """
+
+
+def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    return (
+        "WITH "
+        + _minhash_ctes(num_hashes, bands, threshold)
+        + "\n    SELECT id_a, id_b, jaccard FROM pairs"
+    )
 
 
 @query("doc_minhash_lsh_pairs", _minhash_oracle(), tags=("llm", "dedup", "lsh"))
@@ -448,6 +583,58 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = ND.simhash(d, "text", "doc_id")
     out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=3, bands=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution (transitive closure of near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_dup_clusters",
+    "WITH RECURSIVE "
+    + _minhash_ctes()
+    + """,
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT c.doc_id, c.cluster_id,
+           c.doc_id = c.cluster_id AS is_canonical,
+           CAST(n.sz AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, count(*) AS sz FROM comp GROUP BY 1) n
+      USING (cluster_id)
+    """,
+    tags=("llm", "dedup", "graph"),
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph, electing min-id as the canonical survivor per cluster. Pair
+    queries alone cannot drive a dedup decision — (a~b, b~c) must keep one
+    of {a,b,c}, which needs the transitive closure. Spark side is the
+    O(log n)-round label-propagation operator (operators/graph.py); the
+    oracle is a recursive CTE over the identical pair set."""
+    from etl_gardener_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ND.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, n=3, threshold=0.5
+    )
+    comp = connected_components(d, pairs, id_col="doc_id", src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("component")).alias("is_canonical"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,80 @@
+"""connected_components: correctness on adversarial shapes (long chains
+exercise the pointer-jumping path; near-cliques are the LSH-bucket shape)
+and a hypothesis property test against a union-find reference."""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+from etl_gardener_spark.operators.graph import connected_components
+
+
+def _run(spark, n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    v = spark.createDataFrame([(i,) for i in range(n_vertices)], "id: long")
+    e = spark.createDataFrame(edges or [(0, 0)], "src: long, dst: long")
+    out = connected_components(v, e, id_col="id", src="src", dst="dst")
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        if 0 <= u < n and 0 <= v < n:
+            ru, rv = find(u), find(v)
+            parent[max(ru, rv)] = min(ru, rv)
+    # root = min id of component
+    comp = {}
+    for i in range(n):
+        r = find(i)
+        while parent[r] != r:
+            r = parent[r]
+        comp[i] = min(comp.get(r, r), r)
+    roots = {i: find(i) for i in range(n)}
+    mins: dict[int, int] = {}
+    for i, r in roots.items():
+        mins[r] = min(mins.get(r, i), i)
+    return {i: mins[roots[i]] for i in range(n)}
+
+
+def test_chain_converges_logarithmically(spark):
+    # path graph 0-1-2-...-19: worst case for plain min-propagation
+    # (diameter rounds); pointer jumping must still converge inside the cap
+    edges = [(i, i + 1) for i in range(19)]
+    got = _run(spark, 20, edges)
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_singletons_and_two_cliques(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (7, 9), (9, 8)]
+    got = _run(spark, 11, edges)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[8] == got[9] == 7
+    for lone in (0, 4, 5, 6, 10):
+        assert got[lone] == lone
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = [(5, 2), (2, 5), (5, 2), (2, 2)]
+    got = _run(spark, 6, edges)
+    assert got[2] == got[5] == 2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=24),
+    edges=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)), max_size=40
+    ),
+)
+def test_matches_union_find(spark, n, edges):
+    edges = [(u, v) for u, v in edges if u < n and v < n]
+    got = _run(spark, n, edges)
+    assert got == _union_find(n, edges)
