@@ -365,9 +365,23 @@ def jaccard_pairs(
     tok = sorted_sh.select(
         F.col(id_col),
         F.col("n_sh"),
-        F.explode(F.slice("sh", 1, prefix_len)).alias("shingle"),
+        F.posexplode(F.slice("sh", 1, prefix_len)).alias("pos", "shingle"),
     )
     a, b = tok.alias("a"), tok.alias("b")
+    # PPJoin positional bound, also lossless: Jaccard >= t needs overlap
+    # o >= t/(1+t)*(|a|+|b|), and a match at sorted positions (i, j) can
+    # contribute at most 1 + min(|a|-i-1, |b|-j-1) total overlap when it
+    # is the pair's smallest common hash. Every qualifying pair's smallest
+    # common hash falls inside both prefixes (it has o-1 common elements
+    # above it, and o >= ceil(t*|s|) on each side), so filtering match
+    # rows by the bound never drops a true pair — but halves the
+    # candidate set that reaches the array-intersection verify join on
+    # shared-vocabulary corpora, where spurious single-shingle
+    # co-occurrences deep in both prefixes are common.
+    need = F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
+    ubound = 1 + F.least(
+        F.col("a.n_sh") - F.col("a.pos") - 1, F.col("b.n_sh") - F.col("b.pos") - 1
+    )
     cand = (
         a.join(
             b,
@@ -376,6 +390,7 @@ def jaccard_pairs(
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
             & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
         )
+        .filter(ubound >= need)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
