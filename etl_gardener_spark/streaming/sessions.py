@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -64,31 +65,45 @@ def _close_sessions(
         .to_numpy()
         // 1000
     )
+
+    # Vectorized gap split: a per-event Python loop (and per-value
+    # pd.Timestamp construction) would make the UDF the pipeline
+    # bottleneck at real stream volume; numpy keeps the per-batch cost at
+    # a handful of array ops regardless of events-per-user.
+    gaps = np.flatnonzero(np.diff(ts) > gap_us)
+    seg_start = np.concatenate(([0], gaps + 1))
+    seg_end = np.concatenate((gaps, [len(ts) - 1]))  # inclusive
+
+    starts = ts[seg_start]
+    ends = ts[seg_end]
+    counts = (seg_end - seg_start + 1).astype("int64")
+    carried_closed = None
     if state.exists:
         start, last, n = state.get
-    else:
-        start, last, n = int(ts[0]), int(ts[0]), 0
-
-    closed: list[tuple[int, int, int]] = []
-    for t in ts:
-        t = int(t)
-        if t - last > gap_us:
-            closed.append((start, last, n))
-            start, n = t, 0
-        last = t
-        n += 1
+        if int(ts[0]) - last > gap_us:
+            # carried open session closes before this batch's first event
+            carried_closed = (start, last, n)
+        else:
+            starts[0] = start
+            counts[0] += n
+    start, last, n = int(starts[-1]), int(ends[-1]), int(counts[-1])
     state.update((start, last, n))
     # Event-time timeout: once the watermark passes last + gap, the open
     # session can never be extended — close it via the timeout branch.
     state.setTimeoutTimestamp((last + gap_us) // 1000)
 
-    if closed:
+    starts, ends, counts = starts[:-1], ends[:-1], counts[:-1]
+    if carried_closed is not None:
+        starts = np.concatenate(([carried_closed[0]], starts))
+        ends = np.concatenate(([carried_closed[1]], ends))
+        counts = np.concatenate(([carried_closed[2]], counts))
+    if len(starts):
         yield pd.DataFrame(
             {
-                "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                "n_events": [n for _, _, n in closed],
+                "user_id": np.full(len(starts), user_id, dtype="int64"),
+                "session_start": starts.astype("datetime64[us]"),
+                "session_end": ends.astype("datetime64[us]"),
+                "n_events": counts,
             }
         )
 
@@ -98,9 +113,14 @@ def sessionize_stream(events: DataFrame, watermark: str = "30 minutes") -> DataF
     sessions (user_id, session_start, session_end, n_events).
 
     ``events`` must be a streaming DataFrame with an event-time ``ts``.
+
+    Only (user_id, ts) is selected before the stateful op: Catalyst cannot
+    prune columns through an opaque Python UDF, and every extra column
+    rides the Arrow transfer of the whole stream into Python otherwise.
     """
     return (
-        events.withWatermark("ts", watermark)
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _close_sessions,
