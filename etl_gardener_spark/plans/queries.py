@@ -303,6 +303,29 @@ def delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "compact_partition",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE CAST(ts AS DATE) = DATE '2024-01-15'",
+    tags=("parity", "warehouse", "maintenance"),
+)
+def compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style maintenance: land one day as many small files (the
+    post-T1 state of a day with many load jobs), compact to target size
+    via staged write + atomic swap, return the partition — which must be
+    byte-identical to the uncompacted day."""
+    from datetime import date as D
+
+    day = D(2024, 1, 15)
+    wh = Warehouse(_scratch("compact"))
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    # 32 tiny files for one day
+    wh.append(events.filter(F.col("date") == day).repartition(32), "tmp", "exp", "events")
+    stats = wh.compact_partition(spark, "tmp", "exp", "events", day)
+    assert stats["files_after"] < stats["files_before"], stats
+    return wh.read_partition(spark, "tmp", "exp", "events", day).select(*_EVENTS_COLS)
+
+
+@query(
     "load_jsonl",
     "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     tags=("parity", "source"),

@@ -370,6 +370,97 @@ def doc_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@query(
+    "doc_profile",
+    "\n    UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_val,
+           CAST(MAX({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("llm", "maintenance"),
+)
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler (ANALYZE): per-column row/null/distinct counts and
+    min/max, one scan, long-format output. The stats feed the same
+    decisions BigQuery makes internally and Spark's CBO/AQE make from
+    collected statistics: join-side sizing, skew detection, partition
+    planning. Exact count-distinct here (hash-expand, one pass) because
+    the oracle must match bit-for-bit; at 100 TB swap in
+    approx_count_distinct (HLL) — same plan shape, bounded memory."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = d.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+_PACK_CAPACITY = 400
+
+
+@query(
+    "doc_pack_sequences",
+    "WITH RECURSIVE "
+    + _DOCS_BODY
+    + f""",
+    t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM d),
+    pack(lang, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens > {_PACK_CAPACITY}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + t.n_tokens > {_PACK_CAPACITY}
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1)
+    SELECT doc_id, lang, n_tokens, bin_id FROM pack
+    """,
+    tags=("llm", "packing"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: next-fit bin packing of documents into
+    400-token bins, one bin stream per language, deterministic in doc_id
+    order (operators/packing.py). The oracle replays the identical fold as
+    a recursive CTE. Genuinely sequential per stratum — the distributed
+    axis is the stratum, exactly how a 100 TB pipeline shards it."""
+    from etl_gardener_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(TX.ws_tokens("text")).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        toks, "doc_id", "n_tokens", ["lang"], capacity=_PACK_CAPACITY
+    )
+
+
 _TFIDF_K = 3
 
 

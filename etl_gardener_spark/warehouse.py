@@ -190,6 +190,62 @@ class Warehouse:
         fs.delete(p, True)
         return True
 
+    def compact_partition(
+        self,
+        spark: SparkSession,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        day: Date,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """OPTIMIZE-style small-file compaction of one day partition.
+
+        A day that accumulated many appends (the reference's T1 loads one
+        GCS listing per job, up to ~900k files/day per its metrics
+        histogram, metrics/metrics.go:152-165) degrades every later scan:
+        file-open overhead, tiny row groups, no effective column-statistics
+        skipping. Compaction rewrites the partition into
+        ceil(bytes / target) files via a staged write + atomic directory
+        swap: readers of sibling days never see a partial partition, and
+        the operation is idempotent (rerun compacts again or no-ops).
+
+        Returns {files_before, files_after, bytes, rows} so an orchestrator
+        action can threshold on files_before (skip already-compact days).
+        """
+        path = self.partition_path(tier, experiment, datatype, day)
+        fs = _hadoop_fs(spark, path)
+        p = _hadoop_path(spark, path)
+        if not fs.exists(p):
+            return {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
+        statuses = [
+            s
+            for s in fs.listStatus(p)
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        ]
+        files_before = len(statuses)
+        total_bytes = sum(s.getLen() for s in statuses)
+        n_out = max(1, -(-total_bytes // int(target_file_bytes)))
+        df = spark.read.parquet(path)
+        staged = path + ".__compacting__"
+        fs.delete(_hadoop_path(spark, staged), True)
+        # coalesce, not repartition: narrowing file count needs no shuffle
+        df.coalesce(int(n_out)).write.mode("overwrite").parquet(staged)
+        rows = spark.read.parquet(staged).count()
+        out_files = [
+            s
+            for s in fs.listStatus(_hadoop_path(spark, staged))
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        ]
+        fs.delete(p, True)
+        fs.rename(_hadoop_path(spark, staged), p)
+        return {
+            "files_before": files_before,
+            "files_after": len(out_files),
+            "bytes": int(total_bytes),
+            "rows": int(rows),
+        }
+
     def save_bucketed(
         self,
         df: DataFrame,

@@ -223,3 +223,31 @@ def test_stage_reruns_are_idempotent(spark, tmp_path, landing):
     j2 = ops.join()
     assert j1.rows_out == j2.rows_out
     assert wh.read_partition(spark, "join", "ndt", "ndt7", job.date).count() == 11
+
+
+def test_compact_partition(spark, tmp_path):
+    """Compaction shrinks file count, preserves rows exactly, no-ops on a
+    missing day, and is idempotent."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(1000).select(
+        F.col("id"), F.lit("2024-03-01").cast("date").alias("date")
+    )
+    wh.append(df.repartition(16), "tmp", "exp", "t")
+    before = wh.read_partition(spark, "tmp", "exp", "t", date(2024, 3, 1))
+    before_ids = sorted(r["id"] for r in before.collect())
+
+    stats = wh.compact_partition(spark, "tmp", "exp", "t", date(2024, 3, 1))
+    assert stats["files_before"] >= 16
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 1000
+
+    after = wh.read_partition(spark, "tmp", "exp", "t", date(2024, 3, 1))
+    assert sorted(r["id"] for r in after.collect()) == before_ids
+
+    again = wh.compact_partition(spark, "tmp", "exp", "t", date(2024, 3, 1))
+    assert again["files_after"] == 1 and again["rows"] == 1000
+
+    missing = wh.compact_partition(spark, "tmp", "exp", "t", date(2030, 1, 1))
+    assert missing == {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
