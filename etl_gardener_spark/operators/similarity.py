@@ -357,3 +357,86 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment by rounded cosine (ties -> smallest
+    cid): (id, cid). One broadcast nested-loop of |df| x k rows + one
+    per-id window — the Lloyd assignment step, no corpus shuffle."""
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .join(F.broadcast(cents_df))
+        .select(
+            id_col,
+            "cid",
+            F.round(cosine(F.col("__v"), F.col("cvec")), round_digits).alias("__s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd k-means over an embedding column: (id, cluster).
+
+    Deterministic by construction: seeds are the first ``k`` vectors by id
+    (no RNG — same policy as the IVF coarse quantizer), assignment is
+    rounded-cosine argmax with min-cid tie-break, and each update rounds
+    the element-wise mean so a rerun (or the SQL oracle) reproduces the
+    exact assignment. Per iteration: one broadcast assignment pass over
+    the corpus and one (cid, dim)-keyed aggregation whose output is k x
+    dim rows — the centroid relation stays driver-tiny no matter the
+    corpus size, which is what makes Lloyd scale: the only full-data
+    operations are a map (assign) and a map-side-combined sum (update).
+    """
+    spark = df.sparkSession
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(id_col) < k)
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        sorted((int(r[0]), [float(x) for x in r[1]]) for r in seeds),
+        ["cid", "cvec"],
+    ).select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    for _ in range(n_iter):
+        assign = kmeans_assign(vecs, cents, id_col, vec_col, round_digits)
+        # update: element-wise mean per cluster, rebuilt into an array
+        # ordered by dimension; empty clusters drop out (their cid simply
+        # stops attracting points — Lloyd's standard degenerate case)
+        exploded = vecs.join(assign, id_col).select(
+            "cid", F.posexplode(vec_col).alias("pos", "val")
+        )
+        cents = (
+            exploded.groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
+            )
+        ).localCheckpoint(eager=True)
+    return kmeans_assign(vecs, cents, id_col, vec_col, round_digits).select(
+        F.col(id_col), F.col("cid").alias("cluster_id")
+    )

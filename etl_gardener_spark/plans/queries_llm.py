@@ -732,6 +732,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity
 # ---------------------------------------------------------------------------
 
+
 _DIM = 64
 
 
@@ -746,6 +747,55 @@ def _cosine_sql(a: str, b: str) -> str:
     return (
         f"({_dot_sql(a, b)} / (SQRT({_dot_sql(a, a)}) * SQRT({_dot_sql(b, b)})))"
     )
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+    """Unrolled Lloyd iterations as CTEs, mirroring operators/similarity.
+    kmeans exactly (seeded centroids, rounded-cosine argmax with min-cid
+    ties, rounded element-wise means)."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY ROUND({_cosine_sql("e.embedding", "c.cvec")}, 6)
+                     DESC, c.cid) AS rn
+          FROM embeddings e, {cents} c) WHERE rn = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+          SELECT cid, list(m ORDER BY i) AS cvec FROM (
+            SELECT cid, i, ROUND(AVG(CAST(e.embedding[i] AS DOUBLE)), 6) AS m
+            FROM {assigned} a JOIN embeddings e USING (vec_id),
+                 range(1, {_DIM + 1}) r(i)
+            GROUP BY cid, i) GROUP BY cid)"""
+
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, embedding AS cvec\n"
+        f"          FROM embeddings WHERE vec_id < {k})"
+    ]
+    for it in range(n_iter):
+        parts.append(assign(f"a{it}", f"c{it}"))
+        parts.append(update(f"c{it + 1}", f"a{it}"))
+    parts.append(assign(f"a{n_iter}", f"c{n_iter}"))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cid AS cluster_id FROM a{n_iter}"
+    )
+
+
+@query("emb_kmeans", _kmeans_oracle(), tags=("llm", "clustering"))
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means (k=8, 2 iterations) over the embedding
+    column — the clustering primitive behind cluster-balanced sampling
+    and semantic dedup of training corpora. Deterministic seeding and
+    rounding make the iterative algorithm bit-reproducible; the oracle
+    unrolls both iterations as CTEs."""
+    from etl_gardener_spark.operators.similarity import kmeans
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans(e, "vec_id", "embedding", k=8, n_iter=2)
 
 
 @query(
