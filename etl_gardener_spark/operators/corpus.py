@@ -1,0 +1,197 @@
+"""Corpus-level training-data operators: benchmark decontamination,
+Gopher-style repetition statistics, corpus unigram-LM scoring, and
+deterministic shuffle-to-shards.
+
+These extend the reference's per-partition maintenance surface (SURVEY.md
+§7.6) with the corpus hygiene passes a pretraining pipeline runs between
+"raw" and "training-ready": remove eval-set overlap, drop degenerate
+repetitive documents, score fluency against the corpus itself, and
+deterministically shard the survivors for the trainer. Everything is
+built-in-function DataFrame code (no UDFs), hashes derive from md5 of
+content (no RNG — reruns and the DuckDB oracles agree bit-for-bit), and
+every shuffle is keyed so map-side partial aggregation applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.functions.text import shingles_of, ws_tokens
+from etl_gardener_spark.operators.neardup import shingle_hash_sets
+
+
+def _h60(col) -> F.Column:
+    """60-bit md5 fold (first 15 hex chars → int64) — the repo-wide content
+    hash (operators/neardup.shingle_hash_sets); DuckDB mirrors it with
+    list_reduce over md5 hex chars."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word ``n``-grams also occur anywhere in the benchmark corpus.
+
+    Output: (id, n_grams, n_overlap, overlap_frac, contaminated).
+
+    Scale shape: the benchmark side (eval suites) is tiny relative to the
+    corpus, so its distinct-gram set is BROADCAST and the corpus never
+    shuffles for the join — the only shuffle is the per-document re-count,
+    which map-side combines down to one row per document. Grams are
+    compared as 60-bit md5 ints (8-byte join keys, not ~30-byte strings).
+    """
+    tg = shingle_hash_sets(train, text_col, id_col, n).select(
+        F.col(id_col), F.explode("sh").alias("g")
+    )
+    bg = (
+        shingle_hash_sets(bench, text_col, id_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = tg.join(F.broadcast(bg), "g", "left").groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count("__hit").cast("long").alias("n_overlap"),
+    )
+    return per.select(
+        id_col,
+        "n_grams",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_grams"), 4).alias("overlap_frac"),
+        (F.col("n_overlap") > 0).alias("contaminated"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str, id_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style repetition filters: per document and per n in ``ns``,
+    the token fraction covered by the single most frequent word n-gram
+    (``top{n}_frac`` = max_count*n / n_tokens) and the fraction of n-gram
+    positions occupied by grams that repeat (``dup{n}_frac``).
+
+    One scan: every n's shingles are emitted from a single explode of one
+    concatenated (n, gram-hash) array, then two keyed aggregations —
+    (doc, n, gram) occurrence counts, then per-doc maxima/sums. Both
+    shuffles carry int64 gram hashes and partial-aggregate map-side, so
+    the exchanged rows collapse toward one per (doc, n, distinct-gram)
+    regardless of document length — this is the scalable form of the
+    O(len²) per-row expression a small corpus would tempt you into.
+    """
+    staged = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    )
+
+    def _tag(n: int):
+        # one-arg lambda factory: a `lambda g, n=n` default would make the
+        # callable arity 2, which pyspark's transform() reads as the
+        # (value, index) signature and binds n to the array index
+        # (same pitfall as neardup._perm_fn)
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = [
+        F.transform(shingles_of(F.col("__toks"), n), _tag(n)) for n in ns
+    ]
+    grams = staged.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("nt"),
+        F.explode(F.concat(*tagged)).alias("ng"),
+    ).select(
+        id_col, "nt", F.col("ng.n").alias("n"), _h60(F.col("ng.g")).alias("g")
+    )
+    per_gram = grams.groupBy(id_col, "nt", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    aggs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        aggs.append(F.max(F.when(is_n, F.col("c"))).alias(f"__m{n}"))
+        aggs.append(
+            F.sum(F.when(is_n & (F.col("c") > 1), F.col("c"))).alias(f"__d{n}")
+        )
+    doc = per_gram.groupBy(id_col, "nt").agg(*aggs)
+    out = [F.col(id_col)]
+    for n in ns:
+        out.append(
+            F.round(F.col(f"__m{n}") * n / F.col("nt"), 4).alias(f"top{n}_frac")
+        )
+        out.append(
+            F.round(
+                F.coalesce(F.col(f"__d{n}"), F.lit(0)) / (F.col("nt") - n + 1), 4
+            ).alias(f"dup{n}_frac")
+        )
+    return doc.select(*out)
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Corpus-unigram language-model score: estimate p(token) from the
+    corpus itself (MLE, no smoothing — every token is in-vocabulary by
+    construction), then score each document by mean -log2 p over its
+    tokens. High bits/token = rare vocabulary (or noise); low = formulaic
+    text. The cheap first-pass fluency prior of CCNet-style pipelines.
+
+    Output: (id, n_tokens, bits_per_token).
+
+    Two corpus passes, no corpus-keyed shuffle of full rows: pass 1 builds
+    the vocabulary (token-keyed agg, map-side combined — output is
+    |vocab|, bounded by the language not the corpus); the total token
+    count joins on via a broadcast singleton (no driver collect); pass 2
+    re-scores tokens with the vocabulary BROADCAST and map-side combines
+    straight to one row per document.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("tot"))
+    scored = vocab.crossJoin(F.broadcast(total)).select(
+        "t", F.log2(F.col("c") / F.col("tot")).alias("lp")
+    )
+    return (
+        toks.join(F.broadcast(scored), "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(-F.avg("lp"), 4).alias("bits_per_token"),
+        )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "shuffle-42",
+) -> DataFrame:
+    """Deterministic corpus shuffle for training export: each row gets a
+    pseudo-random but md5-reproducible (shard, pos_in_shard) address.
+
+    Output: (id, shard, pos_in_shard).
+
+    A global ORDER BY would funnel the corpus through one range
+    partitioner; instead the md5 key is split — low bits pick the shard
+    (n_shards-way parallel), and position is a ROW_NUMBER window *within*
+    each shard ordered by the same key, so every shard sorts
+    independently. Readers that concatenate shards in (shard, pos) order
+    see a stable global permutation; reruns reproduce it bit-for-bit
+    (seed is part of the hashed content, not an RNG state).
+    """
+    key = _h60(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("key"))
+        .withColumn("shard", F.pmod(F.col("key"), F.lit(n_shards)).cast("long"))
+        .select(
+            id_col,
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+        )
+    )

@@ -440,3 +440,57 @@ def kmeans(
     return kmeans_assign(vecs, cents, id_col, vec_col, round_digits).select(
         F.col(id_col), F.col("cid").alias("cluster_id")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    deterministic Lloyd k-means, then compare vectors ONLY within their
+    cluster and drop any vector that has a higher-priority (smaller-id)
+    neighbor above the cosine threshold.
+
+    Output: (id, cluster_id, keep) — keep=false marks semantic duplicates.
+
+    Scale shape: clustering first is what makes semantic dedup tractable —
+    the pairwise stage is a self-join keyed on cluster_id, so candidate
+    work is sum(|cluster|^2) instead of |corpus|^2; k grows with the
+    corpus (n/10k-ish in practice) keeping clusters bounded. The survivor
+    rule (no smaller-id similar neighbor) is a greedy min-id policy:
+    deterministic, one pass, no iteration to fixpoint — the same policy as
+    exact_dup_groups' keep_id.
+    """
+    assign = kmeans(df, id_col, vec_col, k, n_iter, round_digits)
+    v = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    a = v.select(
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("cluster_id"),
+    )
+    b = v.select(
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("cluster_id"),
+    )
+    dup_ids = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__ida") > F.col("__idb"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+            >= threshold
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assign.join(dup_ids, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_gardener_spark.functions import text as TX
+from etl_gardener_spark.operators import corpus as CP
 from etl_gardener_spark.operators import multimodal as MM
 from etl_gardener_spark.operators import neardup as ND
 from etl_gardener_spark.operators import similarity as SIM
@@ -41,6 +42,15 @@ _SHINGLES = (
     "list_transform(range(1, len(toks) - 1),"
     " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 )
+
+
+def _shingles_sql(n: int, toks: str = "toks") -> str:
+    """Word n-gram shingles over a token-list column — general-n mirror of
+    functions/text.shingles_of (DuckDB range() upper bound is exclusive)."""
+    body = " || ' ' || ".join(
+        f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n)
+    )
+    return f"list_transform(range(1, len({toks}) - {n - 2}), i -> {body})"
 
 _EN_STOPS = "['the','a','and','of','to','is','in','it']"
 
@@ -513,6 +523,131 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_N = 5
+_DECON_HASHES = (
+    f"list_distinct(list_transform({_shingles_sql(_DECON_N)}, s -> {_h60('s')}))"
+)
+
+
+@query(
+    "doc_decontaminate",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, source, unnest({_DECON_HASHES}) AS g FROM d),
+    bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+    t AS (SELECT g.doc_id, b.g IS NOT NULL AS hit
+          FROM g LEFT JOIN bench b USING (g) WHERE g.source <> 'src0')
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_overlap,
+           ROUND(count(*) FILTER (WHERE hit) / count(*), 4) AS overlap_frac,
+           bool_or(hit) AS contaminated
+    FROM t GROUP BY doc_id
+    """,
+    tags=("llm", "text", "decontamination"),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat source 'src0' as the held-out eval
+    suite and count, per training document, its distinct 5-gram overlap
+    with that suite. The eval-gram set is broadcast (tiny vs the corpus);
+    the corpus is never shuffled for the join."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=_DECON_N,
+    )
+
+
+def _rep_grams_sql(n: int) -> str:
+    return (
+        f"SELECT doc_id, len(toks) AS nt, {n} AS n,"
+        f" unnest(list_transform({_shingles_sql(n)}, s -> {_h60('s')})) AS g"
+        " FROM d"
+    )
+
+
+@query(
+    "doc_repetition",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS ({_rep_grams_sql(2)} UNION ALL {_rep_grams_sql(3)}),
+    pg AS (SELECT doc_id, nt, n, g, count(*) AS c FROM g GROUP BY ALL),
+    doc AS (SELECT doc_id, nt,
+                   max(CASE WHEN n = 2 THEN c END) AS m2,
+                   sum(CASE WHEN n = 2 AND c > 1 THEN c END) AS d2,
+                   max(CASE WHEN n = 3 THEN c END) AS m3,
+                   sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS d3
+            FROM pg GROUP BY doc_id, nt)
+    SELECT doc_id,
+           ROUND(m2 * 2 / nt, 4) AS top2_frac,
+           ROUND(COALESCE(d2, 0) / (nt - 1), 4) AS dup2_frac,
+           ROUND(m3 * 3 / nt, 4) AS top3_frac,
+           ROUND(COALESCE(d3, 0) / (nt - 2), 4) AS dup3_frac
+    FROM doc
+    """,
+    tags=("llm", "text", "quality"),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: token fraction covered by the most
+    frequent 2-/3-gram and the fraction of n-gram positions occupied by
+    repeating grams — the standard degenerate-document screens."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.repetition_stats(d, "text", "doc_id", ns=(2, 3))
+
+
+@query(
+    "doc_lm_score",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    v AS (SELECT t, count(*) AS c FROM t GROUP BY t),
+    tot AS (SELECT sum(c) AS tot FROM v),
+    s AS (SELECT t, log2(c / tot) AS lp FROM v, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(-avg(lp), 4) AS bits_per_token
+    FROM t JOIN s USING (t) GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM fluency score (mean -log2 p per token): the cheap
+    first-pass perplexity prior of CCNet-style pipelines. Vocabulary is
+    aggregated once (|vocab| rows, map-side combined) and broadcast back;
+    the corpus itself is never shuffled except the one-row-per-doc agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.unigram_logprob(d, "text", "doc_id")
+
+
+_N_SHARDS = 16
+_SHARD_KEY = _h60("'shuffle-42:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "doc_shuffle_shards",
+    f"""
+    WITH k AS (SELECT doc_id, {_SHARD_KEY} AS key FROM documents)
+    SELECT doc_id,
+           CAST(key % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY key % {_N_SHARDS}
+                                   ORDER BY key, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM k
+    """,
+    tags=("llm", "export"),
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle: md5-keyed (shard,
+    pos_in_shard) addresses. No global ORDER BY — shards sort
+    independently in parallel, yet concatenating shards in order yields a
+    stable, rerun-reproducible global permutation."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.shuffle_shards(d, "doc_id", n_shards=_N_SHARDS)
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -749,10 +884,11 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+def _kmeans_ctes(k: int = 8, n_iter: int = 2) -> tuple[str, str]:
     """Unrolled Lloyd iterations as CTEs, mirroring operators/similarity.
     kmeans exactly (seeded centroids, rounded-cosine argmax with min-cid
-    ties, rounded element-wise means)."""
+    ties, rounded element-wise means). Returns (cte_block, final_assign)
+    so derived oracles (semantic dedup) can build on the assignment."""
 
     def assign(name: str, cents: str) -> str:
         return f"""{name} AS (SELECT vec_id, cid FROM (
@@ -778,11 +914,12 @@ def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
         parts.append(assign(f"a{it}", f"c{it}"))
         parts.append(update(f"c{it + 1}", f"a{it}"))
     parts.append(assign(f"a{n_iter}", f"c{n_iter}"))
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"\n    SELECT vec_id, cid AS cluster_id FROM a{n_iter}"
-    )
+    return ",\n    ".join(parts), f"a{n_iter}"
+
+
+def _kmeans_oracle(k: int = 8, n_iter: int = 2) -> str:
+    ctes, fin = _kmeans_ctes(k, n_iter)
+    return f"WITH {ctes}\n    SELECT vec_id, cid AS cluster_id FROM {fin}"
 
 
 @query("emb_kmeans", _kmeans_oracle(), tags=("llm", "clustering"))
@@ -796,6 +933,34 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans(e, "vec_id", "embedding", k=8, n_iter=2)
+
+
+def _semdedup_oracle(k: int = 8, n_iter: int = 2, threshold: float = 0.4) -> str:
+    # decorrelated (DuckDB cannot reference outer columns inside the
+    # list_transform lambdas a correlated EXISTS would need)
+    ctes, fin = _kmeans_ctes(k, n_iter)
+    return f"""
+    WITH {ctes},
+    av AS (SELECT a.vec_id, a.cid, e.embedding
+           FROM {fin} a JOIN embeddings e USING (vec_id)),
+    dups AS (SELECT DISTINCT x.vec_id
+             FROM av x JOIN av y ON x.cid = y.cid AND y.vec_id < x.vec_id
+             WHERE ROUND({_cosine_sql("x.embedding", "y.embedding")}, 6)
+                   >= {threshold})
+    SELECT a.vec_id, a.cid AS cluster_id, d.vec_id IS NULL AS keep
+    FROM {fin} a LEFT JOIN dups d USING (vec_id)
+    """
+
+
+@query("emb_semantic_dedup", _semdedup_oracle(), tags=("llm", "dedup", "clustering"))
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means clusters bound the
+    pairwise comparisons (sum(|cluster|^2), never |corpus|^2); a vector is
+    dropped when a smaller-id neighbor in its cluster exceeds the cosine
+    threshold. The oracle replays the clustering as unrolled CTEs and the
+    survivor rule as NOT EXISTS."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(e, "vec_id", "embedding", k=8, n_iter=2, threshold=0.4)
 
 
 @query(
