@@ -326,6 +326,50 @@ def compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "upsert_partition",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END
+             AS value,
+           props
+    FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value * 3 AS value, props
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-16' AND event_type = 'purchase'
+    """,
+    tags=("parity", "warehouse", "dml"),
+)
+def upsert_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO one day partition (row-grain corrections — the upsert
+    extension of the reference's replace-partition T2/T3): purchases of
+    2024-01-15 get their value doubled in place (matched -> replace), and
+    2024-01-16's purchases arrive as brand-new rows (not matched ->
+    insert); every other row of the day is untouched. Exercised for real
+    against the warehouse: staged rewrite + atomic swap of exactly one
+    ``date=`` directory, update-key set broadcast into the anti-join."""
+    from datetime import date as D
+
+    day = D(2024, 1, 15)
+    wh = Warehouse(_scratch("upsert"))
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    wh.append(events.filter(F.col("date") == day), "tmp", "exp", "events")
+    is_purchase = F.col("event_type") == "purchase"
+    upd = events.filter((F.col("date") == day) & is_purchase).withColumn(
+        "value", F.col("value") * 2
+    )
+    ins = events.filter((F.col("date") == D(2024, 1, 16)) & is_purchase).withColumn(
+        "value", F.col("value") * 3
+    )
+    stats = wh.upsert_partition(
+        spark, "tmp", "exp", "events", day, upd.unionByName(ins), ["event_id"]
+    )
+    assert stats["matched"] > 0 and stats["inserted"] > 0, stats
+    assert stats["rows_after"] == stats["rows_before"] + stats["inserted"], stats
+    return wh.read_partition(spark, "tmp", "exp", "events", day).select(*_EVENTS_COLS)
+
+
+@query(
     "load_jsonl",
     "SELECT event_id, ts, user_id, event_type, value, props FROM events",
     tags=("parity", "source"),

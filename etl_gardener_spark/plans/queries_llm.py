@@ -958,7 +958,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparisons (sum(|cluster|^2), never |corpus|^2); a vector is
     dropped when a smaller-id neighbor in its cluster exceeds the cosine
     threshold. The oracle replays the clustering as unrolled CTEs and the
-    survivor rule as NOT EXISTS."""
+    survivor rule as a decorrelated duplicate-id anti set."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(e, "vec_id", "embedding", k=8, n_iter=2, threshold=0.4)
 
@@ -1297,3 +1297,21 @@ def stream_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gardener_spark.streaming.events import stream_hourly_rollup
 
     return stream_hourly_rollup(spark, sf_dir)
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT DISTINCT CAST(ts AS DATE) AS date, user_id, event_type
+    FROM events
+    """,
+    tags=("llm", "streaming", "dedup"),
+)
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: dropDuplicatesWithinWatermark on (date, user_id,
+    event_type) with the key's day in the key, so dedup state is bounded —
+    the watermark seals each day and evicts its keys. Must equal batch
+    SELECT DISTINCT."""
+    from etl_gardener_spark.streaming.dedup import stream_dedup_keys
+
+    return stream_dedup_keys(spark, sf_dir)

@@ -246,6 +246,70 @@ class Warehouse:
             "rows": int(rows),
         }
 
+    def upsert_partition(
+        self,
+        spark: SparkSession,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        day: Date,
+        updates: DataFrame,
+        key_cols: list[str],
+    ) -> dict:
+        """MERGE INTO one day partition: rows whose key matches an update
+        are replaced, unmatched updates are inserted, everything else is
+        untouched (upsert — the WriteTruncate-only reference cannot
+        express this; it is the natural extension of T2/T3's
+        replace-partition semantics to row-grain corrections).
+
+        Plain Parquet has no row-level DML, so the merge is a rewrite of
+        exactly one day: survivors = current LEFT ANTI updates on the key,
+        then survivors ∪ updates, staged write + atomic directory swap
+        (same crash-safety discipline as compact_partition — readers never
+        observe a partial partition, rerunning the same merge is
+        idempotent). Only the one partition's data is read or written; the
+        anti-join broadcasts the (small) update key set, so the merge cost
+        is one scan of one day regardless of table size.
+
+        Returns {rows_before, n_updates, matched, inserted, rows_after}.
+        """
+        path = self.partition_path(tier, experiment, datatype, day)
+        fs = _hadoop_fs(spark, path)
+        p = _hadoop_path(spark, path)
+        upd = updates.drop(DATE_COL) if DATE_COL in updates.columns else updates
+        if not fs.exists(p):
+            n = upd.count()
+            upd.write.mode("overwrite").parquet(path)
+            return {
+                "rows_before": 0,
+                "n_updates": int(n),
+                "matched": 0,
+                "inserted": int(n),
+                "rows_after": int(n),
+            }
+        cur = spark.read.parquet(path)
+        keys = F.broadcast(upd.select(*key_cols).distinct())
+        survivors = cur.join(keys, key_cols, "left_anti")
+        merged = survivors.select(*cur.columns).unionByName(
+            upd.select(*cur.columns)
+        )
+        staged = path + ".__upserting__"
+        fs.delete(_hadoop_path(spark, staged), True)
+        merged.write.mode("overwrite").parquet(staged)
+        rows_before = cur.count()
+        n_updates = upd.count()
+        rows_after = spark.read.parquet(staged).count()
+        fs.delete(p, True)
+        fs.rename(_hadoop_path(spark, staged), p)
+        matched = rows_before + n_updates - rows_after
+        return {
+            "rows_before": int(rows_before),
+            "n_updates": int(n_updates),
+            "matched": int(matched),
+            "inserted": int(n_updates - matched),
+            "rows_after": int(rows_after),
+        }
+
     def save_bucketed(
         self,
         df: DataFrame,

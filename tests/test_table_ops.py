@@ -251,3 +251,48 @@ def test_compact_partition(spark, tmp_path):
 
     missing = wh.compact_partition(spark, "tmp", "exp", "t", date(2030, 1, 1))
     assert missing == {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
+
+
+def test_upsert_partition(spark, tmp_path):
+    """MERGE semantics: matched keys replaced, unmatched inserted, other
+    rows untouched; idempotent on rerun; missing partition = insert-all."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = date(2024, 3, 1)
+    base = spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 10.0).alias("v"),
+        F.lit("2024-03-01").cast("date").alias("date"),
+    )
+    wh.append(base, "tmp", "exp", "t")
+
+    # update ids 3,4; insert ids 100,101
+    upd = spark.createDataFrame(
+        [(3, -1.0), (4, -2.0), (100, 5.0), (101, 6.0)], ["id", "v"]
+    )
+    stats = wh.upsert_partition(spark, "tmp", "exp", "t", day, upd, ["id"])
+    assert stats == {
+        "rows_before": 10,
+        "n_updates": 4,
+        "matched": 2,
+        "inserted": 2,
+        "rows_after": 12,
+    }
+    got = {
+        r.id: r.v
+        for r in wh.read_partition(spark, "tmp", "exp", "t", day).collect()
+    }
+    assert got[3] == -1.0 and got[4] == -2.0 and got[100] == 5.0
+    assert got[0] == 0.0 and len(got) == 12
+
+    # idempotent: same merge again changes nothing but matched counts
+    again = wh.upsert_partition(spark, "tmp", "exp", "t", day, upd, ["id"])
+    assert again["rows_after"] == 12 and again["matched"] == 4
+    assert again["inserted"] == 0
+
+    # missing partition -> all inserts
+    fresh = wh.upsert_partition(
+        spark, "tmp", "exp", "t", date(2030, 1, 1), upd, ["id"]
+    )
+    assert fresh["rows_before"] == 0 and fresh["inserted"] == 4
