@@ -46,12 +46,17 @@ def decontaminate(
     which map-side combines down to one row per document. Grams are
     compared as 60-bit md5 ints (8-byte join keys, not ~30-byte strings).
     """
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # ``size(sh) > 0`` filter and push it below the shingle projection, so
+    # the whole tokenize+shingle+md5 tree is evaluated twice per row
+    # (measured 4x at sf0.1). The arrays are provably non-empty (the
+    # operator filters size(tokens) >= n first), so _outer emits no nulls.
     tg = shingle_hash_sets(train, text_col, id_col, n).select(
-        F.col(id_col), F.explode("sh").alias("g")
+        F.col(id_col), F.explode_outer("sh").alias("g")
     )
     bg = (
         shingle_hash_sets(bench, text_col, id_col, n)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -98,12 +103,20 @@ def repetition_stats(
     tagged = [
         F.transform(shingles_of(F.col("__toks"), n), _tag(n)) for n in ns
     ]
-    grams = staged.select(
-        F.col(id_col),
-        F.size("__toks").cast("long").alias("nt"),
-        F.explode(F.concat(*tagged)).alias("ng"),
-    ).select(
-        id_col, "nt", F.col("ng.n").alias("n"), _h60(F.col("ng.g")).alias("g")
+    # cheap-filter on the staged token attribute guarantees a non-empty
+    # gram array, so explode_outer (which, unlike explode, doesn't make
+    # Catalyst infer a size()>0 filter that re-evaluates the whole shingle
+    # tree below the projection) emits no null rows
+    grams = (
+        staged.filter(F.size("__toks") >= min(ns))
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("nt"),
+            F.explode_outer(F.concat(*tagged)).alias("ng"),
+        )
+        .select(
+            id_col, "nt", F.col("ng.n").alias("n"), _h60(F.col("ng.g")).alias("g")
+        )
     )
     per_gram = grams.groupBy(id_col, "nt", "n", "g").agg(
         F.count(F.lit(1)).alias("c")
@@ -147,8 +160,10 @@ def unigram_logprob(
     re-scores tokens with the vocabulary BROADCAST and map-side combines
     straight to one row per document.
     """
-    toks = df.select(
-        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("t")
+    toks = (
+        df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(F.col(id_col), F.explode_outer("__toks").alias("t"))
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("tot"))

@@ -434,7 +434,14 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     and the shuffle moves |docs| x 33 longs — no 32x per-bit row blowup
     (the explode-bits formulation shuffled 32 rows per token).
     """
-    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    # stage + cheap-filter + explode_outer: a bare explode makes Catalyst
+    # infer size()>0 and push it below the projection, re-running the
+    # tokenizer twice per row
+    toks = (
+        df.select(F.col(id_col), ws_tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(F.col(id_col), F.explode_outer("__toks").alias("tok"))
+    )
     hashed = toks.select(
         F.col(id_col),
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"),

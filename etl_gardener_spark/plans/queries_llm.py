@@ -504,7 +504,11 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     |tokens|; ties break on the term itself so results are total-ordered
     and hash-stable."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(TX.ws_tokens("text")).alias("term"))
+    toks = (
+        d.select("doc_id", TX.ws_tokens("text").alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.explode_outer("__toks").alias("term"))
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
