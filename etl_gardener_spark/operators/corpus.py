@@ -210,3 +210,78 @@ def shuffle_shards(
             F.row_number().over(w).cast("long").alias("pos_in_shard"),
         )
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_len: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding-window chunking for training sequences — the dual of
+    operators/packing.pack_sequences (that combines short docs; this
+    splits long ones): every document becomes ceil-ish(len/stride) chunks
+    of up to ``chunk_len`` tokens, starting every ``stride`` tokens
+    (stride < chunk_len gives overlapping context windows).
+
+    Output: (id, chunk_id, n_tokens, chunk_text).
+
+    Pure per-row expression work — tokenize once, one explode_outer of the
+    per-doc chunk array (no inferred-filter re-evaluation; see
+    repetition_stats), zero shuffles: chunking a 100 TB corpus is a map.
+    """
+    staged = df.select(
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.floor((F.size("__toks") - 1) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.cast("long").alias("chunk_id"),
+            F.slice(F.col("__toks"), s * stride + 1, chunk_len).alias("ctoks"),
+        ),
+    )
+    return staged.select(
+        F.col(id_col), F.explode_outer(chunks).alias("c")
+    ).select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    strat_cols: list[str],
+    text_col: str,
+) -> DataFrame:
+    """Dataset-card mixture table: per stratum (e.g. source x lang), the
+    document count, token count, and share of all corpus tokens — the
+    numbers a data-mixture spec is written against.
+
+    One scan: per-row token counts feed a strat-keyed agg (map-side
+    combined to |strata| rows); the corpus total joins on via a broadcast
+    singleton, never a driver collect.
+    """
+    per = (
+        df.select(
+            *[F.col(c) for c in strat_cols],
+            F.size(ws_tokens(F.col(text_col))).cast("long").alias("__cnt"),
+        )
+        .groupBy(*strat_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__cnt").cast("long").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        *strat_cols,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
+    )

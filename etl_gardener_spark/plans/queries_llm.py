@@ -652,6 +652,62 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.shuffle_shards(d, "doc_id", n_shards=_N_SHARDS)
 
 
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@query(
+    "doc_chunk_sequences",
+    f"""
+    {_DOCS_CTE},
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, CAST(floor((len(toks) - 1) / {_CHUNK_STRIDE})
+                                      AS BIGINT) + 1)) AS chunk_id
+          FROM d WHERE len(toks) > 0)
+    SELECT doc_id, chunk_id,
+           CAST(len(toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}, len(toks))])
+                AS BIGINT) AS n_tokens,
+           array_to_string(toks[chunk_id * {_CHUNK_STRIDE} + 1 :
+                least(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_LEN}, len(toks))],
+                ' ') AS chunk_text
+    FROM c
+    """,
+    tags=("llm", "export"),
+)
+def doc_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token windows every 24 tokens) — the
+    dual of doc_pack_sequences: long documents split into overlapping
+    training sequences. Zero shuffles; chunking is a pure map."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.chunk_sequences(
+        d, "text", "doc_id", chunk_len=_CHUNK_LEN, stride=_CHUNK_STRIDE
+    )
+
+
+@query(
+    "doc_mixture_report",
+    f"""
+    {_DOCS_CTE},
+    per AS (SELECT source, lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+            FROM d GROUP BY source, lang)
+    SELECT source, lang, n_docs, n_tokens,
+           ROUND(n_tokens / (SELECT sum(n_tokens) FROM per), 6) AS token_share
+    FROM per
+    """,
+    tags=("llm", "reporting"),
+)
+def doc_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card mixture table per (source, lang): document count,
+    token count, and share of corpus tokens — the numbers a training data
+    mixture spec is written against. Strata agg map-side combines; the
+    corpus total arrives by broadcast singleton, not driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.mixture_report(d, ["source", "lang"], "text")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------

@@ -116,3 +116,40 @@ def test_semantic_dedup_keeps_min_id_per_duplicate_set(spark):
         ).collect()
     }
     assert out == {0: True, 2: False, 4: False, 1: True, 3: False, 5: True}
+
+
+def test_chunk_sequences_boundaries(spark):
+    # 10 tokens, chunk_len=4, stride=3 -> starts 0,3,6,9
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, "only two")], ["doc_id", "text"])
+    out = CP.chunk_sequences(df, "text", "doc_id", chunk_len=4, stride=3)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text) for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 4, "t3 t4 t5 t6"),
+        (1, 2, 4, "t6 t7 t8 t9"),
+        (1, 3, 1, "t9"),
+        (2, 0, 2, "only two"),
+    ]
+
+
+def test_mixture_report_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1", "en"),
+            (2, "d e", "s1", "en"),
+            (3, "f g h i j", "s2", "fr"),
+        ],
+        ["doc_id", "text", "source", "lang"],
+    )
+    got = {
+        (r.source, r.lang): r.asDict()
+        for r in CP.mixture_report(df, ["source", "lang"], "text").collect()
+    }
+    assert got[("s1", "en")]["n_docs"] == 2
+    assert got[("s1", "en")]["n_tokens"] == 5
+    assert got[("s1", "en")]["token_share"] == 0.5
+    assert got[("s2", "fr")]["token_share"] == 0.5
+    assert sum(v["token_share"] for v in got.values()) == 1.0
