@@ -849,6 +849,108 @@ def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "props_json_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "json"),
+)
+def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path extraction over the semi-structured props column (the
+    reference's rows are JSON whose nesting BigQuery parses at load; here
+    the payload column itself is parsed at query time): get_json_object
+    pulls $.k per row — a codegen'd JVM path, no UDF — feeding an ordinary
+    keyed aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__k").cast("long").alias("min_k"),
+            F.max("__k").cast("long").alias("max_k"),
+            F.round(F.avg("__k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "minute_gapfill_ffill",
+    """
+    WITH bounds AS (
+      SELECT DATE_TRUNC('minute', min(ts)) AS lo,
+             DATE_TRUNC('minute', max(ts)) AS hi FROM events),
+    spine AS (
+      SELECT t.event_type, m.minute
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE))
+              AS minute FROM bounds) m),
+    agg AS (
+      SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n, ROUND(avg(value), 4) AS avg_value
+      FROM events GROUP BY 1, 2)
+    SELECT s.event_type, s.minute,
+           COALESCE(a.n, 0) AS n,
+           a.avg_value,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.minute
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+    FROM spine s LEFT JOIN agg a USING (event_type, minute)
+    """,
+    tags=("analytics", "timeseries"),
+)
+def minute_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: a dense per-(event_type, minute) spine over
+    the observed range, left-joined with the per-minute aggregate, gaps
+    forward-filled with last-observation-carried-forward. The spine is
+    generated from a 1-row bounds aggregate (sequence + explode — no
+    driver loop); the fill is one window per series. At scale the spine is
+    |series| x |minutes| — tiny next to the events it summarizes — and the
+    ffill window shuffles only the spine, never raw events."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    minutes = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(minutes))
+    agg = (
+        e.select("event_type", F.date_trunc("minute", "ts").alias("minute"), "value")
+        .groupBy("event_type", "minute")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(agg, ["event_type", "minute"], "left").select(
+        "event_type",
+        "minute",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("ffill_value"),
+    )
+
+
 # Extension queries register themselves on import.
 from etl_gardener_spark.plans import queries_llm  # noqa: E402,F401
 
