@@ -951,6 +951,179 @@ def minute_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "funnel_steps",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'view' AND e.ts > t1.ts GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'click' AND e.ts > t2.ts GROUP BY e.user_id),
+    t4 AS (
+      SELECT e.user_id, min(e.ts) AS ts FROM events e
+      JOIN t3 ON e.user_id = t3.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t3.ts GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+           CAST(count(*) AS BIGINT) AS users FROM t1
+    UNION ALL SELECT 2, 'view', count(*) FROM t2
+    UNION ALL SELECT 3, 'click', count(*) FROM t3
+    UNION ALL SELECT 4, 'purchase', count(*) FROM t4
+    """,
+    tags=("analytics", "funnel"),
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel signup > view > click > purchase: a user
+    reaches step k only via an event strictly after their step-(k-1) time
+    (earliest-qualifying-event semantics). Each step is a per-user MIN
+    aggregate equi-joined to the previous step's frame, so every
+    intermediate is bounded by |users| rows regardless of event volume; the
+    events scan carries a pushed event_type filter per step. At 100 TB the
+    chain is four user-key shuffles of the (small) user dimension, never a
+    pairwise event join."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = ["signup", "view", "click", "purchase"]
+    reached = []
+    cur = (
+        e.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"))
+    )
+    reached.append(cur)
+    for et in steps[1:]:
+        prev = cur.select("user_id", F.col("ts").alias("__prev_ts"))
+        cur = (
+            e.filter(F.col("event_type") == et)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("__prev_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("ts"))
+        )
+        reached.append(cur)
+    out = None
+    for i, (et, df) in enumerate(zip(steps, reached)):
+        row = df.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(et).alias("event_type"),
+            "users",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(datediff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    at each day offset they return. Events collapse to distinct (user, day)
+    before any join — the retention matrix is |users| x |days|, independent
+    of raw event volume — and the cohort dimension rides the same user-key
+    shuffle as the activity set."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    a = e.distinct()
+    return (
+        a.join(f, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )
+
+
+@query(
+    "purchase_gap_stats",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(prev_ts) AS BIGINT) AS n_gaps,
+           CAST(min(datediff('second', prev_ts, ts)) AS BIGINT) AS min_gap_s,
+           CAST(max(datediff('second', prev_ts, ts)) AS BIGINT) AS max_gap_s,
+           ROUND(avg(datediff('second', prev_ts, ts)), 4) AS avg_gap_s
+    FROM p GROUP BY user_id
+    """,
+    tags=("analytics", "window"),
+)
+def purchase_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics per user via LAG (the reference's
+    window machinery, cloud/bq/ops.go:201-204, generalized from ranking to
+    analytic offsets). One event_type-pruned scan, one user-key window +
+    aggregate on the same partitioning — the window's shuffle is reused by
+    the groupBy, so the whole query is a single exchange of purchase rows."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+    return (
+        p.withColumn("prev_ts", F.lag("ts").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.count("prev_ts").cast("long").alias("n_gaps"),
+            F.min(gap).cast("long").alias("min_gap_s"),
+            F.max(gap).cast("long").alias("max_gap_s"),
+            F.round(F.avg(gap), 4).alias("avg_gap_s"),
+        )
+    )
+
+
+@query(
+    "customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    tags=("analytics", "antijoin"),
+)
+def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (the reference's dedup-DELETE shape,
+    cloud/bq/ops.go:194-218, applied as an analytic filter): customers with
+    no order above 300k. The price predicate is pushed to the orders scan
+    before the anti join, so the shuffled build side is only the filtered
+    keys; with AQE a small filtered side collapses to a broadcast anti
+    join."""
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return c.join(
+        big, c["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
 # Extension queries register themselves on import.
 from etl_gardener_spark.plans import queries_llm  # noqa: E402,F401
 

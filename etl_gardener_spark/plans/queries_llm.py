@@ -527,6 +527,50 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_postings",
+    f"""
+    {_DOCS_CTE},
+    t AS (SELECT doc_id, unnest(toks) AS term FROM d)
+    SELECT term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS tf,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM t GROUP BY term
+    """,
+    tags=("llm", "text", "index"),
+)
+def doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> (document frequency, total term
+    frequency, sorted posting list). One explode and one term-key hash
+    aggregate; df is derived from the collected posting set rather than a
+    COUNT(DISTINCT), so there is no Expand/double-aggregate pass. At corpus
+    scale the shuffle carries (term, doc_id) pairs once — index size is
+    O(total tokens), the same cost any search indexer pays — and hot terms
+    can reuse the salted two-phase pattern (operators/skew.py) by
+    pre-aggregating per-doc tf map-side, which the partial hash aggregate
+    already does."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", TX.ws_tokens("text").alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.explode_outer("__toks").alias("term"))
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+        .select(
+            "term",
+            F.size("postings").cast("long").alias("df"),
+            "tf",
+            "postings",
+        )
+    )
+
+
 _DECON_N = 5
 _DECON_HASHES = (
     f"list_distinct(list_transform({_shingles_sql(_DECON_N)}, s -> {_h60('s')}))"
