@@ -387,6 +387,81 @@ def load_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "load_csv",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("parity", "source"),
+)
+def load_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 landing path over delimited text (extension — the reference loads
+    JSON only, cloud/bq/ops.go:139): events written as RFC-4180 CSV
+    (quote-doubling, microsecond timestamps), re-read with the explicit
+    landing schema. Round-trip must be lossless including the embedded-JSON
+    props column (commas and quotes inside quoted fields)."""
+    from etl_gardener_spark.sources.csvfile import read_csv, write_csv
+
+    out = _scratch("loadcsv")
+    events = load_table(spark, sf_dir, "events")
+    write_csv(events.select(*_EVENTS_COLS), os.path.join(out, "landing"))
+    return read_csv(spark, os.path.join(out, "landing"), _EVENTS_SCHEMA).select(
+        *_EVENTS_COLS
+    )
+
+
+@query(
+    "refresh_rollup_days",
+    """
+    SELECT CAST(ts AS DATE) AS date, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events
+    WHERE event_id % 10 <> 0
+       OR CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1, 2
+    """,
+    tags=("parity", "warehouse", "maintenance"),
+)
+def refresh_rollup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a derived rollup table: a per-(date,
+    event_type) aggregate is materialized from the raw tier; when a late
+    batch lands (here: the event_id%10==0 rows of Jan 10-12), only the
+    partitions whose days appear in the batch are recomputed and
+    dynamic-overwritten — untouched days are never re-read or re-written.
+    This is the scale path for 100 TB derived tables: refresh cost is
+    O(affected days), not O(table), and the affected-day list is the only
+    thing that ever reaches the driver (a handful of dates, from an
+    aggregate, not a row collect)."""
+    from datetime import date as D
+
+    lo, hi = D(2024, 1, 10), D(2024, 1, 12)
+    wh = Warehouse(_scratch("refresh"))
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    base = events.filter(F.col("event_id") % 10 != 0)
+    late = events.filter(
+        (F.col("event_id") % 10 == 0) & F.col("date").between(lo, hi)
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("date", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    wh.append(base, "raw", "exp", "events")
+    wh.append(rollup(base), "rollup", "exp", "daily")
+    # Late batch lands in raw; derived table refreshes only affected days.
+    wh.append(late, "raw", "exp", "events")
+    affected = [r["date"] for r in late.select("date").distinct().collect()]
+    assert 0 < len(affected) <= 3, affected
+    raw = wh.read(spark, "raw", "exp", "events")
+    wh.overwrite_partitions(
+        rollup(raw.filter(F.col("date").isin(affected))), "rollup", "exp", "daily"
+    )
+    return wh.read(spark, "rollup", "exp", "daily").select(
+        "date", "event_type", "n", "sum_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics core (extension surface the 100 TB pipeline needs): aggregation,
 # multi-way joins, top-k windows, sessionization, time rollups
