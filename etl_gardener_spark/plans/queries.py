@@ -1026,6 +1026,77 @@ def minute_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "daily_type_pivot",
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+             AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+             AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("analytics", "pivot"),
+)
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type. The pivot
+    value list is explicit, so Spark skips the extra distinct-values
+    collect job; the plan is the standard two-phase pivot — partial counts
+    per (day, type) before the first exchange, pivot_first per day after —
+    so both shuffles move aggregated rows (|days| x |types|), never raw
+    events."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("date"), "event_type"
+    )
+    pivoted = (
+        e.groupBy("date").pivot("event_type", _EVENT_TYPES).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "date",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "read_schema_evolved",
+    """
+    SELECT event_id, ts, user_id, event_type, value,
+           CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15' THEN props END
+             AS props
+    FROM events
+    """,
+    tags=("parity", "schema"),
+)
+def read_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLOW_FIELD_ADDITION as a read-path query (cloud/bq/ops.go:280-282):
+    days up to Jan 15 were landed before the props field existed; later
+    days carry it. A mergeSchema read unifies both vintages — old rows get
+    NULL props (field relaxation), and no rewrite of the historical
+    batches ever happens. At 100 TB this is the only affordable schema
+    migration: evolve on read, rewrite never."""
+    out = _scratch("evolve")
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    old = events.filter(day <= F.lit("2024-01-15").cast("date"))
+    new = events.filter(day > F.lit("2024-01-15").cast("date"))
+    old.select("event_id", "ts", "user_id", "event_type", "value").write.parquet(
+        os.path.join(out, "v1")
+    )
+    new.select(*_EVENTS_COLS).write.parquet(os.path.join(out, "v2"))
+    return spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    ).select(*_EVENTS_COLS)
+
+
 @query(
     "funnel_steps",
     """

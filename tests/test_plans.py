@@ -87,3 +87,50 @@ def test_jsonl_load_is_dropmalformed_no_corrupt_column(spark):
     # column in the plan) — regression for QUERY_ONLY_CORRUPT_RECORD_COLUMN
     assert df.count() > 0
     assert "_corrupt_record" not in plan(df)
+
+
+def test_gap_stats_window_and_agg_share_one_exchange(spark):
+    """LAG window and the user-key groupBy use the same partitioning, so
+    the whole query is a single shuffle of the filtered purchase rows."""
+    df = Q.REGISTRY["purchase_gap_stats"].fn(spark, SF)
+    p = plan(df)
+    assert p.count("Exchange") == 2  # one node: tree + details
+    # the event_type filter reaches the parquet scan
+    assert "PushedFilters" in p and "event_type" in p.split("PushedFilters")[1][:200]
+
+
+def test_postings_no_expand_single_exchange(spark):
+    """df derives from the collected posting set, not COUNT(DISTINCT) —
+    no Expand/double-aggregate pass; one term-key exchange."""
+    df = Q.REGISTRY["doc_postings"].fn(spark, SF)
+    p = plan(df)
+    assert "Expand" not in p
+    assert p.count("Exchange") == 2
+
+
+def test_anti_join_pushes_price_filter(spark):
+    df = Q.REGISTRY["customers_without_big_orders"].fn(spark, SF)
+    p = plan(df)
+    assert "LeftAnti" in p
+    # the o_totalprice predicate is applied before the join build side
+    assert "PushedFilters" in p and "o_totalprice" in p.split("PushedFilters", 2)[-1][:300]
+
+
+def test_pivot_explicit_values_two_aggregated_exchanges(spark):
+    """Explicit pivot values: no distinct-collect pre-job. The two-phase
+    pivot plan shuffles twice, but both exchanges carry post-aggregation
+    rows (|days| x |types|), with partial counts map-side before the
+    first."""
+    df = Q.REGISTRY["daily_type_pivot"].fn(spark, SF)
+    p = plan(df)
+    assert p.count("Exchange") == 4  # two nodes: tree + details each
+    assert "partial_count" in p and "pivotfirst" in p
+    assert "Expand" not in p
+
+
+def test_gapfill_spine_is_broadcast(spark):
+    """The minute spine joins the per-minute aggregate via broadcast —
+    raw events are never shuffled by the spine join."""
+    df = Q.REGISTRY["minute_gapfill_ffill"].fn(spark, SF)
+    p = plan(df)
+    assert "Broadcast" in p
