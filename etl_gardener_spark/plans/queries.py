@@ -1098,6 +1098,81 @@ def read_schema_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_daily_counts",
+    """
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS date,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS click,
+             CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+               AS error,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS purchase,
+             CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+               AS signup,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS view
+      FROM events GROUP BY 1)
+    SELECT date, 'click' AS event_type, click AS n FROM wide
+    UNION ALL SELECT date, 'error', error FROM wide
+    UNION ALL SELECT date, 'purchase', purchase FROM wide
+    UNION ALL SELECT date, 'signup', signup FROM wide
+    UNION ALL SELECT date, 'view', view FROM wide
+    """,
+    tags=("analytics", "pivot"),
+)
+def unpivot_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the wide per-day count matrix back to long form. The
+    unpivot is a zero-shuffle Expand over the (already tiny) wide result —
+    |days| x |types| rows out; round-tripping pivot -> unpivot is the
+    standard wide/long bridge for metric tables."""
+    wide = daily_type_pivot(spark, sf_dir)
+    return wide.unpivot("date", _EVENT_TYPES, "event_type", "n")
+
+
+@query(
+    "loyal_buyers_setops",
+    """
+    SELECT user_id FROM (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND CAST(ts AS DATE) <= DATE '2024-01-15'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND CAST(ts AS DATE) > DATE '2024-01-15')
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'error' AND value > 190
+    """,
+    tags=("analytics", "setops"),
+)
+def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: users who purchased in both halves of the month
+    (INTERSECT) minus users who hit a high-severity error (EXCEPT).
+    Both set ops plan as key-partitioned joins over distinct user sets —
+    each input collapses to |users| rows before any set op, so the work is
+    bounded by the user dimension."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    mid = F.lit("2024-01-15").cast("date")
+    first_half = (
+        e.filter((F.col("event_type") == "purchase") & (day <= mid))
+        .select("user_id")
+        .distinct()
+    )
+    second_half = (
+        e.filter((F.col("event_type") == "purchase") & (day > mid))
+        .select("user_id")
+        .distinct()
+    )
+    bad = (
+        e.filter((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select("user_id")
+        .distinct()
+    )
+    return first_half.intersect(second_half).subtract(bad)
+
+
+@query(
     "funnel_steps",
     """
     WITH t1 AS (

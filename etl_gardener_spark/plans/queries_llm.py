@@ -1404,6 +1404,29 @@ def stream_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT f.cohort_day, e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(sum(e.value), 2) AS total_value
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("llm", "streaming", "join"),
+)
+def stream_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: micro-batched events broadcast-joined to a
+    batch-computed user-cohort dimension, aggregated per (cohort_day,
+    event_type). Must equal the equivalent batch join+rollup."""
+    from etl_gardener_spark.streaming.events import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     """
     SELECT DISTINCT CAST(ts AS DATE) AS date, user_id, event_type

@@ -88,3 +88,54 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name)
     result = spark.createDataFrame(out.collect(), schema=out.schema)
     return result
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched per micro-batch with a
+    static dimension (each user's cohort day, computed once in batch from
+    the warehouse), then aggregated per (cohort_day, event_type).
+
+    This is the streaming twin of ``cohort_retention``'s join: the static
+    side is loaded once, broadcast into every micro-batch (no stream-side
+    shuffle for the join), and re-resolved per batch so a slowly-changing
+    dimension picks up updates between batches. State is bounded by
+    |cohorts| x |event types| regardless of stream volume.
+    """
+    from etl_gardener_spark.sources.tables import load_table
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cohorts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
