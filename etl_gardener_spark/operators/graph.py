@@ -87,3 +87,61 @@ def connected_components(
             return labels.select("id", F.col("comp").alias("component"))
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair relation.
+
+    Centrality inside near-dup clusters: a document tied to many
+    near-duplicates ranks high, which makes rank a useful survivor-election
+    criterion (keep the most-connected exemplar) complementary to
+    ``connected_components``'s min-id rule. Returns ``(id, rank)``; ranks
+    of isolated vertices settle at the reset mass ``(1-damping)/N``.
+
+    Each iteration is one equi-join of the (degree-annotated, checkpointed)
+    edge list with the rank vector plus a dst-key sum — shuffle cost
+    |E| + |V| rows per round, no driver-side state beyond the loop counter.
+    Lineage is cut per round (eager localCheckpoint) exactly like
+    ``connected_components``; dangling mass is not redistributed (isolated
+    vertices keep reset mass), which matches the oracle's formulation.
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    und = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # degree rides along with each edge; built once, reused every round
+    out_edges = und.join(deg, "u").localCheckpoint(eager=True)
+    verts = (
+        vertices.select(F.col(id_col).cast("long").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = float(verts.count())
+    r = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            out_edges.join(r.select(F.col("id").alias("u"), "rank"), "u")
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        r = (
+            verts.join(contrib.select(F.col("v").alias("id"), "c"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -1173,6 +1173,43 @@ def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_value_deciles",
+    """
+    WITH u AS (
+      SELECT user_id, ROUND(sum(value), 4) AS total
+      FROM events GROUP BY user_id)
+    SELECT user_id, total,
+           CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+           CAST(DENSE_RANK() OVER (
+             ORDER BY CAST(floor(total / 100) AS BIGINT) DESC) AS BIGINT)
+             AS tier
+    FROM u WINDOW w AS (ORDER BY total DESC, user_id)
+    """,
+    tags=("analytics", "window"),
+)
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth beyond ROW_NUMBER (the only ranking the
+    reference uses, cloud/bq/ops.go:201-204): NTILE deciles and DENSE_RANK
+    value tiers over per-user lifetime value. The global window runs on the
+    aggregated user dimension — |users| rows, after the map-side-combined
+    sum — never on raw events; ties break on user_id so the decile
+    assignment is total-ordered and hash-stable."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.orderBy(F.col("total").desc(), "user_id")
+    wt = Window.orderBy(F.floor(F.col("total") / 100).cast("long").desc())
+    return u.select(
+        "user_id",
+        "total",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.dense_rank().over(wt).cast("long").alias("tier"),
+    )
+
+
+@query(
     "funnel_steps",
     """
     WITH t1 AS (

@@ -571,6 +571,44 @@ def doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_bigram_merges",
+    f"""
+    {_DOCS_CTE},
+    pairs AS (SELECT unnest({_shingles_sql(2)}) AS pair FROM d),
+    cnt AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs
+            GROUP BY pair),
+    ranked AS (SELECT pair, n,
+                      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair)
+                           AS BIGINT) AS rn
+               FROM cnt)
+    SELECT pair, n, rn FROM ranked WHERE rn <= 20
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def doc_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE-style merge induction: the 20 most frequent
+    adjacent token pairs across the corpus (a real tokenizer trainer
+    iterates this; one round is the building block). Explode of 2-gram
+    shingles -> one pair-key aggregate -> global top-k, which plans as
+    WindowGroupLimit over the (post-aggregation) pair vocabulary, so the
+    full sort is never materialized; ties break on the pair text for a
+    total order."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode_outer(TX.shingles_of(TX.ws_tokens("text"), 2)).alias("pair")
+    ).filter(F.col("pair").isNotNull())
+    cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("pair", "n", "rn")
+    )
+
+
 _DECON_N = 5
 _DECON_HASHES = (
     f"list_distinct(list_transform({_shingles_sql(_DECON_N)}, s -> {_h60('s')}))"
@@ -913,6 +951,60 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = ND.simhash(d, "text", "doc_id")
     out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=3, bands=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank CTE chain over the SimHash
+    near-dup graph (same unroll technique as the k-means oracle)."""
+    parts = [
+        _SIMHASH_CTE
+        + """,
+    pr_pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v FROM sim a JOIN sim b
+      ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+    und AS (SELECT u, v FROM pr_pairs UNION ALL SELECT v, u FROM pr_pairs),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS deg FROM und GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    r0 AS (SELECT doc_id, 1.0 / nn.n AS r FROM documents, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    c{i} AS (SELECT und.v AS doc_id, sum(r{i-1}.r / deg.deg) AS c
+             FROM und JOIN r{i-1} ON r{i-1}.doc_id = und.u
+             JOIN deg ON deg.u = und.u GROUP BY und.v),
+    r{i} AS (SELECT d0.doc_id, 0.15 / nn.n + 0.85 * COALESCE(c{i}.c, 0) AS r
+             FROM documents d0 CROSS JOIN nn
+             LEFT JOIN c{i} ON c{i}.doc_id = d0.doc_id)"""
+        )
+    parts.append(f"\n    SELECT doc_id, ROUND(r, 8) AS pagerank FROM r{iters}")
+    return "".join(parts)
+
+
+@query(
+    "doc_pagerank",
+    _pagerank_oracle(3),
+    tags=("llm", "graph"),
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the SimHash near-dup graph (3 iterations,
+    damping 0.85): the most-connected exemplar of each duplicate
+    neighborhood surfaces with the highest rank — an alternative survivor-
+    election rule to connected-components' min-id. Iterative DataFrame
+    algorithm with per-round lineage cuts; the oracle unrolls the same
+    three iterations as a CTE chain."""
+    from etl_gardener_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents")
+    sim = ND.simhash(d, "text", "doc_id")
+    pairs = ND.simhash_near_pairs(sim, "doc_id", max_hamming=3, bands=4)
+    pr = pagerank(
+        d.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b", iters=3
+    )
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("rank", 8).alias("pagerank")
+    )
 
 
 # ---------------------------------------------------------------------------
