@@ -1173,6 +1173,69 @@ def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_orders",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "agg", "cube"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four aggregation granularities of
+    (status, priority) in one pass — the Expand node emits each input row
+    once per grouping set before a single hash aggregate, so the scan and
+    shuffle happen once, not four times. NULL grouping slots are labeled
+    '<all>' on both engines (dimension values are non-null here)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(min(value), 4) AS lo,
+           ROUND(max(value), 4) AS hi
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "agg", "histogram"),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type (bucket = floor(value/25)):
+    the distributed building block for profiling numeric columns at
+    scale — one keyed aggregate, |types| x |buckets| rows out, partial
+    counts map-side."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@query(
     "user_value_deciles",
     """
     WITH u AS (

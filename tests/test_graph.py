@@ -78,3 +78,61 @@ def test_matches_union_find(spark, n, edges):
     edges = [(u, v) for u, v in edges if u < n and v < n]
     got = _run(spark, n, edges)
     assert got == _union_find(n, edges)
+
+
+def _pagerank_ref(n, edges, iters=3, damping=0.85):
+    """Row-at-a-time python reference of operators/graph.pagerank."""
+    und = []
+    for u, v in edges:
+        und.append((u, v))
+        und.append((v, u))
+    deg = {}
+    for u, _ in und:
+        deg[u] = deg.get(u, 0) + 1
+    r = {i: 1.0 / n for i in range(n)}
+    for _ in range(iters):
+        contrib = {i: 0.0 for i in range(n)}
+        for u, v in und:
+            contrib[v] += r[u] / deg[u]
+        r = {i: (1.0 - damping) / n + damping * contrib[i] for i in range(n)}
+    return r
+
+
+def test_pagerank_triangle_plus_isolate(spark):
+    from etl_gardener_spark.operators.graph import pagerank
+
+    n = 5
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3)]  # triangle + pendant + isolate 4
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank"] for r in pagerank(verts, e, iters=3).collect()}
+    ref = _pagerank_ref(n, edges)
+    assert set(got) == set(ref)
+    for i in ref:
+        assert abs(got[i] - ref[i]) < 1e-12, (i, got[i], ref[i])
+    # isolate holds exactly the reset mass; hub 2 ranks highest
+    assert abs(got[4] - 0.15 / n) < 1e-12
+    assert got[2] == max(got.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=16),
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30
+    ),
+)
+def test_pagerank_matches_reference(spark, n, edges):
+    from etl_gardener_spark.operators.graph import pagerank
+
+    edges = [(u, v) for u, v in edges if u < n and v < n and u != v]
+    if not edges:
+        return
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r["id"]: r["rank"] for r in pagerank(verts, e, iters=2).collect()}
+    ref = _pagerank_ref(n, edges, iters=2)
+    for i in ref:
+        assert abs(got[i] - ref[i]) < 1e-9, (i, got[i], ref[i])
+    # rank is a probability-ish mass: total <= 1 (dangling mass decays)
+    assert sum(got.values()) <= 1.0 + 1e-9
