@@ -1173,6 +1173,102 @@ def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "user_first_last_event",
+    """
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_min(value, ts) AS first_value,
+           arg_max(event_type, ts) AS last_type,
+           arg_max(value, ts) AS last_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "agg", "argmax"),
+)
+def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMIN/ARGMAX aggregates (min_by/max_by): each user's first and
+    last event in ONE keyed aggregate — the agg-side alternative to the
+    reference's window+rn=1 dedup shape when only the extreme row is
+    needed: no sort, no window state, partial min_by combines map-side, so
+    the shuffle carries one candidate row per key per mapper instead of
+    the full partition sort a window needs. (Event timestamps are unique
+    per user in this data, so the argmin is well-defined on both
+    engines.)"""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "term_typo_pairs",
+    """
+    WITH toks AS (
+      SELECT DISTINCT unnest(list_filter(
+        string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0))
+        AS term
+      FROM documents)
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist
+    FROM toks a JOIN toks b ON a.term < b.term
+    WHERE levenshtein(a.term, b.term) <= 2
+    """,
+    tags=("llm", "text", "fuzzy"),
+)
+def term_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy term matching: vocabulary pairs at Levenshtein distance <= 2
+    (the typo-candidate join a spell-normalization pass needs). The
+    quadratic comparison runs on the DISTINCT term dimension — |vocab|^2,
+    tiny next to the corpus — never on documents; at web-corpus vocab
+    sizes the same join would take a length/prefix blocking key, but the
+    shape (dedup to a dimension, then self-join the dimension) is the
+    scale pattern."""
+    from etl_gardener_spark.functions import text as TX
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode_outer(TX.ws_tokens("text")).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # build the vocab dim once, join twice
+    )
+    a = toks.select(F.col("term").alias("term_a"))
+    b = toks.select(F.col("term").alias("term_b"))
+    return (
+        a.join(b, F.col("term_a") < F.col("term_b"))
+        .withColumn("dist", F.levenshtein("term_a", "term_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@query(
+    "daily_approx_users",
+    None,  # HLL sketches are engine-specific: no cross-engine value oracle
+    tags=("analytics", "approx"),
+)
+def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct counts (HyperLogLog++, rsd=1%): per-day
+    approximate and exact active-user counts side by side. At 100 TB the
+    approximate path is the affordable default — constant-size sketch per
+    group, mergeable map-side, no distinct expansion; the exact column
+    here exists so tests can bound the relative error (see
+    tests/test_plans.py). Sketch values are engine-specific, hence no
+    DuckDB value oracle (driver records the rows-only check)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("date"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+        )
+    )
+
+
+@query(
     "cube_orders",
     """
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
@@ -1314,6 +1410,10 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == steps[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts"))
+        # materialize each step frame (|users| rows) once: the union of
+        # per-step counts would otherwise recompute step k's whole prefix
+        # chain in every later branch — O(steps^2) event scans at scale
+        .localCheckpoint(eager=True)
     )
     reached.append(cur)
     for et in steps[1:]:
@@ -1324,6 +1424,7 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("ts") > F.col("__prev_ts"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("ts"))
+            .localCheckpoint(eager=True)
         )
         reached.append(cur)
     out = None

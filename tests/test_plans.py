@@ -134,3 +134,22 @@ def test_gapfill_spine_is_broadcast(spark):
     df = Q.REGISTRY["minute_gapfill_ffill"].fn(spark, SF)
     p = plan(df)
     assert "Broadcast" in p
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=1% must land within 5% of exact on every day (loose
+    bound: guards against wiring the wrong column, not sketch quality)."""
+    df = Q.REGISTRY["daily_approx_users"].fn(spark, SF)
+    for r in df.collect():
+        assert r["exact_users"] > 0
+        err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert err < 0.05, (r["date"], r["approx_users"], r["exact_users"])
+
+
+def test_min_by_is_single_aggregate_no_window(spark):
+    """first/last per key via min_by/max_by: one exchange, no Window/Sort
+    node — the agg replaces the window+rn=1 shape."""
+    df = Q.REGISTRY["user_first_last_event"].fn(spark, SF)
+    p = plan(df)
+    assert "Window" not in p
+    assert p.count("Exchange") == 2
