@@ -409,6 +409,27 @@ def load_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "load_orc",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    tags=("parity", "source"),
+)
+def load_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar landing-format breadth: events round-tripped through ORC
+    (the other splittable columnar format Spark ships natively). Unlike
+    the text formats, ORC carries its own schema and min/max stripe
+    statistics, so the re-read gets vectorized scanning and predicate
+    pushdown for free — the schema argument is only asserted against,
+    not imposed."""
+    out = _scratch("loadorc")
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(out, "landing")
+    events.select(*_EVENTS_COLS).write.orc(path)
+    df = spark.read.orc(path)
+    assert df.schema == events.select(*_EVENTS_COLS).schema
+    return df.select(*_EVENTS_COLS)
+
+
+@query(
     "refresh_rollup_days",
     """
     SELECT CAST(ts AS DATE) AS date, event_type,

@@ -595,8 +595,12 @@ def doc_bigram_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     full sort is never materialized; ties break on the pair text for a
     total order."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = d.select(
-        F.explode_outer(TX.shingles_of(TX.ws_tokens("text"), 2)).alias("pair")
+    # stage tokens as an attribute: shingles_of indexes the array twice per
+    # pair, and an inline tokenizer expression would be re-evaluated per
+    # element_at (see shingles_of docstring)
+    staged = d.select(TX.ws_tokens("text").alias("__toks"))
+    pairs = staged.select(
+        F.explode_outer(TX.shingles_of(F.col("__toks"), 2)).alias("pair")
     ).filter(F.col("pair").isNotNull())
     cnt = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("long").alias("n"))
     from pyspark.sql import Window
