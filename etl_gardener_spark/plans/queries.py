@@ -1194,6 +1194,75 @@ def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+      FROM lineitem GROUP BY l_partkey)
+    SELECT ROUND(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.lim
+    """,
+    tags=("analytics", "tpch"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-aggregate pattern (revenue of
+    below-one-fifth-of-average-quantity line items), decorrelated by hand
+    into a per-part aggregate re-joined to the fact table: Catalyst gets a
+    plain equi-join it can plan (the part-level aggregate is tiny ->
+    broadcast under AQE) instead of a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("lim")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "big_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, ROUND(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    SELECT c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total, big.qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("analytics", "tpch"),
+)
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING over a keyed aggregate feeding a join
+    chain: orders whose total line quantity exceeds 150, annotated with
+    customer name. The heavy-order key set is aggregated first (map-side
+    partial sums), so the joins move only qualifying orders; the customer
+    dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 150)
+        .select("l_orderkey", F.round("__qty", 2).alias("qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            "qty",
+        )
+    )
+
+
+@query(
     "user_first_last_event",
     """
     SELECT user_id,
