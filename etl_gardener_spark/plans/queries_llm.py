@@ -1084,6 +1084,54 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
+@query(
+    "emb_label_cohesion",
+    f"""
+    WITH cent AS (
+      SELECT label, list(m ORDER BY i) AS cvec FROM (
+        SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM embeddings, range(1, {_DIM + 1}) r(i)
+        GROUP BY label, i) GROUP BY label)
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+           ROUND(avg({_cosine_sql("e.embedding", "c.cvec")}), 6) AS avg_cos,
+           ROUND(min({_cosine_sql("e.embedding", "c.cvec")}), 6) AS min_cos
+    FROM embeddings e JOIN cent c ON c.label = e.label
+    GROUP BY e.label
+    """,
+    tags=("llm", "embedding"),
+)
+def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report: per label, the member count and the
+    average / worst cosine of members to their label centroid — the
+    quality gauge run after any clustering or labeling pass. Centroids
+    come from one posexplode + (label, dim) aggregate (shuffles |labels| x
+    dim rows, not vectors), are reassembled in dim order, and broadcast
+    back onto members; the cosine is a codegen'd zip_with/aggregate fold,
+    no Python. Centroid elements are rounded to 6 decimals on both engines
+    so the fold is bit-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    by_dim = (
+        e.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+    )
+    cent = by_dim.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+    cos = SIM.cosine(F.col("embedding"), F.col("cvec"))
+    return (
+        e.join(F.broadcast(cent), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(cos), 6).alias("avg_cos"),
+            F.round(F.min(cos), 6).alias("min_cos"),
+        )
+    )
+
+
 def _kmeans_ctes(k: int = 8, n_iter: int = 2) -> tuple[str, str]:
     """Unrolled Lloyd iterations as CTEs, mirroring operators/similarity.
     kmeans exactly (seeded centroids, rounded-cosine argmax with min-cid
