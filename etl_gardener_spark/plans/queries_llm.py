@@ -1571,6 +1571,28 @@ def stream_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_attrib",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    tags=("llm", "streaming", "join"),
+)
+def stream_stream_attrib_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click-to-purchase attribution within
+    1 h): watermark-bounded buffered state on both sides. Must equal the
+    batch range-predicate join."""
+    from etl_gardener_spark.streaming.events import (
+        stream_stream_click_attribution,
+    )
+
+    return stream_stream_click_attribution(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     """
     SELECT DISTINCT CAST(ts AS DATE) AS date, user_id, event_type

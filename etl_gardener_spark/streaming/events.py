@@ -139,3 +139,71 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the clicks that
+    preceded them by at most one hour, both sides arriving as streams.
+
+    The hard part of stream-stream joins is state retention — either side
+    must buffer rows until the other side can no longer match them. The
+    watermark (10 min) plus the time-interval condition bound that state:
+    a click older than (purchase watermark - 1 h) can never match again
+    and is evicted, so state is O(1 hour of clicks) per key regardless of
+    stream length. Inner-join matches emit as soon as both rows are
+    present; the watermark only drives cleanup.
+    """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _side(event_type: str, prefix: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        return (
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    p, c = _side("purchase", "purchase"), _side("click", "click")
+    joined = p.join(
+        c,
+        (F.col("purchase_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select(
+        F.col("purchase_id"), F.col("click_id"), F.col("purchase_user").alias("user_id")
+    )
+
+    # Stream-stream joins keep FOUR state stores per shuffle partition
+    # (keyed + key-with-index per side); per-batch cost is store
+    # open/commit x partitions, so size stores to the state volume, not
+    # the session's scan parallelism (same tuning as stream_sessionize).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    name = f"attrib_{uuid.uuid4().hex[:8]}"
+    try:
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.table(name)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
