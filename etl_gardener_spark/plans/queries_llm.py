@@ -738,6 +738,43 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.shuffle_shards(d, "doc_id", n_shards=_N_SHARDS)
 
 
+@query(
+    "doc_shard_manifest",
+    f"""
+    WITH k AS (SELECT doc_id, {_SHARD_KEY} AS key FROM documents),
+    s AS (SELECT d.doc_id, k.key % {_N_SHARDS} AS shard, d.n_chars,
+                 {_h60('d.text')} AS fp
+          FROM documents d JOIN k USING (doc_id))
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(bit_xor(fp) AS BIGINT) AS content_hash
+    FROM s GROUP BY shard
+    """,
+    tags=("llm", "export"),
+)
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export manifest: per shard, document count, total chars, and an
+    order-insensitive content checksum (bit_xor of each document's 60-bit
+    md5 fingerprint). This is the verification artifact a 100 TB export
+    ships with — a reader re-derives the same manifest from the delivered
+    shards and diffs; XOR makes the checksum independent of row order and
+    mergeable across partial aggregations (map-side combine works)."""
+    d = load_table(spark, sf_dir, "documents")
+    shards = CP.shuffle_shards(d, "doc_id", n_shards=_N_SHARDS)
+    fp = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+    return (
+        shards.join(d, "doc_id")
+        .select("shard", "n_chars", fp.alias("__fp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(__fp)").cast("long").alias("content_hash"),
+        )
+    )
+
+
 _CHUNK_LEN = 32
 _CHUNK_STRIDE = 24
 
