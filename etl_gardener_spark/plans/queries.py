@@ -1263,6 +1263,49 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "purchaser_error_matrix",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' AND value > 250
+      GROUP BY user_id),
+    e AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error' AND value > 250
+      GROUP BY user_id)
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           COALESCE(e.n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+    tags=("analytics", "join", "outer"),
+)
+def purchaser_error_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: high-value purchasers vs high-value error users,
+    keeping users present on either side only (the value > 250 filters
+    make each side a strict subset, so all three match cases occur). Both
+    sides are pre-aggregated to |users| rows before the join — the outer
+    join never touches raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = F.col("value") > 250
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & hi)
+        .groupBy(F.col("user_id").alias("__pu"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+    )
+    e = (
+        ev.filter((F.col("event_type") == "error") & hi)
+        .groupBy(F.col("user_id").alias("__eu"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+    )
+    return p.join(e, F.col("__pu") == F.col("__eu"), "full_outer").select(
+        F.coalesce("__pu", "__eu").alias("user_id"),
+        F.coalesce("n_purchases", F.lit(0)).cast("long").alias("n_purchases"),
+        F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+    )
+
+
+@query(
     "user_first_last_event",
     """
     SELECT user_id,
