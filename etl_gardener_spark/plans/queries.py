@@ -1263,6 +1263,40 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_neighbors",
+    """
+    SELECT user_id, event_id,
+           lag(event_type) OVER w AS prev_type,
+           lead(event_type) OVER w AS next_type,
+           first_value(event_type) OVER w AS first_type,
+           nth_value(event_type, 2) OVER w AS second_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("analytics", "window"),
+)
+def event_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset/positional window breadth: LAG, LEAD, FIRST_VALUE and
+    NTH_VALUE over each user's event timeline in one window definition —
+    one user-key exchange, one sort, four functions evaluated in the same
+    pass (Spark fuses same-spec window functions into one Window node).
+    The (ts, event_id) order key is total, so every offset value is
+    deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # default frame (unbounded preceding..current row) matches the SQL
+    # WINDOW clause; lead/lag ignore frames on both engines
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@query(
     "purchaser_error_matrix",
     """
     WITH p AS (
