@@ -1263,6 +1263,37 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_dispersion",
+    """
+    SELECT event_type,
+           ROUND(stddev_samp(value), 4) AS sd,
+           ROUND(var_samp(value), 4) AS var,
+           ROUND(stddev_pop(value), 4) AS sd_pop,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_user
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "agg", "stats"),
+)
+def value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate breadth: sample/population stddev, variance,
+    Pearson correlation and covariance per event type — all single-pass,
+    numerically-stable (Welford-style) partial aggregates that combine
+    map-side, so the shuffle carries O(|types|) moment tuples, not rows.
+    (corr against user_id is a null-hypothesis check — values are
+    user-independent by construction, so it hovers near 0.)"""
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.var_samp("value"), 4).alias("var"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
+        F.round(F.corr("value", uid), 6).alias("corr_user"),
+        F.round(F.covar_samp("value", uid), 4).alias("covar_user"),
+    )
+
+
+@query(
     "event_neighbors",
     """
     SELECT user_id, event_id,
