@@ -1,0 +1,614 @@
+"""TPC-H-shape analytic queries over the driver's star schema.
+
+The reference's own SQL surface stops at dedup windows and one left join
+(SURVEY.md §2.2) — these queries extend the engine across the classic
+decision-support shapes (multi-way joins, semi/anti joins with non-equi
+conditions, scalar-subquery thresholds, disjunctive pushdown, conditional
+aggregation, grouping sets, global top-k) so a reference user gets a full
+analytics surface, not just the gardener pipeline. Every query pairs with a
+DuckDB oracle; aliases match on both sides (the driver's comparator sorts
+columns by name before hashing).
+
+Scale notes are per-query docstrings: dimension sides are broadcast, filters
+sit before joins so they reach the parquet scan, and every aggregate is a
+partial (map-side combine) before its one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.plans.queries import query
+from etl_gardener_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins + top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1998-01-01' AND l_shipdate > DATE '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "tpch", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped orders for one market
+    segment, global top-10. The segment filter reaches the customer scan
+    and that side broadcasts; orders⨝lineitem is the only shuffle pair.
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject — per-partition
+    top-10 then a 10-row driver merge, never a global sort of the
+    aggregate. Deterministic tiebreak (o_orderdate, l_orderkey) keeps the
+    10-row set stable across engines."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("analytics", "tpch", "topk"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter. Four-way join where nation (25 rows) and the quarter-filtered
+    orders side broadcast; lineitem is never shuffled before its returnflag
+    filter. Aggregation keys include the customer attributes so no second
+    join back to customer is needed."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q7_nation_pair_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("analytics", "tpch", "join"),
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    The disjunctive nation-pair predicate is applied AFTER the cheap
+    broadcast joins attach both nation names; supplier/customer/nation all
+    broadcast, so the only shuffle is lineitem⨝orders. At 100 TB the
+    pair filter could instead pre-restrict supplier/customer to the two
+    nations before the fact joins (semi-push of the disjunction) —
+    expressed here via the two small broadcast dims already carrying only
+    the needed keys."""
+    n = load_table(spark, sf_dir, "nation")
+    pair = n.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("sk"),
+                                    F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(pair.select(F.col("n_nationkey").alias("ck"),
+                                    F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins with extra conditions, scalar-subquery thresholds
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_late_ship_priority",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 7 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "tpch", "semijoin"),
+)
+def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one line shipped more than a
+    week after order date, counted per priority. The EXISTS compiles to a
+    LEFT SEMI join whose condition mixes the equi key with a non-equi
+    timestamp comparison — Spark keeps the equi part as the shuffle key
+    and evaluates the residual inside the join, so no cartesian blow-up.
+    Semi join emits each order at most once (no post-dedup needed)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o["o_orderkey"] == l["l_orderkey"]) & (
+        l["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@query(
+    "q11_part_concentration",
+    """
+    WITH pv AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey, part_qty FROM pv
+    WHERE part_qty * 1250 > (SELECT SUM(part_qty) FROM pv)
+    """,
+    tags=("analytics", "tpch", "scalar-subquery"),
+)
+def q11_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding more than 0.1% of total shipped
+    quantity. The global total is a second aggregate over the SAME
+    per-part aggregate (not a second scan of lineitem) broadcast back as a
+    1-row cross join. Integer arithmetic (`part_qty * 1250 > total`)
+    keeps the threshold comparison exact on both engines — a float
+    fraction would make boundary rows engine-dependent."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("part_qty")
+    )
+    total = pv.agg(F.sum("part_qty").alias("total_qty"))
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_qty") * 1250 > F.col("total_qty"))
+        .select("l_partkey", "part_qty")
+    )
+
+
+@query(
+    "q22_idle_rich_segments",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY c_mktsegment
+    """,
+    tags=("analytics", "tpch", "antijoin", "scalar-subquery"),
+)
+def q22_idle_rich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers dormant in 2001,
+    rolled up by segment. The scalar AVG broadcasts as a 1-row cross
+    join; NOT EXISTS is a left-anti join whose build side is orders
+    pre-filtered by date and projected to the key column — the anti
+    join shuffles only qualifying keys, not whole orders rows."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    okeys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(okeys, c["c_custkey"] == okeys["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "top_supplier_per_nation",
+    """
+    SELECT n_name, s_name, s_acctbal
+    FROM supplier s JOIN nation n ON s_nationkey = n_nationkey
+    WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    """,
+    tags=("analytics", "tpch", "window"),
+)
+def top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's correlated-max shape: the supplier(s) with the highest
+    balance in each nation. The correlated subquery is decorrelated into
+    a MAX window over s_nationkey — one shuffle of supplier instead of a
+    self-join — then the 25-row nation dim broadcasts on. Ties keep all
+    rows, matching the correlated-equality semantics."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey")
+    best = s.withColumn("max_bal", F.max("s_acctbal").over(w)).filter(
+        F.col("s_acctbal") == F.col("max_bal")
+    )
+    return best.join(
+        F.broadcast(n), best["s_nationkey"] == n["n_nationkey"]
+    ).select("n_name", "s_name", "s_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Outer-join aggregates, conditional aggregation, distinct counting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_order_count_distribution",
+    """
+    WITH c_orders AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    tags=("analytics", "tpch", "outer-join"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of non-final order counts per
+    customer, zeros included. The status predicate lives on the join's
+    inner side (filter-before-join ≡ predicate in LEFT JOIN ... ON), so
+    unmatched customers survive with COUNT(o_orderkey)=0 — COUNT of a
+    column skips the NULLs an outer join fabricates. Second aggregate
+    (count-of-counts) is tiny; both aggregates are partial-first."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "q14_promo_revenue_pct",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= DATE '1997-06-01' AND l_shipdate < DATE '1997-07-01'
+    """,
+    tags=("analytics", "tpch", "conditional-agg"),
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from ECONOMY-type
+    parts. Conditional aggregation — one pass computes both the CASE'd
+    numerator and the unconditional denominator (no second join), with
+    part broadcast and the month filter pushed to the lineitem scan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q16_brand_supplier_cnt",
+    """
+    SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23' AND p_type NOT IN ('ECONOMY', 'STANDARD')
+      AND p_size IN (1, 4, 7, 10, 14, 23, 25, 45)
+    GROUP BY p_brand, p_type
+    """,
+    tags=("analytics", "tpch", "distinct"),
+)
+def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each surviving
+    (brand, type) after NOT-IN / IN-list part filters. The filters are
+    applied to the 2k-row part dim BEFORE broadcast, so the fact side
+    joins against only qualifying parts; COUNT(DISTINCT) expands to
+    Spark's two-phase distinct aggregate (partial dedup per partition,
+    then merge) — no global row shuffle of duplicates."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#23")
+            & (~F.col("p_type").isin("ECONOMY", "STANDARD"))
+            & (F.col("p_size").isin(1, 4, 7, 10, 14, 23, 25, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("analytics", "tpch", "disjunctive"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under three OR'd brand/size/quantity
+    bundles. Catalyst extracts the common-prefix constraints of the
+    disjunction: the part side is pre-filtered to the union of qualifying
+    brands/sizes before broadcast, and the quantity bounds (1..30 overall)
+    push to the lineitem scan, so the residual OR runs on a fraction of
+    each table rather than the joined output of the full tables."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("analytics", "agg", "grouping-sets"),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-dimension rollups plus the
+    grand total, WITHOUT the (status, priority) cross cells a CUBE would
+    add. One Expand node replicates each row once per grouping set into a
+    single hash aggregate: one scan, one shuffle, three granularities."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions / text entropy (LLM-pipeline adjacent)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "emb_vector_norms",
+    """
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum')), 6
+           ) AS l2_norm,
+           ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
+           ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax,
+           CAST(len(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    """,
+    tags=("llm", "array", "higher-order"),
+)
+def emb_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions entirely JVM-side: per-vector L2 norm
+    via transform+aggregate, min/max elements, dimensionality. No UDF, no
+    explode — the lambda runs inside codegen per row, so a 100 TB
+    embedding table needs zero Python workers and zero shuffles (narrow
+    map-only plan). Floats are cast to double BEFORE squaring on both
+    engines so the products agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.size("embedding").cast("long").alias("dim"),
+    )
+
+
+@query(
+    "doc_token_entropy",
+    """
+    WITH toks AS (
+      SELECT lang, lower(tok) AS tok FROM (
+        SELECT lang, unnest(string_split_regex(text, '[^a-zA-Z0-9]+')) AS tok
+        FROM documents) t
+      WHERE tok <> ''),
+    freq AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok),
+    tot AS (SELECT lang, SUM(c) AS n FROM freq GROUP BY lang)
+    SELECT f.lang,
+           ROUND(-SUM((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+             AS token_entropy,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab
+    FROM freq f JOIN tot USING (lang)
+    GROUP BY f.lang
+    """,
+    tags=("llm", "text", "entropy"),
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token Shannon entropy per language — the
+    diversity/degeneracy signal a training-data pipeline tracks next to
+    [[doc_quality_score]]-style per-doc filters. Tokenize (split+explode,
+    JVM-side), per-(lang,token) counts, then entropy from the count
+    vector. The expensive explode+count aggregates BEFORE the tiny
+    per-lang totals broadcast back — the heavy shuffle is on (lang,token),
+    never on raw tokens twice."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.col("text"), "[^a-zA-Z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select("lang", F.lower("tok").alias("tok"))
+    )
+    freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("lang").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        freq.join(F.broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"),
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+        )
+    )

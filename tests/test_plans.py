@@ -153,3 +153,84 @@ def test_min_by_is_single_aggregate_no_window(spark):
     p = plan(df)
     assert "Window" not in p
     assert p.count("Exchange") == 2
+
+
+def test_q3_topk_is_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge of 10 rows), never a full Sort of the aggregate."""
+    df = Q.REGISTRY["q3_shipping_priority"].fn(spark, SF)
+    p = plan(df)
+    assert "TakeOrderedAndProject" in p
+    # the segment filter reaches the customer scan
+    assert "c_mktsegment" in p.split("PushedFilters")[1] if "PushedFilters" in p else True
+
+
+def test_q4_semi_join_no_aggregate_dedup(spark):
+    """EXISTS maps to one LeftSemi join — no distinct/aggregate node is
+    needed to de-duplicate matched orders."""
+    df = Q.REGISTRY["q4_late_ship_priority"].fn(spark, SF)
+    p = plan(df)
+    assert "LeftSemi" in p
+
+
+def test_q7_only_fact_join_shuffles(spark):
+    """supplier/customer/nation attach by broadcast; the only
+    SortMergeJoin/shuffled join pair is lineitem-orders."""
+    df = Q.REGISTRY["q7_nation_pair_volume"].fn(spark, SF)
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") >= 6  # 3 joins x (tree+details)
+
+
+def test_q11_total_is_broadcast_reuse_not_rescan(spark):
+    """The global total aggregates the per-part aggregate and joins back
+    by broadcast — lineitem is scanned once per branch at most, and the
+    threshold join is a BroadcastNestedLoopJoin/BroadcastHashJoin of a
+    1-row side."""
+    df = Q.REGISTRY["q11_part_concentration"].fn(spark, SF)
+    p = plan(df)
+    assert "Broadcast" in p
+
+
+def test_q16_part_filters_push_to_dim_scan(spark):
+    """NOT-IN/IN-list predicates are applied to the part dim before the
+    broadcast exchange, not post-join."""
+    df = Q.REGISTRY["q16_brand_supplier_cnt"].fn(spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "PushedFilters" in p
+    pushed = p.split("PushedFilters", 2)
+    assert any("p_size" in seg[:300] or "p_brand" in seg[:300] for seg in pushed[1:])
+
+
+def test_q19_quantity_bounds_push_to_lineitem(spark):
+    """Catalyst extracts l_quantity >= 1 AND <= 30 from the OR'd bundles
+    and pushes it into the lineitem scan."""
+    df = Q.REGISTRY["q19_disjunctive_revenue"].fn(spark, SF)
+    p = plan(df)
+    assert "PushedFilters" in p and "l_quantity" in p
+
+
+def test_grouping_sets_single_expand_single_scan(spark):
+    """Three granularities, one scan: an Expand node feeds one hash
+    aggregate; orders parquet appears once in the plan."""
+    df = Q.REGISTRY["orders_grouping_sets"].fn(spark, SF)
+    p = plan(df)
+    assert "Expand" in p
+    assert p.count("orders.parquet") <= 2  # one scan node (tree+details)
+
+
+def test_vector_norms_narrow_no_exchange_no_python(spark):
+    """Higher-order array functions stay JVM-side: no shuffle, no
+    Python/Pandas eval node in the plan."""
+    df = Q.REGISTRY["emb_vector_norms"].fn(spark, SF)
+    p = plan(df)
+    assert "Exchange" not in p
+    assert "Python" not in p and "ArrowEval" not in p
+
+
+def test_token_entropy_two_aggregate_levels(spark):
+    """Heavy shuffle is on (lang, token) once; the per-lang total joins
+    back by broadcast, adding only a tiny aggregate."""
+    df = Q.REGISTRY["doc_token_entropy"].fn(spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
