@@ -326,6 +326,31 @@ def compact_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_partition",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE CAST(ts AS DATE) = DATE '2024-01-15'",
+    tags=("parity", "warehouse", "maintenance", "layout"),
+)
+def cluster_partition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered data layout (Warehouse.cluster_partition): rewrite
+    one day range-partitioned + sorted on user_id so parquet min/max
+    stats prune point lookups to ~one file. Content must be row-identical
+    to the unclustered day (layout is invisible to query results)."""
+    from datetime import date as D
+
+    day = D(2024, 1, 15)
+    wh = Warehouse(_scratch("cluster"))
+    events = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    wh.append(events.filter(F.col("date") == day), "tmp", "exp", "events")
+    stats = wh.cluster_partition(
+        spark, "tmp", "exp", "events", day, sort_cols=["user_id"], n_files=4
+    )
+    rngs = stats["ranges"]
+    assert all(rngs[i][1] <= rngs[i + 1][0] for i in range(len(rngs) - 1)), rngs
+    return wh.read_partition(spark, "tmp", "exp", "events", day).select(*_EVENTS_COLS)
+
+
+@query(
     "upsert_partition",
     """
     SELECT event_id, ts, user_id, event_type,

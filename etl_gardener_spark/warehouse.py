@@ -190,6 +190,83 @@ class Warehouse:
         fs.delete(p, True)
         return True
 
+    def cluster_partition(
+        self,
+        spark: SparkSession,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        day: Date,
+        sort_cols: list[str],
+        n_files: int | None = None,
+    ) -> dict:
+        """Sort-cluster one day partition on ``sort_cols`` (Z-order-lite
+        data layout): rewrite the day via ``repartitionByRange`` (globally
+        disjoint key ranges across files) + ``sortWithinPartitions``, so
+        every output file and every parquet row group carries tight,
+        non-overlapping min/max statistics on the cluster key.
+
+        Why it matters at 100 TB: a point or range predicate on the
+        cluster key then skips all but ~one file at the reader level
+        (parquet row-group stats filtering) — without clustering, a key
+        that appears all over the day forces a full-partition scan even
+        with perfect partition pruning. This is the scan-side complement
+        of compact_partition's file-count hygiene, and the plain-Parquet
+        analogue of Delta OPTIMIZE ZORDER for the single-column case.
+
+        Same staged-write + atomic-swap discipline as compact_partition:
+        readers never observe a partial partition; rerunning is
+        idempotent. Returns {files, rows, ranges} where ranges is the
+        per-file (min, max) of the leading sort column — callers (and
+        tests) can verify disjointness directly from parquet footers.
+        """
+        import pyarrow.parquet as pq
+
+        path = self.partition_path(tier, experiment, datatype, day)
+        fs = _hadoop_fs(spark, path)
+        p = _hadoop_path(spark, path)
+        if not fs.exists(p):
+            return {"files": 0, "rows": 0, "ranges": []}
+        df = spark.read.parquet(path)
+        if n_files is None:
+            statuses = [
+                s
+                for s in fs.listStatus(p)
+                if s.isFile() and not s.getPath().getName().startswith("_")
+            ]
+            total = sum(s.getLen() for s in statuses)
+            n_files = max(1, -(-total // (128 * 1024 * 1024)))
+        clustered = df.repartitionByRange(int(n_files), *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+        staged = path + ".__clustering__"
+        fs.delete(_hadoop_path(spark, staged), True)
+        clustered.write.mode("overwrite").parquet(staged)
+        rows = spark.read.parquet(staged).count()
+        out = [
+            s.getPath()
+            for s in fs.listStatus(_hadoop_path(spark, staged))
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        ]
+        lead = sort_cols[0]
+        ranges = []
+        for op in out:
+            local = op.toUri().getPath()
+            md = pq.ParquetFile(local).metadata
+            schema_names = md.schema.to_arrow_schema().names
+            ci = schema_names.index(lead)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                ranges.append((min(mins), max(maxs)))
+        fs.delete(p, True)
+        fs.rename(_hadoop_path(spark, staged), p)
+        return {"files": len(out), "rows": int(rows), "ranges": sorted(ranges)}
+
     def compact_partition(
         self,
         spark: SparkSession,

@@ -296,3 +296,48 @@ def test_upsert_partition(spark, tmp_path):
         spark, "tmp", "exp", "t", date(2030, 1, 1), upd, ["id"]
     )
     assert fresh["rows_before"] == 0 and fresh["inserted"] == 4
+
+
+def test_cluster_partition(spark, tmp_path):
+    """Sort-clustering preserves rows exactly, produces disjoint per-file
+    key ranges (the property that makes reader-level min/max skipping
+    effective), is idempotent, and no-ops on a missing day."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = date(2024, 3, 1)
+    # keys deliberately round-robined so every unclustered file holds the
+    # full key range (worst case for stats skipping)
+    df = spark.range(4000).select(
+        (F.col("id") % 97).alias("k"),
+        F.col("id").alias("payload"),
+        F.lit("2024-03-01").cast("date").alias("date"),
+    )
+    wh.append(df.repartition(8), "tmp", "exp", "t")
+    before = sorted(
+        (r.k, r.payload)
+        for r in wh.read_partition(spark, "tmp", "exp", "t", day).collect()
+    )
+
+    stats = wh.cluster_partition(spark, "tmp", "exp", "t", day, ["k"], n_files=4)
+    assert stats["files"] == 4 and stats["rows"] == 4000
+    rngs = stats["ranges"]
+    assert len(rngs) == 4
+    # globally disjoint: each file's max <= next file's min
+    assert all(rngs[i][1] <= rngs[i + 1][0] for i in range(3)), rngs
+    # full key domain covered
+    assert rngs[0][0] == 0 and rngs[-1][1] == 96
+
+    after = sorted(
+        (r.k, r.payload)
+        for r in wh.read_partition(spark, "tmp", "exp", "t", day).collect()
+    )
+    assert after == before
+
+    again = wh.cluster_partition(spark, "tmp", "exp", "t", day, ["k"], n_files=4)
+    assert again["rows"] == 4000
+
+    missing = wh.cluster_partition(
+        spark, "tmp", "exp", "t", date(2030, 1, 1), ["k"]
+    )
+    assert missing == {"files": 0, "rows": 0, "ranges": []}
