@@ -1541,14 +1541,12 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(sf_dir)
     )
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
     name = f"sessions_{_uuid.uuid4().hex[:8]}"
-    # State-store sizing: one store instance per shuffle partition. The
-    # per-batch cost here is store open/commit × partitions, not data
-    # volume — 8 stores beat 32 at this state size (~40% wall). At real
-    # stream scale this is the knob to re-raise.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    # 8 stores beat 32 at this state size (~40% wall); see
+    # streaming/state.py for the sizing rationale.
+    with state_store_partitions(spark):
         q = (
             sessionize_stream(events)
             .writeStream.outputMode("append")
@@ -1556,12 +1554,10 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .queryName(name)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+    try:
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
 

@@ -2,5 +2,6 @@
 daily-batch only, SURVEY.md §2.2 'Streaming-only operators: absent')."""
 
 from etl_gardener_spark.streaming.events import stream_hourly_rollup
+from etl_gardener_spark.streaming.state import state_store_partitions
 
-__all__ = ["stream_hourly_rollup"]
+__all__ = ["stream_hourly_rollup", "state_store_partitions"]

@@ -45,13 +45,16 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["date", "user_id", "event_type"])
         .select("date", "user_id", "event_type")
     )
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    with state_store_partitions(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -73,13 +73,16 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     agg = hourly_agg(events)
 
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
     name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    with state_store_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
@@ -186,24 +189,21 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     # Stream-stream joins keep FOUR state stores per shuffle partition
-    # (keyed + key-with-index per side); per-batch cost is store
-    # open/commit x partitions, so size stores to the state volume, not
-    # the session's scan parallelism (same tuning as stream_sessionize).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # (keyed + key-with-index per side), so state-volume sizing matters
+    # most here.
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
     name = f"attrib_{uuid.uuid4().hex[:8]}"
-    try:
+    with state_store_partitions(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        out = spark.table(name)
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+    try:
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
