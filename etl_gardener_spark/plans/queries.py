@@ -971,6 +971,38 @@ def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "props_variant_buckets",
+    """
+    SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
+                AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("analytics", "json", "variant"),
+)
+def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VariantType: ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` paths.
+    At 100 TB this is the right storage/access shape for ragged JSON —
+    parse once (ideally at ingest, persisting the variant column), then
+    every downstream path access is a cheap binary probe instead of a
+    string re-parse per expression; schema-on-read without schema
+    inference. Histogram of $.k deciles with per-bucket user cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        e.select(F.floor(k / 10).cast("long").alias("k_bucket"), "user_id")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+@query(
     "props_json_stats",
     """
     SELECT event_type,
