@@ -1,0 +1,180 @@
+"""Declarative data-quality validation over warehouse tables.
+
+The reference's only data-quality surface is load-error tolerance ("No such
+field:" warnings, ops/actions.go:215-225) and job-statistics counters; a
+production pipeline gates partition promotion (tmp → raw) on explicit
+checks. This module provides that gate as a declarative check list compiled
+into ONE aggregate pass per table (plus one extra pass per uniqueness /
+referential check, which need their own keyed shuffles).
+
+Check kinds:
+
+* ``not_null(col)``            — no NULLs in ``col``
+* ``in_range(col, lo, hi)``    — values within [lo, hi]
+* ``in_set(col, values)``      — values drawn from an allowed set
+* ``matches(col, regex)``      — strings match an anchored regex
+* ``unique(cols)``             — no duplicate key tuples
+* ``ref_integrity(col, dim_df, dim_col)`` — every value exists in the dim
+
+Scale notes (100 TB): all row-local checks (not_null / in_range / in_set /
+matches) compile to conditional-count expressions inside a single
+map-combined aggregate — one scan, zero shuffles, O(checks) columns of
+state. ``unique`` is one groupBy on the key (the same shuffle a dedup
+would do); ``ref_integrity`` is a left-anti join against the (broadcast)
+dimension key set. Nothing collects rows to the driver; the violation
+REPORT is O(#checks) rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative expectation; ``kind`` drives compilation."""
+
+    name: str
+    kind: str
+    col: str | None = None
+    lo: object = None
+    hi: object = None
+    values: tuple = ()
+    regex: str | None = None
+    cols: tuple = ()
+    dim: DataFrame | None = None
+    dim_col: str | None = None
+
+
+def not_null(col: str, name: str | None = None) -> Check:
+    return Check(name or f"not_null_{col}", "not_null", col=col)
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> Check:
+    return Check(name or f"in_range_{col}", "in_range", col=col, lo=lo, hi=hi)
+
+
+def in_set(col: str, values: Sequence, name: str | None = None) -> Check:
+    return Check(name or f"in_set_{col}", "in_set", col=col, values=tuple(values))
+
+
+def matches(col: str, regex: str, name: str | None = None) -> Check:
+    return Check(name or f"matches_{col}", "matches", col=col, regex=regex)
+
+
+def unique(cols: Sequence[str], name: str | None = None) -> Check:
+    return Check(name or "unique_" + "_".join(cols), "unique", cols=tuple(cols))
+
+
+def ref_integrity(
+    col: str, dim: DataFrame, dim_col: str, name: str | None = None
+) -> Check:
+    return Check(
+        name or f"ref_{col}", "ref_integrity", col=col, dim=dim, dim_col=dim_col
+    )
+
+
+def _violation_expr(c: Check):
+    """Row-local violation predicate for single-pass checks."""
+    col = F.col(c.col)
+    if c.kind == "not_null":
+        return col.isNull()
+    if c.kind == "in_range":
+        # NULL never satisfies the range; count it as a violation so a
+        # check list without an explicit not_null still surfaces gaps.
+        return ~col.between(F.lit(c.lo), F.lit(c.hi)) | col.isNull()
+    if c.kind == "in_set":
+        return ~col.isin(list(c.values)) | col.isNull()
+    if c.kind == "matches":
+        return ~col.rlike(c.regex) | col.isNull()
+    raise ValueError(f"not a row-local check: {c.kind}")
+
+
+def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Compile ``checks`` against ``df`` and return the violation report:
+    one row per check — ``(check, kind, n_rows, n_violations, pass)``.
+
+    All row-local checks share ONE aggregate over ONE scan; each unique /
+    referential check adds exactly one more job (keyed aggregate or
+    anti-join count). The report is unioned driver-side from per-check
+    1-row aggregates (O(#checks) rows — never row data).
+    """
+    local = [c for c in checks if c.kind in ("not_null", "in_range", "in_set", "matches")]
+    uniques = [c for c in checks if c.kind == "unique"]
+    refs = [c for c in checks if c.kind == "ref_integrity"]
+    unknown = [c for c in checks if c.kind not in
+               ("not_null", "in_range", "in_set", "matches", "unique", "ref_integrity")]
+    if unknown:
+        raise ValueError(f"unknown check kinds: {[c.kind for c in unknown]}")
+
+    reports: list[DataFrame] = []
+    spark = df.sparkSession
+
+    if local:
+        aggs = [F.count(F.lit(1)).alias("__n")] + [
+            F.sum(F.when(_violation_expr(c), 1).otherwise(0)).alias(f"__v{i}")
+            for i, c in enumerate(local)
+        ]
+        row_aggs = df.agg(*aggs)
+        # one row per check, from the single aggregate row (no re-scan)
+        stack = ", ".join(
+            f"'{c.name}', '{c.kind}', __v{i}" for i, c in enumerate(local)
+        )
+        reports.append(
+            row_aggs.select(
+                F.expr(
+                    f"stack({len(local)}, {stack}) AS (check, kind, n_violations)"
+                ),
+                F.col("__n").alias("n_rows"),
+            ).select("check", "kind", "n_rows", "n_violations")
+        )
+
+    for c in uniques:
+        dup = (
+            df.groupBy(*c.cols)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.sum("__c").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__c") > 1, F.col("__c"))), F.lit(0)
+                ).alias("n_violations"),
+            )
+        )
+        reports.append(
+            dup.select(
+                F.lit(c.name).alias("check"),
+                F.lit("unique").alias("kind"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+
+    for c in refs:
+        keys = F.broadcast(c.dim.select(F.col(c.dim_col).alias(c.col)).distinct())
+        orphans = df.join(keys, on=c.col, how="left_anti")
+        rep = df.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+        reports.append(
+            rep.select(
+                F.lit(c.name).alias("check"),
+                F.lit("ref_integrity").alias("kind"),
+                "n_rows",
+                "n_violations",
+            )
+        )
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "check",
+        "kind",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -971,6 +971,85 @@ def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_lineitem_checks",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+    SELECT * FROM (
+      SELECT 'not_null_l_orderkey' AS check_name, 'not_null' AS kind,
+             n.n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_orderkey IS NULL) AS n_violations
+      FROM n
+      UNION ALL
+      SELECT 'in_range_l_discount', 'in_range', n.n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE NOT (l_discount BETWEEN 0 AND 0.05)
+                 OR l_discount IS NULL)
+      FROM n
+      UNION ALL
+      SELECT 'in_range_l_quantity', 'in_range', n.n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE NOT (l_quantity BETWEEN 1 AND 50)
+                 OR l_quantity IS NULL)
+      FROM n
+      UNION ALL
+      SELECT 'in_set_l_returnflag', 'in_set', n.n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+              WHERE l_returnflag NOT IN ('A', 'N', 'R')
+                 OR l_returnflag IS NULL)
+      FROM n
+      UNION ALL
+      SELECT 'unique_l_orderkey_l_linenumber', 'unique', n.n_rows,
+             (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+                SELECT COUNT(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+      FROM n
+      UNION ALL
+      SELECT 'ref_l_orderkey', 'ref_integrity', n.n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      FROM n
+    ) t
+    """,
+    tags=("analytics", "quality"),
+)
+def dq_lineitem_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality.py): six declarative checks
+    over lineitem — the promotion gate a production tmp→raw copy (T3)
+    would run first. The four row-local checks share ONE map-combined
+    aggregate over ONE scan; uniqueness adds one keyed aggregate and
+    referential integrity one broadcast anti-join. The deliberately tight
+    discount bound (0.05 vs the data's 0.10) shows a failing check in the
+    report. Oracle restates every check as independent SQL."""
+    from etl_gardener_spark.operators.quality import (
+        in_range,
+        in_set,
+        not_null,
+        ref_integrity,
+        unique,
+        validate,
+    )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    report = validate(
+        l,
+        [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0, 0.05),
+            in_range("l_quantity", 1, 50),
+            in_set("l_returnflag", ["A", "N", "R"]),
+            unique(["l_orderkey", "l_linenumber"]),
+            ref_integrity("l_orderkey", o, "o_orderkey"),
+        ],
+    )
+    return report.select(
+        F.col("check").alias("check_name"), "kind", "n_rows", "n_violations"
+    )
+
+
+@query(
     "props_variant_buckets",
     """
     SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
