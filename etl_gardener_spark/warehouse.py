@@ -199,26 +199,37 @@ class Warehouse:
         day: Date,
         sort_cols: list[str],
         n_files: int | None = None,
+        zorder: bool = False,
     ) -> dict:
-        """Sort-cluster one day partition on ``sort_cols`` (Z-order-lite
-        data layout): rewrite the day via ``repartitionByRange`` (globally
-        disjoint key ranges across files) + ``sortWithinPartitions``, so
-        every output file and every parquet row group carries tight,
-        non-overlapping min/max statistics on the cluster key.
+        """Sort-cluster one day partition on ``sort_cols`` (data layout):
+        rewrite the day via ``repartitionByRange`` (globally disjoint key
+        ranges across files) + ``sortWithinPartitions``, so every output
+        file and every parquet row group carries tight, non-overlapping
+        min/max statistics on the cluster key.
+
+        With ``zorder=True`` (numeric ``sort_cols``, typically 2), rows
+        are ordered along a Z-curve instead: each column is min/max
+        scaled to 16 bits (bounds from one tiny aggregate) and the bits
+        interleaved into one JVM-expression key — no UDF, no shuffle
+        beyond the range partition itself. Files then hold compact
+        MULTI-dimensional bounding boxes: a predicate on ANY of the
+        z-ordered columns skips most files, where lexicographic sort
+        helps only its leading column. This is the plain-Parquet analogue
+        of Delta OPTIMIZE ZORDER.
 
         Why it matters at 100 TB: a point or range predicate on the
         cluster key then skips all but ~one file at the reader level
         (parquet row-group stats filtering) — without clustering, a key
         that appears all over the day forces a full-partition scan even
         with perfect partition pruning. This is the scan-side complement
-        of compact_partition's file-count hygiene, and the plain-Parquet
-        analogue of Delta OPTIMIZE ZORDER for the single-column case.
+        of compact_partition's file-count hygiene.
 
         Same staged-write + atomic-swap discipline as compact_partition:
         readers never observe a partial partition; rerunning is
         idempotent. Returns {files, rows, ranges} where ranges is the
-        per-file (min, max) of the leading sort column — callers (and
-        tests) can verify disjointness directly from parquet footers.
+        per-file (min, max) of the leading sort column (z-key order is
+        not leading-column order under zorder) — callers and tests verify
+        skipping potential directly from parquet footers.
         """
         import pyarrow.parquet as pq
 
@@ -236,9 +247,46 @@ class Warehouse:
             ]
             total = sum(s.getLen() for s in statuses)
             n_files = max(1, -(-total // (128 * 1024 * 1024)))
-        clustered = df.repartitionByRange(int(n_files), *sort_cols).sortWithinPartitions(
-            *sort_cols
-        )
+        if zorder:
+            bounds = df.agg(
+                *[F.min(c).cast("double").alias(f"__min_{c}") for c in sort_cols],
+                *[F.max(c).cast("double").alias(f"__max_{c}") for c in sort_cols],
+            ).collect()[0]
+            scaled = []
+            for c in sort_cols:
+                lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+                span = (hi - lo) or 1.0
+                scaled.append(
+                    F.least(
+                        F.lit(65535),
+                        F.floor(
+                            (F.col(c).cast("double") - F.lit(lo))
+                            / F.lit(span)
+                            * 65536.0
+                        ),
+                    ).cast("long")
+                )
+            k = len(scaled)
+            zbits = F.lit(0).cast("long")
+            for bit in range(16):
+                for j, s in enumerate(scaled):
+                    # bit `bit` of column j lands at position bit*k + (k-1-j)
+                    zbits = zbits.bitwiseOR(
+                        F.shiftleft(
+                            F.shiftright(s, bit).bitwiseAND(F.lit(1)),
+                            bit * k + (k - 1 - j),
+                        )
+                    )
+            df = df.withColumn("__z", zbits)
+            clustered = (
+                df.repartitionByRange(int(n_files), F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            clustered = df.repartitionByRange(
+                int(n_files), *sort_cols
+            ).sortWithinPartitions(*sort_cols)
         staged = path + ".__clustering__"
         fs.delete(_hadoop_path(spark, staged), True)
         clustered.write.mode("overwrite").parquet(staged)

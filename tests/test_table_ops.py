@@ -341,3 +341,67 @@ def test_cluster_partition(spark, tmp_path):
         spark, "tmp", "exp", "t", date(2030, 1, 1), ["k"]
     )
     assert missing == {"files": 0, "rows": 0, "ranges": []}
+
+
+def test_cluster_partition_zorder(spark, tmp_path):
+    """Z-order clustering yields compact per-file bounding boxes on BOTH
+    dimensions (quadrants for a uniform grid at 4 files), where a
+    lexicographic sort leaves the trailing column's span at 100%."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = date(2024, 3, 1)
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.lit("2024-03-01").cast("date").alias("date"),
+    )
+    wh.append(grid.repartition(8), "tmp", "exp", "grid")
+
+    def file_spans():
+        part_dir = wh.partition_path("tmp", "exp", "grid", day)
+        spans = []
+        for f in _glob.glob(part_dir + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.to_arrow_schema().names
+            box = {}
+            for col in ("x", "y"):
+                ci = names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    mins.append(st.min); maxs.append(st.max)
+                box[col] = max(maxs) - min(mins)
+            spans.append((box["x"], box["y"]))
+        return spans
+
+    # lexicographic baseline: y-span is full-domain in every file
+    stats = wh.cluster_partition(spark, "tmp", "exp", "grid", day, ["x", "y"], n_files=4)
+    assert stats["rows"] == 4096
+    lex = file_spans()
+    assert all(sy == 63 for _, sy in lex), lex
+
+    stats = wh.cluster_partition(
+        spark, "tmp", "exp", "grid", day, ["x", "y"], n_files=4, zorder=True
+    )
+    assert stats["files"] == 4 and stats["rows"] == 4096
+    zboxes = file_spans()
+    # Sampled range boundaries need not align with quadrant bit-prefixes,
+    # so ONE straddling file may still span a full dimension — assert the
+    # aggregate skipping potential instead: mean bounding-box span well
+    # under the lexicographic baseline's 100% trailing-column span
+    # (perfect quadrants would be ~50%).
+    mean_sx = sum(sx for sx, _ in zboxes) / len(zboxes)
+    mean_sy = sum(sy for _, sy in zboxes) / len(zboxes)
+    assert mean_sx <= 40 and mean_sy <= 48, zboxes
+    assert sum(1 for _, sy in zboxes if sy <= 42) >= 3, zboxes
+
+    # content preserved exactly
+    got = sorted(
+        (r.x, r.y)
+        for r in wh.read_partition(spark, "tmp", "exp", "grid", day).collect()
+    )
+    assert got == sorted((i % 64, i // 64) for i in range(4096))
