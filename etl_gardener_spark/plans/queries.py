@@ -1580,6 +1580,68 @@ def term_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "value_trend_by_type",
+    """
+    SELECT event_type,
+           CAST(regr_count(value, epoch(ts)) AS BIGINT) AS n,
+           ROUND(regr_slope(value, (epoch(ts) - 1704067200.0) / 3600), 6)
+             AS slope_per_hour,
+           ROUND(regr_intercept(value, (epoch(ts) - 1704067200.0) / 3600), 6)
+             AS intercept,
+           ROUND(regr_r2(value, (epoch(ts) - 1704067200.0) / 3600), 6) AS r2
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "agg", "regression"),
+)
+def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2): per-type
+    value trend over time, one map-combined pass — the distributed
+    least-squares primitives that back drift monitoring without any ML
+    library. The time axis is centered (hours since 2024-01-01) before
+    aggregation: regressing against raw epoch seconds (~1.7e9) makes the
+    sum-of-products cancellation-dominated and the result
+    engine-dependent; centered, both engines agree to 6 decimals."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts") - F.lit(1704067200.0)) / 3600
+    return e.groupBy("event_type").agg(
+        F.regr_count("value", x).cast("long").alias("n"),
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_hour"),
+        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
+
+
+@query(
+    "weekly_users_sketch_rollup",
+    None,  # Apache DataSketches HLL — engine-specific, no value oracle
+    tags=("analytics", "approx", "sketch"),
+)
+def weekly_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    hll_sketch_agg / hll_union_agg): per-day user sketches re-aggregated
+    into weekly estimates WITHOUT touching row data again. This is the
+    100 TB pattern [[daily_approx_users]]'s one-shot estimate cannot
+    express: materialize a tiny sketch per (day) once, then any coarser
+    rollup (week, month, arbitrary date ranges) is a union of
+    constant-size sketches — no second scan of the events table, no
+    re-shuffle of user ids. Returns (week, est_users, n_days)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.to_date("ts").alias("date"), "user_id")
+        .groupBy("date")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
+    )
+    return (
+        daily.groupBy(F.weekofyear("date").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("week", "est_users", "n_days")
+    )
+
+
+@query(
     "daily_approx_users",
     None,  # HLL sketches are engine-specific: no cross-engine value oracle
     tags=("analytics", "approx"),
