@@ -200,10 +200,16 @@ class TableOps:
         fact = self.wh.read_partition(self.spark, "raw", j.experiment, j.datatype, j.date)
         ann_path = self.wh.table_path("raw", j.experiment, j.annotation_datatype)
         if self.wh.path_exists(self.spark, ann_path):
-            ann = self.wh.read(self.spark, "raw", j.experiment, j.annotation_datatype)
-            lo = (j.date - timedelta(days=1)).isoformat()
-            hi = j.date.isoformat()
-            ann = ann.filter(F.col(DATE_COL).between(lo, hi))  # ops.go:247
+            # date BETWEEN d-1 AND d (ops.go:247), read via the day
+            # directories directly — listing confined to the two days.
+            ann = self.wh.read_days(
+                self.spark,
+                "raw",
+                j.experiment,
+                j.annotation_datatype,
+                j.date - timedelta(days=1),
+                j.date,
+            )
             out = join_annotate(fact, ann, on="id", leading=["date", "parser"])
         else:
             # Annotation table absent: the join gate admits this case

@@ -79,6 +79,7 @@ class Warehouse:
         experiment: str,
         datatype: str,
         merge_schema: bool = False,
+        require_partition_filter: bool = False,
     ) -> DataFrame:
         """Read a table; ``merge_schema=True`` reconciles day partitions
         written with evolving schemas — added fields become NULL on old
@@ -86,11 +87,73 @@ class Warehouse:
         semantics, cloud/bq/ops.go:280-282). Off by default: schema merging
         reads every file footer, which is a metadata scan you only want
         when evolution actually happened.
+
+        ``require_partition_filter=True`` is the thin API guard standing in
+        for BigQuery's ``RequirePartitionFilter`` on the join table
+        (cloud/bq/ops.go:283-287): it refuses the full-table read outright
+        — callers must go through :meth:`read_partition` /
+        :meth:`read_days`, which confine the file listing to the addressed
+        days. On a 100k-partition table that guard is the difference
+        between a per-query O(days-addressed) listing and an accidental
+        O(table) scan.
         """
+        if require_partition_filter:
+            raise ValueError(
+                f"table {tier}/{experiment}/{datatype} requires a partition "
+                "filter: use read_partition(day) or read_days(start, end)"
+            )
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(self.table_path(tier, experiment, datatype))
+
+    def read_days(
+        self,
+        spark: SparkSession,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        start: Date,
+        end: Date,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read a contiguous day range [start, end] via the existing
+        ``date=`` directories DIRECTLY — the range twin of
+        :meth:`read_partition` (the reference's ``date BETWEEN DATE_SUB(d,
+        INTERVAL 1 DAY) AND d`` annotation window, cloud/bq/ops.go:247).
+
+        Listing and reading are confined to the addressed directories:
+        concurrent jobs replacing sibling dates can never race this read,
+        and planning cost is O(days in range), not O(partitions in table).
+        Missing days are skipped (a day with no data contributes no rows).
+        """
+        from datetime import timedelta
+
+        days = []
+        d = start
+        while d <= end:
+            path = self.partition_path(tier, experiment, datatype, d)
+            if self.path_exists(spark, path):
+                days.append((d, path))
+            d = d + timedelta(days=1)
+        if not days:
+            df = self.read(spark, tier, experiment, datatype, merge_schema)
+            return df.filter(
+                F.col(DATE_COL).between(start.isoformat(), end.isoformat())
+            )
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        parts = [
+            reader.parquet(path).withColumn(
+                DATE_COL, F.lit(d.isoformat()).cast("date")
+            )
+            for d, path in days
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=merge_schema)
+        return out
 
     def read_partition(
         self, spark: SparkSession, tier: str, experiment: str, datatype: str, day: Date

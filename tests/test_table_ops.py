@@ -405,3 +405,33 @@ def test_cluster_partition_zorder(spark, tmp_path):
         for r in wh.read_partition(spark, "tmp", "exp", "grid", day).collect()
     )
     assert got == sorted((i % 64, i // 64) for i in range(4096))
+
+
+def test_read_days_and_partition_filter_guard(spark, tmp_path):
+    """read_days returns exactly the addressed day range via direct
+    directory reads (missing days contribute nothing); the
+    require_partition_filter guard refuses full-table reads."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(i, f"2024-03-{d:02d}") for d in (1, 2, 4) for i in range(d)],
+        ["id", "d"],
+    ).select("id", F.col("d").cast("date").alias("date"))
+    wh.append(df, "raw", "exp", "t")
+
+    got = wh.read_days(
+        spark, "raw", "exp", "t", date(2024, 3, 2), date(2024, 3, 4)
+    )
+    rows = sorted((r["date"].isoformat(), r["id"]) for r in got.collect())
+    # day 2 (2 rows) + day 4 (4 rows); day 3 missing, day 1 out of range
+    assert [d for d, _ in rows] == ["2024-03-02"] * 2 + ["2024-03-04"] * 4
+
+    # empty range on an existing table -> typed empty frame
+    empty = wh.read_days(
+        spark, "raw", "exp", "t", date(2030, 1, 1), date(2030, 1, 2)
+    )
+    assert empty.count() == 0 and "date" in empty.columns
+
+    with pytest.raises(ValueError, match="requires a partition filter"):
+        wh.read(spark, "raw", "exp", "t", require_partition_filter=True)
