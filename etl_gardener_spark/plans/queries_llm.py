@@ -1529,18 +1529,10 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     end + 30 min (timeout closure)."""
     import uuid as _uuid
 
-    from etl_gardener_spark.streaming.events import _EVENTS_RAW_SCHEMA
+    from etl_gardener_spark.streaming.events import read_events_stream
     from etl_gardener_spark.streaming.sessions import sessionize_stream
 
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = read_events_stream(spark, sf_dir)
     from etl_gardener_spark.streaming.state import state_store_partitions
 
     name = f"sessions_{_uuid.uuid4().hex[:8]}"

@@ -59,6 +59,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Testdata parquet carries tz-naive timestamps; read them as the
+        # session-TZ (UTC) TimestampType rather than TIMESTAMP_NTZ so date
+        # arithmetic / unix-epoch casts behave like the oracle's timestamps.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

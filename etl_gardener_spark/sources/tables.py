@@ -61,6 +61,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # If the session still inferred TIMESTAMP_NTZ (tz-naive parquet micros),
+    # normalize to the session-TZ TimestampType: with the engine's pinned UTC
+    # session zone this is value-identical to the oracle's naive timestamps,
+    # and keeps epoch casts (`CAST(ts AS LONG)`) legal.
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

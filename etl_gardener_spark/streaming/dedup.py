@@ -24,21 +24,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_gardener_spark.streaming.events import _EVENTS_RAW_SCHEMA
+from etl_gardener_spark.streaming.events import read_events_stream
 
 
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run streaming dedup over the events parquet (file micro-batches),
     drain it, and return the distinct (date, user_id, event_type) keys."""
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = read_events_stream(spark, sf_dir)
     deduped = (
         events.withColumn("date", F.to_date("ts"))
         .withWatermark("ts", "1 day")

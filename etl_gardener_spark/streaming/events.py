@@ -24,8 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Streaming needs an explicit schema. The testdata's ts column is
-# nanosecond INT64 (see sources/tables.py) — read as long, convert.
+# Streaming needs an explicit schema. The testdata's ts column has shipped
+# as both TIMESTAMP(NANOS) (read as raw long, then converted — see
+# sources/tables.py) and plain tz-naive micros; `read_events_stream` probes
+# the parquet footer and adapts.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -36,6 +38,47 @@ _EVENTS_RAW_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+_EVENTS_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over `<sf_dir>/events.parquet` with `ts` normalized to
+    TimestampType, whatever unit the file stores.
+
+    The file streaming source wants a directory; we point it at the scale
+    directory and glob-filter to the events file. The footer probe is one
+    driver-side metadata read — free at any scale.
+    """
+    import pyarrow.parquet as pq
+
+    unit = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type.unit
+    if unit == "ns":
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw
 
 
 def hourly_agg(events: DataFrame) -> DataFrame:
@@ -60,17 +103,7 @@ def hourly_agg(events: DataFrame) -> DataFrame:
 def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the hourly rollup as a real streaming query over the events
     parquet (file micro-batches), drain it, and return the result."""
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The file streaming source wants a directory; point it at the scale
-    # directory and glob-filter to the events file.
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = read_events_stream(spark, sf_dir)
     agg = hourly_agg(events)
 
     from etl_gardener_spark.streaming.state import state_store_partitions
@@ -106,20 +139,12 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_gardener_spark.sources.tables import load_table
 
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cohorts = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.min(F.to_date("ts")).alias("cohort_day"))
     )
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = read_events_stream(spark, sf_dir)
     agg = (
         events.join(F.broadcast(cohorts), "user_id")
         .groupBy("cohort_day", "event_type")

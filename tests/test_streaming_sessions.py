@@ -10,25 +10,15 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import functions as F
-
 from etl_gardener_spark.plans import queries as Q
-from etl_gardener_spark.streaming.events import _EVENTS_RAW_SCHEMA
+from etl_gardener_spark.streaming.events import read_events_stream
 from etl_gardener_spark.streaming.sessions import sessionize_stream
 
 SF = "/root/testdata/sf0.001"
 
 
 def test_stream_sessions_match_batch(spark):
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(SF)
-    )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = read_events_stream(spark, SF)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (
         sessionize_stream(events)

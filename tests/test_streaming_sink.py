@@ -5,10 +5,8 @@ overwrite)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from etl_gardener_spark.plans import queries as Q
-from etl_gardener_spark.streaming.events import _EVENTS_RAW_SCHEMA
+from etl_gardener_spark.streaming.events import read_events_stream
 from etl_gardener_spark.streaming.sink import stream_hourly_rollup_to_warehouse
 from etl_gardener_spark.warehouse import Warehouse
 
@@ -16,15 +14,7 @@ SF = "/root/testdata/sf0.001"
 
 
 def _stream(spark):
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(SF)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return read_events_stream(spark, SF)
 
 
 def _run_once(spark, wh, ckpt):
