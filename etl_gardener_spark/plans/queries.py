@@ -630,13 +630,13 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     """
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     )
@@ -656,7 +656,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     )
     new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # Tie-break on event_id: with ORDER BY ts alone, rows sharing a ts are
+    # frame peers in arbitrary order and session assignment is
+    # nondeterministic in BOTH engines.
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
@@ -896,9 +899,11 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p.p_brand AS brand,
            n.n_name AS supp_nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(AVG(p.p_retailprice), 4) AS avg_retail
+           ROUND(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_retail
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -910,22 +915,34 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by part brand x supplier nation (TPC-H Q5/Q9 shape over the
     part/supplier dims): both dims broadcast, the fact never shuffles
-    until the final small aggregate."""
+    until the final small aggregate.
+
+    The money sums accumulate in DECIMAL(18,4): a double sum's value
+    depends on partition fold order (reassociation), so two runs — or two
+    engines — can round differently at the cent boundary. The per-row
+    double multiply is deterministic; casting each term to decimal makes
+    the sum exact and order-independent, at identical map-side-combine
+    cost."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
+    revenue_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supp_nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(revenue_term).cast("double"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_retail"),
         )
     )
 
@@ -1582,32 +1599,76 @@ def term_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "value_trend_by_type",
     """
-    SELECT event_type,
-           CAST(regr_count(value, epoch(ts)) AS BIGINT) AS n,
-           ROUND(regr_slope(value, (epoch(ts) - 1704067200.0) / 3600), 6)
+    WITH pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - 1704067200000000) / 3600000000.0 AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
              AS slope_per_hour,
-           ROUND(regr_intercept(value, (epoch(ts) - 1704067200.0) / 3600), 6)
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
              AS intercept,
-           ROUND(regr_r2(value, (epoch(ts) - 1704067200.0) / 3600), 6) AS r2
-    FROM events GROUP BY event_type
+           ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
     """,
     tags=("analytics", "agg", "regression"),
 )
 def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-regression aggregates (regr_slope/intercept/r2): per-type
-    value trend over time, one map-combined pass — the distributed
-    least-squares primitives that back drift monitoring without any ML
-    library. The time axis is centered (hours since 2024-01-01) before
-    aggregation: regressing against raw epoch seconds (~1.7e9) makes the
-    sum-of-products cancellation-dominated and the result
-    engine-dependent; centered, both engines agree to 6 decimals."""
+    """Distributed least squares per event_type: value trend over time
+    (hours since 2024-01-01) from one map-combined pass of sufficient
+    statistics — the primitives behind regr_slope/intercept/r2.
+
+    Why not the built-in regr_* aggregates: they accumulate doubles, and a
+    double sum's value depends on partition fold order, so the 6th decimal
+    differs run-to-run and engine-to-engine. Here each per-row product is
+    computed in double (deterministic), cast to DECIMAL(38,12), and summed
+    exactly; the closed-form slope/intercept/r2 are then identical scalar
+    double expressions in both engines. The time axis is exact integer
+    microseconds (unix_micros vs epoch_us) — second-truncating
+    unix_timestamp would disagree with the oracle's fractional epoch."""
     e = load_table(spark, sf_dir, "events")
-    x = (F.unix_timestamp("ts") - F.lit(1704067200.0)) / 3600
-    return e.groupBy("event_type").agg(
-        F.regr_count("value", x).cast("long").alias("n"),
-        F.round(F.regr_slope("value", x), 6).alias("slope_per_hour"),
-        F.round(F.regr_intercept("value", x), 6).alias("intercept"),
-        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3.6e9)
+    pts = e.filter(F.col("value").isNotNull()).select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,12)")).cast("double")
+
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
     )
 
 

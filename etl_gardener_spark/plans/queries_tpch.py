@@ -612,3 +612,289 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated subqueries (decorrelated), HAVING-joins, market share
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_top_revenue_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("analytics", "tpch", "scalar-subquery"),
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the highest revenue in one
+    quarter. The view's MAX is a second aggregate over the SAME per-supplier
+    aggregate, broadcast back as a 1-row cross join — lineitem is scanned
+    once. Revenue accumulates in DECIMAL so the max-equality predicate is
+    exact: a double sum's fold order could make `rev = max(rev)` true for
+    different suppliers on different engines. Ties keep all rows, matching
+    the correlated-equality semantics."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_part_revenue",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 4) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("analytics", "tpch", "correlated-subquery"),
+)
+def q17_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost if below-20%-of-average-quantity
+    orders for one brand's parts were not filled. The correlated per-part
+    AVG decorrelates into an AVG window over l_partkey — one shuffle of
+    the (brand-filtered) lineitem slice, no self-join and no second scan.
+    The brand filter is applied to the 2k-row part dim BEFORE broadcast,
+    and restricting the window input to qualifying parts is sound because
+    the correlated average is per-part over all of that part's lines.
+    l_quantity is integral, so the windowed AVG (exact integer sum /
+    count) is fold-order-independent; the revenue total accumulates in
+    DECIMAL."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#2")
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+    tags=("analytics", "tpch", "semijoin", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed 300 units.
+    The IN-with-HAVING subquery decorrelates to a LEFT SEMI join against
+    the per-order quantity aggregate — and since the outer query re-groups
+    by order anyway, the aggregate is computed ONCE and semi-joined back
+    to itself (keys only), never rescanning lineitem. l_quantity is
+    integral so the >300 threshold is exact on both engines. The heavy
+    hitters surviving the filter are few, so the customer join broadcasts
+    the filtered aggregate, not the other way around."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    per_order = l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    big = per_order.filter(F.col("qty") > 300)
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("qty").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit
+    FROM lineitem, part, supplier, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+    GROUP BY n_name, EXTRACT(year FROM l_shipdate)
+    """,
+    tags=("analytics", "tpch", "join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on one product line by supplier nation and
+    year (testdata has no partsupp, so profit = discounted revenue). The
+    LIKE filter prunes the part dim to ~13% BEFORE broadcast, so the fact
+    side discards non-matching lines in the scan stage; supplier and
+    nation broadcast too — zero shuffles until the final (nation, year)
+    aggregate, whose partials combine map-side. DECIMAL accumulation
+    keeps the cent-rounding deterministic across fold orders."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH all_sales AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem, orders, customer, supplier, part, nation n1, nation n2,
+           region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
+        AND p_type = 'ECONOMY')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+    tags=("analytics", "tpch", "conditional-agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part volume sold into
+    ASIA customers, per order year. One pass computes the CASE'd
+    numerator and unconditional denominator together (no second join);
+    part/supplier/customer-nation-region all broadcast, so the only
+    shuffle pair is lineitem⨝orders. Both sums accumulate in DECIMAL and
+    the share is a single double division of exact values — the ratio is
+    bit-identical on both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+                    F.col("n_nationkey").alias("cnk")
+                )
+            ),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        s["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(supp_nation), l["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(asia_cust), o["o_custkey"] == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )

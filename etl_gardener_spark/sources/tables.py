@@ -67,9 +67,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and keeps epoch casts (`CAST(ts AS LONG)`) legal.
     from pyspark.sql import types as T
 
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.TimestampNTZType):
-            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in df.schema.fields):
+        tz = spark.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise RuntimeError(
+                f"load_table requires a UTC session timezone to cast "
+                f"TIMESTAMP_NTZ losslessly; session has {tz!r}. Build the "
+                "session with etl_gardener_spark.session.get_spark."
+            )
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 

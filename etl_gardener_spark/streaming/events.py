@@ -60,9 +60,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side metadata read — free at any scale.
     """
     import pyarrow.parquet as pq
+    import pyarrow.types as pat
 
-    unit = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type.unit
-    if unit == "ns":
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if not pat.is_timestamp(ts_type):
+        raise TypeError(
+            f"events.parquet ts column is {ts_type}, expected a parquet "
+            "timestamp logical type (ns or us); cannot normalize to "
+            "Spark TimestampType"
+        )
+    if ts_type.unit == "ns":
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
@@ -181,19 +188,10 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     stream length. Inner-join matches emit as soon as both rows are
     present; the watermark only drives cleanup.
     """
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _side(event_type: str, prefix: str) -> DataFrame:
-        raw = (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        raw = read_events_stream(spark, sf_dir)
         return (
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .filter(F.col("event_type") == event_type)
+            raw.filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),
                 F.col("user_id").alias(f"{prefix}_user"),

@@ -352,7 +352,16 @@ class Warehouse:
             ).sortWithinPartitions(*sort_cols)
         staged = path + ".__clustering__"
         fs.delete(_hadoop_path(spark, staged), True)
-        clustered.write.mode("overwrite").parquet(staged)
+        # Range boundaries come from reservoir sampling; the default 100
+        # samples/partition leaves visible jitter in file bounding boxes.
+        # 4x sampling costs microseconds per task and tightens boundaries.
+        sample_conf = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        prev_sample = spark.conf.get(sample_conf, "100")
+        spark.conf.set(sample_conf, "400")
+        try:
+            clustered.write.mode("overwrite").parquet(staged)
+        finally:
+            spark.conf.set(sample_conf, prev_sample)
         rows = spark.read.parquet(staged).count()
         out = [
             s.getPath()
