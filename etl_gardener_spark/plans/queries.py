@@ -2010,6 +2010,7 @@ def customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Extension queries register themselves on import.
 from etl_gardener_spark.plans import queries_llm  # noqa: E402,F401
 from etl_gardener_spark.plans import queries_tpch  # noqa: E402,F401
+from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

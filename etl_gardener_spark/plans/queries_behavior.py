@@ -1,0 +1,244 @@
+"""Behavioral-analytics operators over the events/orders tables: rolling
+distinct windows, sequence transitions, concentration (Pareto) stats,
+global heavy hitters, and fulfillment-lag distributions.
+
+These extend the reference's daily-batch surface (SURVEY.md §2.2 has no
+aggregates at all) with the session/user-level rollups a production
+events pipeline runs next to the gardener stages. Every query pairs with
+a DuckDB oracle; deterministic tie-breaks and exact (integer / DECIMAL)
+accumulation keep both engines hash-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.plans.queries import query
+from etl_gardener_spark.sources.tables import load_table
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d AS day FROM daily)
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM days JOIN daily ON daily.d BETWEEN day - INTERVAL 6 DAY AND day
+    GROUP BY day
+    """,
+    tags=("analytics", "rolling", "distinct"),
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per observed day (WAU). The oracle's
+    range self-join is quadratic in days x users; the Spark plan uses the
+    contribution-explode pattern instead: dedupe to (day, user) first —
+    the only pass over raw events — then each pair contributes to at most
+    7 window days via an explode of a 7-element sequence, and a distinct
+    count per day finishes it. Work scales with |daily actives| x 7, not
+    with |events| x window, and there is no range join anywhere — this is
+    the shape that survives 100 TB of events. The spine join keeps only
+    observed days so both engines report the same domain."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = daily.select(F.col("d").alias("day")).distinct()
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias("day"),
+        "user_id",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+    tags=("analytics", "window", "sequence"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams: for
+    each (from_type, to_type), the count of consecutive occurrences and
+    the row-normalized transition probability. One LEAD window (the same
+    user_id shuffle sessionization pays) then a tiny |types|² aggregate;
+    the probability normalizer is a window over that aggregate, never a
+    second pass over events. Counts are integers, so p is a division of
+    exact values — engine-identical. Tie-break (ts, event_id) makes the
+    successor relation deterministic under equal timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    cnt = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    norm = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
+    )
+
+
+@query(
+    "revenue_pareto",
+    """
+    WITH cust_rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(rev) OVER () AS total_rev,
+             ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+             COUNT(*) OVER () AS n_cust
+      FROM cust_rev)
+    SELECT CAST(MIN(rnk) AS BIGINT) AS customers_to_80pct,
+           CAST(MAX(n_cust) AS BIGINT) AS total_customers,
+           ROUND(CAST(MIN(rnk) AS DOUBLE) / MAX(n_cust), 6) AS pareto_fraction
+    FROM ranked
+    WHERE cum_rev >= CAST(0.8 AS DECIMAL(2,1)) * total_rev
+    """,
+    tags=("analytics", "window", "concentration"),
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how many top customers cover 80% of total
+    order revenue (the Pareto point). The heavy input collapses to one
+    row per customer BEFORE any ordering, so the global cumulative-sum
+    window runs over |customers| rows — 4-5 orders of magnitude below the
+    fact table; at extreme customer cardinality the same prefix-sum
+    decomposes into range-partitioned partials + broadcast offsets, with
+    identical semantics. Revenue accumulates in DECIMAL end-to-end, so
+    the 80% threshold comparison is exact arithmetic on both engines —
+    a double cumsum could flip the boundary customer."""
+    o = load_table(spark, sf_dir, "orders")
+    cust_rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    order_w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    everything = Window.partitionBy()
+    ranked = cust_rev.select(
+        "rev",
+        F.sum("rev").over(order_w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_rev"
+        ),
+        F.sum("rev").over(everything).alias("total_rev"),
+        F.row_number().over(order_w).alias("rnk"),
+        F.count(F.lit(1)).over(everything).alias("n_cust"),
+    )
+    return (
+        ranked.filter(
+            F.col("cum_rev") >= F.lit("0.8").cast("decimal(2,1)") * F.col("total_rev")
+        )
+        .agg(
+            F.min("rnk").cast("long").alias("customers_to_80pct"),
+            F.max("n_cust").cast("long").alias("total_customers"),
+            F.round(
+                F.min("rnk").cast("double") / F.max("n_cust"), 6
+            ).alias("pareto_fraction"),
+        )
+    )
+
+
+@query(
+    "heavy_hitter_terms",
+    """
+    WITH toks AS (
+      SELECT lower(unnest(string_split_regex(text, '[^a-zA-Z0-9]+'))) AS tok
+      FROM documents),
+    f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+          WHERE tok <> '' GROUP BY tok)
+    SELECT tok, n FROM f ORDER BY n DESC, tok LIMIT 20
+    """,
+    tags=("llm", "text", "topk"),
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 tokens by corpus frequency — the exact heavy-hitters
+    pass a pipeline runs before stopword/boilerplate decisions. Explode +
+    count is one shuffle with map-side combine (token cardinality, not
+    token occurrences, crosses the wire); ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — each partition keeps a 20-row heap and the
+    driver merges heaps, so there is no global sort of the vocabulary.
+    Deterministic tie-break on the token string."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.col("text"), "[^a-zA-Z0-9]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(F.lower("tok").alias("tok"))
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "ship_lag_percentiles",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(quantile_cont(lag_days, 0.50), 4) AS p50,
+           ROUND(quantile_cont(lag_days, 0.90), 4) AS p90,
+           ROUND(quantile_cont(lag_days, 0.99), 4) AS p99
+    FROM (
+      SELECT o_orderpriority,
+             CAST(epoch_us(l_shipdate) - epoch_us(o_orderdate) AS DOUBLE)
+               / 86400000000.0 AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+    GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "percentile", "join"),
+)
+def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    interpolated percentiles (Spark `percentile` ≡ DuckDB quantile_cont)
+    of the ship lag in days. The lag is derived from exact integer
+    microsecond epochs divided once into double — identical on both
+    engines. Exact percentiles sort within each of the 5 priority groups;
+    at 100 TB the swap is `percentile_approx` (KLL-style mergeable
+    summaries, map-side combined) at a declared error bound."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag_days = (
+        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")).cast("double")
+        / 86400000000.0
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority", lag_days.alias("lag_days")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.round(F.percentile("lag_days", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("lag_days", F.lit(0.90)), 4).alias("p90"),
+        F.round(F.percentile("lag_days", F.lit(0.99)), 4).alias("p99"),
+    )
