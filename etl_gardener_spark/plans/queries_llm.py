@@ -1633,3 +1633,47 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gardener_spark.streaming.dedup import stream_dedup_keys
 
     return stream_dedup_keys(spark, sf_dir)
+
+
+@query(
+    "stream_warehouse_sink",
+    """
+    SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("llm", "streaming", "sink", "warehouse"),
+)
+def stream_warehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance end-to-end: the hourly
+    rollup stream feeds ``foreachBatch``, which dynamic-overwrites
+    exactly the day partitions present in each micro-batch's complete
+    aggregate (streaming/sink.py); the verified result is the warehouse
+    table READ BACK from parquet, not the in-memory sink — so the gate
+    covers the idempotent exactly-once partition-write discipline, the
+    `date=` layout, and the round trip, against the same batch oracle as
+    [[stream_hourly_rollup]]."""
+    import tempfile as _tf
+
+    from etl_gardener_spark.streaming.events import read_events_stream
+    from etl_gardener_spark.streaming.sink import stream_hourly_rollup_to_warehouse
+    from etl_gardener_spark.streaming.state import state_store_partitions
+    from etl_gardener_spark.warehouse import Warehouse
+
+    root = _tf.mkdtemp(prefix="etl_gardener_spark_streamsink_")
+    ckpt = _tf.mkdtemp(prefix="etl_gardener_spark_streamsink_ckpt_")
+    wh = Warehouse(root)
+    events = read_events_stream(spark, sf_dir)
+    with state_store_partitions(spark):
+        q = stream_hourly_rollup_to_warehouse(
+            events, wh, "exp", "hourly", ckpt
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = wh.read(spark, "join", "exp", "hourly")
+    return spark.createDataFrame(
+        out.select("hour", "event_type", "n", "total_value").collect(),
+        schema=out.select("hour", "event_type", "n", "total_value").schema,
+    )
