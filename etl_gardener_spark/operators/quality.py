@@ -178,3 +178,65 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         F.col("n_violations").cast("long").alias("n_violations"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def split_by_expectations(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Annotate every row with the names of the row-local checks it
+    violates (``dq_reasons``, check-list order) and a ``dq_disposition``
+    of 'accepted' or 'quarantined'.
+
+    Only row-local checks participate (not_null / in_range / in_set /
+    matches): the annotation is a pure projection — zero shuffles, rides
+    the same scan as any downstream write, and vectorizes in codegen.
+    Set-level checks (unique, ref_integrity) gate promotion via
+    ``validate``'s report instead; a per-row disposition for them would
+    force a keyed shuffle here.
+    """
+    local = [
+        c for c in checks if c.kind in ("not_null", "in_range", "in_set", "matches")
+    ]
+    if len(local) != len(checks):
+        bad = [c.kind for c in checks if c not in local]
+        raise ValueError(f"split_by_expectations takes row-local checks only: {bad}")
+    reasons = F.array_compact(
+        F.array(*[F.when(_violation_expr(c), F.lit(c.name)) for c in local])
+    )
+    return df.withColumn("dq_reasons", reasons).withColumn(
+        "dq_disposition",
+        F.when(F.size("dq_reasons") == 0, F.lit("accepted")).otherwise(
+            F.lit("quarantined")
+        ),
+    )
+
+
+def promote_with_quarantine(
+    df: DataFrame,
+    checks: Sequence[Check],
+    wh,
+    experiment: str,
+    datatype: str,
+    accepted_tier: str = "raw",
+    quarantine_tier: str = "quarantine",
+) -> dict:
+    """Expectation-gated promotion: accepted rows land in
+    ``accepted_tier`` with their original schema; violating rows land in
+    ``quarantine_tier`` carrying a ``dq_reason`` audit column — nothing
+    is silently dropped, and reprocessing a fixed batch is the same
+    append-then-overwrite discipline as every other warehouse write.
+
+    One scan feeds both writes (the split is a projection); at 100 TB the
+    quarantine side is typically a tiny fraction, so its write cost is
+    proportional to violations, not to the batch. Returns counts.
+    """
+    ann = split_by_expectations(df, checks)
+    accepted = ann.filter(F.col("dq_disposition") == "accepted").drop(
+        "dq_reasons", "dq_disposition"
+    )
+    quarantined = ann.filter(F.col("dq_disposition") == "quarantined").drop(
+        "dq_disposition"
+    ).withColumn("dq_reason", F.concat_ws(",", "dq_reasons")).drop("dq_reasons")
+    wh.append(accepted, accepted_tier, experiment, datatype)
+    wh.append(quarantined, quarantine_tier, experiment, datatype)
+    n_acc = wh.read(df.sparkSession, accepted_tier, experiment, datatype).count()
+    n_q = wh.read(df.sparkSession, quarantine_tier, experiment, datatype).count()
+    return {"accepted": n_acc, "quarantined": n_q}

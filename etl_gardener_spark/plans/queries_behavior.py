@@ -242,3 +242,74 @@ def ship_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_days", F.lit(0.90)), 4).alias("p90"),
         F.round(F.percentile("lag_days", F.lit(0.99)), 4).alias("p99"),
     )
+
+
+@query(
+    "dq_quarantine_promotion",
+    """
+    WITH ann AS (
+      SELECT event_type,
+             COALESCE(array_to_string(list_filter([
+               CASE WHEN value IS NULL OR value < 0 OR value > 200
+                    THEN 'in_range_value' END,
+               CASE WHEN event_type IS NULL OR event_type NOT IN
+                         ('click','view','purchase','error')
+                    THEN 'in_set_event_type' END
+             ], x -> x IS NOT NULL), ','), '') AS dq_reason
+      FROM events)
+    SELECT CASE WHEN dq_reason = '' THEN 'accepted'
+                ELSE 'quarantined' END AS disposition,
+           dq_reason, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ann GROUP BY 1, 2, 3
+    """,
+    tags=("parity", "warehouse", "quality"),
+)
+def dq_quarantine_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-gated partition promotion: rows violating declarative
+    row-local checks (value in [0,200], event_type in the allowed set)
+    are diverted to a quarantine tier carrying their violation reasons;
+    accepted rows promote clean. The verified result is BOTH tiers read
+    back from parquet, so the gate covers the split projection (zero
+    extra shuffles — the disposition is computed on the write's own
+    scan), the audit column, and the round trip. Nothing is dropped:
+    accepted + quarantined = input, and a fixed batch re-promotes
+    idempotently (operators/quality.py)."""
+    import tempfile as _tf
+
+    from etl_gardener_spark.operators.quality import (
+        in_range,
+        in_set,
+        promote_with_quarantine,
+    )
+    from etl_gardener_spark.warehouse import Warehouse
+
+    wh = Warehouse(_tf.mkdtemp(prefix="etl_gardener_spark_dqgate_"))
+    e = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    checks = [
+        in_range("value", 0, 200),
+        in_set("event_type", ["click", "view", "purchase", "error"]),
+    ]
+    promote_with_quarantine(e, checks, wh, "exp", "events")
+    acc = (
+        wh.read(spark, "raw", "exp", "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.lit("accepted").alias("disposition"),
+            F.lit("").alias("dq_reason"),
+            "event_type",
+            "n",
+        )
+    )
+    quar = (
+        wh.read(spark, "quarantine", "exp", "events")
+        .groupBy("event_type", "dq_reason")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.lit("quarantined").alias("disposition"),
+            "dq_reason",
+            "event_type",
+            "n",
+        )
+    )
+    return acc.unionByName(quar)

@@ -94,3 +94,51 @@ def test_unknown_kind_raises(spark, df):
 
     with pytest.raises(ValueError):
         validate(df, [Check("bogus", "bogus")])
+
+
+def test_split_by_expectations_dispositions(spark, df):
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.operators.quality import split_by_expectations
+
+    ann = split_by_expectations(df, [not_null("name"), in_range("v", 0, 10)])
+    rows = {r["id"]: (r["dq_disposition"], list(r["dq_reasons"]))
+            for r in ann.collect() if r["id"] != 3}
+    assert rows[1] == ("accepted", [])
+    assert rows[2] == ("quarantined", ["in_range_v"])
+    assert rows[9] == ("quarantined", ["in_range_v"])  # null v violates range
+    both = [r for r in ann.collect() if r["id"] == 3]
+    reasons = sorted(tuple(r["dq_reasons"]) for r in both)
+    assert reasons == [(), ("not_null_name",)]
+    # nothing dropped, disposition covers every row
+    assert ann.count() == df.count()
+    assert ann.filter(F.col("dq_disposition").isNull()).count() == 0
+
+
+def test_split_rejects_set_level_checks(spark, df):
+    from etl_gardener_spark.operators.quality import split_by_expectations
+
+    with pytest.raises(ValueError):
+        split_by_expectations(df, [unique(["id"])])
+
+
+def test_promote_with_quarantine_counts(spark, df, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.operators.quality import promote_with_quarantine
+    from etl_gardener_spark.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    batch = df.withColumn("date", F.lit("2024-01-01").cast("date"))
+    stats = promote_with_quarantine(
+        batch, [not_null("name"), in_range("v", 0, 10)], wh, "exp", "t"
+    )
+    assert stats == {"accepted": 2, "quarantined": 3}
+    quar = wh.read(spark, "quarantine", "exp", "t")
+    assert "dq_reason" in quar.columns
+    assert set(r["dq_reason"] for r in quar.collect()) == {
+        "not_null_name",
+        "in_range_v",
+    }
+    acc = wh.read(spark, "raw", "exp", "t")
+    assert "dq_reason" not in acc.columns and "dq_reasons" not in acc.columns
