@@ -313,3 +313,72 @@ def dq_quarantine_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return acc.unionByName(quar)
+
+
+@query(
+    "value_outliers_by_type",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    st AS (
+      SELECT event_type, n, sx / n AS mean,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+      FROM s)
+    SELECT e.event_type, MAX(st.n) AS n,
+           ROUND(MAX(st.mean), 6) AS mean_value,
+           ROUND(MAX(st.std), 6) AS std_value,
+           CAST(SUM(CASE WHEN ABS(e.value - st.mean) > 3 * st.std
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN st USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+    tags=("analytics", "anomaly", "agg"),
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event_type — the drift/anomaly gate a
+    pipeline runs on incoming value distributions. Two-pass shape chosen
+    for scale: pass 1 computes per-type sufficient statistics (exact
+    DECIMAL sums, so mean/std are fold-order-independent doubles); the
+    5-row stats relation broadcasts back onto the second scan for the
+    |z| > 3 count. The alternative — a window over partition-by-type —
+    would funnel each type's entire volume through one partition; the
+    broadcast-stats join keeps both passes fully parallel. All per-row
+    arithmetic is identical double math on identical inputs in both
+    engines."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,12)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    st = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("mean"), 6).alias("mean_value"),
+            F.round(F.max("std"), 6).alias("std_value"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
