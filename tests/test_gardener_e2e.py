@@ -166,3 +166,75 @@ def test_six_jobs_concurrently(spark, tmp_path):
             assert raw.count() == 4  # 6 rows, 4 distinct ids, keep-best
     finally:
         g.monitor.shutdown()
+
+
+def test_restart_recovers_mid_pipeline(spark, tmp_path):
+    """Crash-recovery semantics (ops/ops.go:33-40): a job persisted
+    mid-chain (Loading done, state=Deduplicating) resumes after a process
+    restart because the tracker reloads its JSON snapshot, no leases
+    survive, and every stage is idempotent. A second Gardener built on
+    the same state_dir must drive the recovered job to Complete and
+    produce exactly the pipeline's normal output."""
+    from pyspark.sql import functions as F
+
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b", experiment="ndt", datatype="ndt7",
+                datasets=Datasets(tmp="tmp_ndt", raw="raw_ndt", join="ndt"),
+            ),
+        ),
+    )
+    mk = lambda: Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    job = cfg.sources[0].job_spec().with_date(Date(2024, 3, 5))
+    rows = [
+        {"id": "a", "parser": {"Time": "2024-03-05T01:00:00Z"}, "value": 1.0},
+        {"id": "a", "parser": {"Time": "2024-03-05T03:00:00Z"}, "value": 9.0},
+        {"id": "b", "parser": {"Time": "2024-03-05T02:00:00Z"}, "value": 3.0},
+    ]
+    _write_day(str(tmp_path / "landing"), job.prefix(), rows)
+
+    # --- process 1: load completed, then crash before dedup ran ---
+    g1 = mk()
+    loaded = (
+        spark.read.schema(SCHEMA)
+        .json(str(tmp_path / "landing" / job.prefix()))
+        .withColumn("date", F.lit(job.date.isoformat()).cast("date"))
+    )
+    Warehouse(str(tmp_path / "wh")).append_day(
+        loaded, "tmp", "ndt", "ndt7", job.date
+    )
+    g1.tracker.add_job(job)
+    g1.tracker.set_status(job.key(), J.DEDUPLICATING)
+    g1.tracker.save(force=True)
+    g1.monitor.shutdown()  # crash: monitor never acted on the job
+
+    # --- process 2: fresh Gardener on the same state_dir ---
+    g2 = mk()
+    try:
+        st = g2.tracker.get_status(job.key())  # recovered from JSON snapshot
+        assert st.state == J.DEDUPLICATING
+        assert g2.monitor.drain(timeout_sec=120.0)
+        st = g2.tracker.get_status(job.key())
+        assert st.state == J.COMPLETE, [si.state for si in st.history]
+        # the post-crash history walks the remaining chain
+        resumed = [si.state for si in st.history]
+        for s in (J.COPYING, J.DELETING, J.JOINING, J.COMPLETE):
+            assert s in resumed
+
+        wh = Warehouse(str(tmp_path / "wh"))
+        raw = wh.read_partition(spark, "raw", "ndt", "ndt7", job.date)
+        assert {(r.id, r.value) for r in raw.collect()} == {("a", 9.0), ("b", 3.0)}
+        assert not wh.partition_exists(spark, "tmp", "ndt", "ndt7", job.date)
+        assert wh.read_partition(spark, "join", "ndt", "ndt7", job.date).count() == 2
+    finally:
+        g2.monitor.shutdown()
