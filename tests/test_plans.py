@@ -234,3 +234,49 @@ def test_token_entropy_two_aggregate_levels(spark):
     df = Q.REGISTRY["doc_token_entropy"].fn(spark, SF)
     p = plan(df)
     assert "BroadcastHashJoin" in p
+
+
+def test_rolling_7d_no_range_join(spark):
+    df = Q.REGISTRY["rolling_7d_active_users"].fn(spark, SF)
+    p = plan(df)
+    # the contribution-explode shape: a Generate (explode) feeds a
+    # broadcast spine join — never a range/theta join over days x users
+    assert "Generate" in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_outliers_broadcasts_stats_not_window(spark):
+    df = Q.REGISTRY["value_outliers_by_type"].fn(spark, SF)
+    p = plan(df)
+    # two-pass shape: per-type stats broadcast back onto the second scan;
+    # a partition-by-type Window (one task per type) must NOT appear
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_q17_decorrelates_to_window_not_self_join(spark):
+    df = Q.REGISTRY["q17_small_quantity_part_revenue"].fn(spark, SF)
+    p = plan(df)
+    # the correlated per-part AVG is one window over the brand-filtered
+    # slice: exactly two scans total (lineitem + part; the formatted plan
+    # names each node twice, tree + details) — no lineitem self-join
+    assert "Window" in p
+    assert p.count("Scan parquet") == 4
+
+
+def test_q18_semi_side_is_broadcast(spark):
+    df = Q.REGISTRY["q18_large_volume_customers"].fn(spark, SF)
+    p = plan(df)
+    # the filtered per-order aggregate broadcasts into orders; the big
+    # tables never shuffle for this join
+    assert "BroadcastHashJoin" in p
+
+
+def test_heavy_hitters_take_ordered(spark):
+    df = Q.REGISTRY["heavy_hitter_terms"].fn(spark, SF)
+    p = plan(df)
+    # global top-20 must be per-partition heaps + driver merge, never a
+    # global sort of the vocabulary
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0]
