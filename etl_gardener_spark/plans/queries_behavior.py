@@ -382,3 +382,84 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH prep AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings),
+    stats AS (
+      SELECT vec_id, xd,
+             list_aggregate(xd, 'min') AS vmin,
+             list_aggregate(xd, 'max') AS vmax
+      FROM prep),
+    spans AS (
+      SELECT vec_id, xd, vmin,
+             CASE WHEN vmax > vmin THEN vmax - vmin ELSE 1.0 END AS span
+      FROM stats)
+    SELECT vec_id,
+           CAST(len(xd) AS BIGINT) AS dim,
+           CAST(list_aggregate(list_transform(xd,
+                x -> LEAST(FLOOR(((x - vmin) / span) * 256), 255)),
+                'sum') AS BIGINT) AS code_sum,
+           ROUND(list_aggregate(list_transform(xd,
+                x -> ABS(x - (vmin + (LEAST(FLOOR(((x - vmin) / span) * 256),
+                                            255) * span) / 255))),
+                'sum') / len(xd), 9) AS mean_abs_err
+    FROM spans
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to int8 codes — the storage path
+    that makes a 100 TB float32 vector store a 25 TB int8 one: each
+    vector maps to min/span + 256-bucket codes, and the reported
+    mean-absolute reconstruction error is the quality gate for switching
+    ANN search to the compressed representation. Entirely JVM-side array
+    lambdas (transform/aggregate) in one narrow map-only plan: no UDF,
+    no shuffle, no Python. FLOOR bucketing (not round) keeps the code
+    assignment deterministic across engines; all arithmetic is identical
+    double expressions on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    prep = e.select("vec_id", xd.alias("xd"))
+    stats = prep.select(
+        "vec_id",
+        "xd",
+        F.array_min("xd").alias("vmin"),
+        F.array_max("xd").alias("vmax"),
+    )
+    spans = stats.select(
+        "vec_id",
+        "xd",
+        "vmin",
+        F.when(F.col("vmax") > F.col("vmin"), F.col("vmax") - F.col("vmin"))
+        .otherwise(F.lit(1.0))
+        .alias("span"),
+    )
+    vmin, span = F.col("vmin"), F.col("span")
+    code = lambda x: F.least(F.floor(((x - vmin) / span) * 256), F.lit(255))
+    err = lambda x: F.abs(x - (vmin + (code(x) * span) / 255))
+    return spans.select(
+        "vec_id",
+        F.size("xd").cast("long").alias("dim"),
+        F.aggregate(
+            F.transform(F.col("xd"), code),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc + c,
+        )
+        .cast("long")
+        .alias("code_sum"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("xd"), err),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("xd"),
+            9,
+        ).alias("mean_abs_err"),
+    )
