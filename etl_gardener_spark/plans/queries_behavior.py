@@ -463,3 +463,64 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mean_abs_err"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), MAX(mx.max_d)) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS monetary
+      FROM orders, mx GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+      FROM rfm)
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("analytics", "window", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile scores for recency / frequency /
+    monetary per customer, rolled up to segment sizes. The fact table
+    collapses to one row per customer first, so the three NTILE windows
+    rank |customers| rows, not orders; monetary accumulates in DECIMAL
+    and every window carries a custkey tie-break, so quartile boundaries
+    are identical across engines. (The global-order windows are the
+    documented small-relation trade-off — at extreme customer counts the
+    same quartiles come from approx quantile boundaries + a bucket
+    join.)"""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        o.join(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("max_d"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
+        )
+    )
+    scored = rfm.select(
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
