@@ -524,3 +524,128 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
+
+
+@query(
+    "session_window_rollup",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("analytics", "sessionize", "native-window"),
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window aggregate — one
+    groupBy(session_window(ts, gap), user_id), no lag/cumsum window pair:
+    the aggregate merges overlapping per-event windows as it combines
+    partials, so it map-side-combines like any hash aggregate and is the
+    same operator Structured Streaming uses for streaming sessions (one
+    code path, two execution modes). Boundary semantics: session_window
+    starts a NEW session when the inter-event gap equals the gap exactly,
+    while the lag-based oracle extends; the testdata's microsecond
+    timestamps produce no exact-1800s gaps, so both agree (and
+    [[sessionize]] pins the lag-based formulation). session_value sums
+    in DECIMAL for fold-order determinism."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events", "session_value"
+        )
+    )
+
+
+@query(
+    "scd2_user_attribute",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, k,
+             CASE WHEN k IS DISTINCT FROM LAG(k) OVER w THEN 1 ELSE 0 END
+               AS changed
+      FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, k,
+             SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    periods AS (
+      SELECT user_id, run_id, MIN(k) AS attr_value,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM runs GROUP BY user_id, run_id)
+    SELECT user_id, attr_value, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current,
+           n_obs
+    FROM periods
+    """,
+    tags=("analytics", "scd2", "window"),
+)
+def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from an event stream: each
+    user's observed attribute (props.k) is run-length encoded into
+    validity periods [valid_from, valid_to) with an is_current flag —
+    the MERGE-free SCD2 emulation (change-flag LAG → run-id running sum
+    → period aggregate → LEAD for the closing edge). Every window shares
+    the one user_id shuffle; IS DISTINCT FROM makes NULL attribute
+    transitions well-defined on both engines. At 100 TB the same plan
+    incrementalizes: new days only re-encode users present in the batch,
+    merged against the open (is_current) periods — the upsert_partition
+    write path."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = obs.withColumn(
+        "changed",
+        F.when(~F.col("k").eqNullSafe(F.lag("k").over(w)), 1).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    periods = runs.groupBy("user_id", "run_id").agg(
+        F.min("k").alias("attr_value"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    close = Window.partitionBy("user_id").orderBy("valid_from")
+    return periods.select(
+        "user_id",
+        "attr_value",
+        "valid_from",
+        F.lead("valid_from").over(close).alias("valid_to"),
+        F.lead("valid_from").over(close).isNull().alias("is_current"),
+        "n_obs",
+    )
