@@ -649,3 +649,44 @@ def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(close).isNull().alias("is_current"),
         "n_obs",
     )
+
+
+@query(
+    "sliding_1h_15m_rollup",
+    """
+    WITH expanded AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
+               AS win_start
+      FROM events, unnest([0, 1, 2, 3]) AS t(k))
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("analytics", "window", "sliding"),
+)
+def sliding_1h_15m_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1-hour windows every 15 minutes) via
+    F.window's native slide support: each event lands in exactly 4
+    overlapping windows, which Spark expands with one Generate before
+    the hash aggregate — same plan shape the streaming twin would
+    incrementalize. The oracle mirrors the expansion arithmetically
+    (time_bucket minus k*15min; DuckDB's 2000-01-01 bucket origin is
+    15-minute-commensurate with Spark's 1970 epoch, so the grids
+    coincide). Sums accumulate in DECIMAL; counts are exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
