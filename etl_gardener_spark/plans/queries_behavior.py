@@ -1,6 +1,10 @@
-"""Behavioral-analytics operators over the events/orders tables: rolling
-distinct windows, sequence transitions, concentration (Pareto) stats,
-global heavy hitters, and fulfillment-lag distributions.
+"""Behavioral-analytics and warehouse-hygiene operators over the
+events/orders/embeddings tables: rolling distinct windows, sequence
+transitions, concentration (Pareto) stats, global heavy hitters,
+fulfillment-lag percentiles, RFM segmentation, z-score anomaly gates,
+expectation-gated quarantine promotion, int8 embedding quantization,
+native session windows, SCD2 dimension builds, sliding-window rollups,
+and period-over-period growth.
 
 These extend the reference's daily-batch surface (SURVEY.md §2.2 has no
 aggregates at all) with the session/user-level rollups a production
@@ -689,4 +693,55 @@ def sliding_1h_15m_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
         )
+    )
+
+
+@query(
+    "nation_yoy_revenue_growth",
+    """
+    WITH yearly AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders, customer, nation
+      WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, yr,
+           ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(LAG(rev) OVER (PARTITION BY nation ORDER BY yr)
+                        AS DOUBLE) - 1, 6) AS yoy_growth
+    FROM yearly
+    """,
+    tags=("analytics", "window", "period-over-period"),
+)
+def nation_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per customer nation — the
+    period-over-period reporting pattern: aggregate to the (nation, year)
+    grain first (DECIMAL-exact sums), then one LAG window over that tiny
+    relation computes the growth ratio; the fact table is scanned once
+    and the window ranks |nations| x |years| rows, never orders. First
+    year per nation reports NULL growth (no prior period), identically
+    in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    return yearly.select(
+        "nation",
+        "yr",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev").over(w).cast("double") - 1,
+            6,
+        ).alias("yoy_growth"),
     )
