@@ -1677,3 +1677,61 @@ def stream_warehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("hour", "event_type", "n", "total_value").collect(),
         schema=out.select("hour", "event_type", "n", "total_value").schema,
     )
+
+
+@query(
+    "stream_sliding_rollup",
+    """
+    WITH expanded AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
+               AS win_start
+      FROM events, unnest([0, 1, 2, 3]) AS t(k))
+    SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+    tags=("llm", "streaming", "sliding"),
+)
+def stream_sliding_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h every 15 min) as a Structured Streaming
+    query: the watermark bounds the 4x overlapping-window state exactly
+    as it does tumbling state, and a drained complete-mode run must
+    equal the batch twin [[sliding_1h_15m_rollup]] and its oracle —
+    one logical window spec, two execution modes."""
+    import uuid as _uuid
+
+    from etl_gardener_spark.streaming.events import read_events_stream
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+        )
+    )
+    name = f"slide_{_uuid.uuid4().hex[:8]}"
+    with state_store_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
