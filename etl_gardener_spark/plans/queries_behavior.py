@@ -617,12 +617,14 @@ def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's observed attribute (props.k) is run-length encoded into
     validity periods [valid_from, valid_to) with an is_current flag —
     the MERGE-free SCD2 emulation (change-flag LAG → run-id running sum
-    → period aggregate → LEAD for the closing edge). Every window shares
-    the one user_id shuffle; IS DISTINCT FROM makes NULL attribute
-    transitions well-defined on both engines. At 100 TB the same plan
-    incrementalizes: new days only re-encode users present in the batch,
-    merged against the open (is_current) periods — the upsert_partition
-    write path."""
+    → period aggregate → LEAD for the closing edge, operators/scd2.py).
+    Every window shares the one user_id shuffle; null-safe comparison
+    makes NULL attribute transitions well-defined on both engines. The
+    incremental path — new days re-encode only the users present in the
+    batch against their open periods — is scd2_apply_batch, pinned
+    equivalent to this full encode in tests/test_scd2.py."""
+    from etl_gardener_spark.operators.scd2 import scd2_encode
+
     e = load_table(spark, sf_dir, "events")
     obs = e.select(
         "user_id",
@@ -630,29 +632,7 @@ def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = obs.withColumn(
-        "changed",
-        F.when(~F.col("k").eqNullSafe(F.lag("k").over(w)), 1).otherwise(0),
-    )
-    runs = flagged.withColumn(
-        "run_id",
-        F.sum("changed").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    periods = runs.groupBy("user_id", "run_id").agg(
-        F.min("k").alias("attr_value"),
-        F.min("ts").alias("valid_from"),
-        F.count(F.lit(1)).cast("long").alias("n_obs"),
-    )
-    close = Window.partitionBy("user_id").orderBy("valid_from")
-    return periods.select(
-        "user_id",
-        "attr_value",
-        "valid_from",
-        F.lead("valid_from").over(close).alias("valid_to"),
-        F.lead("valid_from").over(close).isNull().alias("is_current"),
-        "n_obs",
-    )
+    return scd2_encode(obs, "user_id", "k", "ts", "event_id")
 
 
 @query(
