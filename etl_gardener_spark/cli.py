@@ -61,6 +61,48 @@ def cmd_copy(args) -> int:
     return 0
 
 
+def cmd_backfill(args) -> int:
+    """Drive the full T1-T5 pipeline for every (source, date) in a range —
+    the reference's historical sweep (job-service/iterators.go:114-128)
+    compressed into one synchronous command: seed the jobs, mark them
+    postProcessing (no parser involved for already-landed JSONL), and
+    drain the monitor. Days are independent partitions, so the monitor
+    runs them concurrently; rerunning a range is idempotent."""
+    from datetime import timedelta
+
+    from etl_gardener_spark.orchestrator import job as J
+    from etl_gardener_spark.orchestrator.config import load_config
+    from etl_gardener_spark.orchestrator.gardener import Gardener
+
+    cfg = load_config(args.config)
+    g = Gardener(
+        _spark(),
+        cfg,
+        warehouse_root=args.warehouse,
+        landing_root=args.landing,
+        schema_for=lambda job: _schema_from_json(args.schema),
+        state_dir=args.state_dir,
+        retry_delay_sec=1.0,
+    )
+    start = Date.fromisoformat(args.start)
+    end = Date.fromisoformat(args.end)
+    jobs = []
+    d = start
+    while d <= end:
+        for src in cfg.sources:
+            job = src.job_spec().with_date(d)
+            g.tracker.add_job(job)
+            g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+            jobs.append(job)
+        d += timedelta(days=1)
+    ok = g.monitor.drain(timeout_sec=args.timeout)
+    states = {j.key(): g.tracker.get_status(j.key()).state for j in jobs}
+    g.tracker.save(force=True)
+    g.monitor.shutdown()
+    print(json.dumps({"drained": ok, "jobs": states}))
+    return 0 if ok and set(states.values()) == {J.COMPLETE} else 1
+
+
 def cmd_serve(args) -> int:
     from etl_gardener_spark.orchestrator.config import load_config
     from etl_gardener_spark.orchestrator.gardener import Gardener
@@ -107,6 +149,19 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--date", required=True)
     pc.add_argument("--dry-run", action="store_true")
     pc.set_defaults(fn=cmd_copy)
+
+    pb = sub.add_parser(
+        "backfill", help="run the full pipeline over a date range and exit"
+    )
+    pb.add_argument("--config", required=True, help="gardener YAML config")
+    pb.add_argument("--warehouse", required=True)
+    pb.add_argument("--landing", required=True)
+    pb.add_argument("--schema", required=True)
+    pb.add_argument("--state-dir", required=True)
+    pb.add_argument("--start", required=True, help="YYYY-MM-DD inclusive")
+    pb.add_argument("--end", required=True, help="YYYY-MM-DD inclusive")
+    pb.add_argument("--timeout", type=float, default=600.0)
+    pb.set_defaults(fn=cmd_backfill)
 
     ps = sub.add_parser("serve", help="boot the full control plane")
     ps.add_argument("--config", required=True, help="gardener YAML config")

@@ -88,3 +88,68 @@ def test_cli_copy_dry_run_no_write(spark, tmp_path, capsys):
     assert not Warehouse(wh).path_exists(
         spark, Warehouse(wh).table_path("raw", "exp", "thing")
     )
+
+
+def test_cli_backfill_date_range(spark, tmp_path, capsys):
+    """`backfill` drives T1-T5 for every (source, date) in the range and
+    exits 0 with all jobs Complete — the historical sweep as one
+    synchronous command."""
+    import json as _json
+
+    cfg = tmp_path / "config.yml"
+    cfg.write_text(
+        """
+start_date: 2024-03-01
+sources:
+  - bucket: b
+    experiment: ndt
+    datatype: ndt7
+    datasets: {tmp: tmp_ndt, raw: raw_ndt, join: ndt}
+"""
+    )
+    gschema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField(
+                "parser", T.StructType([T.StructField("Time", T.TimestampType())])
+            ),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    schema_file = tmp_path / "gschema.json"
+    schema_file.write_text(_json.dumps(gschema.jsonValue()))
+    landing = tmp_path / "landing"
+    for day in ("01", "02"):
+        d = landing / "b" / "ndt" / "ndt7" / "2024" / "03" / day
+        d.mkdir(parents=True)
+        rows = [
+            {"id": "a", "parser": {"Time": f"2024-03-{day}T01:00:00Z"}, "value": 1.0},
+            {"id": "a", "parser": {"Time": f"2024-03-{day}T02:00:00Z"}, "value": 2.0},
+        ]
+        (d / "p.jsonl").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    rc = main(
+        [
+            "backfill",
+            "--config", str(cfg),
+            "--warehouse", str(tmp_path / "wh"),
+            "--landing", str(landing),
+            "--schema", str(schema_file),
+            "--state-dir", str(tmp_path / "state"),
+            "--start", "2024-03-01",
+            "--end", "2024-03-02",
+            "--timeout", "240",
+        ]
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["drained"]
+    assert set(out["jobs"].values()) == {"complete"}
+
+    from datetime import date as Date
+
+    from etl_gardener_spark.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    for day in (1, 2):
+        raw = wh.read_partition(spark, "raw", "ndt", "ndt7", Date(2024, 3, day))
+        assert raw.count() == 1  # deduped to latest parser.Time
