@@ -143,3 +143,69 @@ def range_count_join(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         F.col(count_col).cast("long").alias(count_col),
     )
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+) -> DataFrame:
+    """Backward as-of left join via per-key ``applyInPandas`` +
+    ``pd.merge_asof`` — the alternative strategy to :func:`asof_join`'s
+    union+window, kept for two reasons: (a) it is the natural escape
+    hatch when as-of semantics grow beyond what a carry-forward window
+    expresses (nearest-within-tolerance, forward direction, multiple
+    inequality keys — merge_asof flags, one line each); (b) it pins the
+    union+window plan's correctness by equivalence (tests/test_asof.py).
+
+    Same single co-partitioning shuffle of |left|+|right| rows (cogroup
+    on the key), but the per-key sweep runs in Python over Arrow batches
+    instead of inside WholeStageCodegen, and each key's rows must fit in
+    one worker's memory — so the JVM form stays the default for the hot
+    path; this form is the flexibility fallback. NULL payloads stay NULL
+    (row-atomic), which is stricter than the window form's per-column
+    carry — another reason it makes a good cross-check.
+    """
+    import pandas as pd
+
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(f"payload columns collide with left: {sorted(overlap)}")
+    out_fields = [left.schema[c] for c in left.columns] + [
+        right.schema[p] for p in payload
+    ]
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(out_fields)
+    lcols = list(left.columns)
+    r_cols = [on, right_time] + [p for p in payload if p not in (on, right_time)]
+    r_proj = right.select(*r_cols)
+
+    def _merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_sorted = l_pdf.sort_values(left_time, kind="mergesort")
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for p in payload:
+                out[p] = None
+            return out[lcols + payload]
+        r_sorted = r_pdf.sort_values(right_time, kind="mergesort")
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted.drop(columns=[on]),
+            left_on=left_time,
+            right_on=right_time,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        rt_out = right_time if right_time not in lcols else f"{right_time}__r"
+        keep = lcols + [p if p in merged.columns else f"{p}__r" for p in payload]
+        out = merged[keep]
+        out.columns = lcols + payload
+        return out
+
+    return left.groupBy(on).cogroup(r_proj.groupBy(on)).applyInPandas(
+        _merge, schema=out_schema
+    )

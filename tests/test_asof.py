@@ -112,3 +112,29 @@ def test_asof_matches_python_reference(spark, left_rows, right_rows):
                  if rk == k and rt <= lt]
         expect = max(cands)[2] if cands else None
         assert got[lid] == expect, (lid, k, lt, cands)
+
+
+def test_grouped_merge_asof_equivalent(spark):
+    """The Pandas-cogroup merge_asof form must agree with the
+    union+window form on non-null payloads (the two formulations differ
+    only in their treatment of NULLs inside matched right rows)."""
+    from etl_gardener_spark.operators.asof import asof_join, asof_join_grouped
+    from etl_gardener_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    kw = dict(
+        on="user_id", left_time="ts", right_time="click_ts",
+        payload=["click_ts", "click_value"],
+    )
+    a = {tuple(r) for r in asof_join(purchases, clicks, **kw).collect()}
+    b = {tuple(r) for r in asof_join_grouped(purchases, clicks, **kw).collect()}
+    assert a == b and len(a) > 0
