@@ -152,13 +152,16 @@ def asof_join_grouped(
     left_time: str,
     right_time: str,
     payload: list[str],
+    direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
-    """Backward as-of left join via per-key ``applyInPandas`` +
-    ``pd.merge_asof`` — the alternative strategy to :func:`asof_join`'s
-    union+window, kept for two reasons: (a) it is the natural escape
-    hatch when as-of semantics grow beyond what a carry-forward window
-    expresses (nearest-within-tolerance, forward direction, multiple
-    inequality keys — merge_asof flags, one line each); (b) it pins the
+    """As-of left join via per-key ``applyInPandas`` + ``pd.merge_asof``
+    — the alternative strategy to :func:`asof_join`'s union+window, kept
+    for two reasons: (a) it is the escape hatch when as-of semantics
+    grow beyond what a carry-forward window expresses — ``direction``
+    ('backward' | 'forward' | 'nearest') and ``tolerance_sec`` (match
+    only within the given distance) are plumbed straight through to
+    merge_asof; (b) the default backward/no-tolerance form pins the
     union+window plan's correctness by equivalence (tests/test_asof.py).
 
     Same single co-partitioning shuffle of |left|+|right| rows (cogroup
@@ -197,7 +200,12 @@ def asof_join_grouped(
             r_sorted.drop(columns=[on]),
             left_on=left_time,
             right_on=right_time,
-            direction="backward",
+            direction=direction,
+            tolerance=(
+                pd.Timedelta(seconds=tolerance_sec)
+                if tolerance_sec is not None
+                else None
+            ),
             suffixes=("", "__r"),
         )
         rt_out = right_time if right_time not in lcols else f"{right_time}__r"

@@ -138,3 +138,50 @@ def test_grouped_merge_asof_equivalent(spark):
     a = {tuple(r) for r in asof_join(purchases, clicks, **kw).collect()}
     b = {tuple(r) for r in asof_join_grouped(purchases, clicks, **kw).collect()}
     assert a == b and len(a) > 0
+
+
+def test_grouped_asof_forward_and_tolerance(spark):
+    """direction='forward' matches the next right row at-or-after;
+    tolerance bounds the match distance (outside -> NULL payload)."""
+    from datetime import datetime
+
+    from etl_gardener_spark.operators.asof import asof_join_grouped
+
+    L = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0, 0), "l1"),
+         (1, datetime(2024, 1, 1, 6, 0, 0), "l2")],
+        ["k", "t", "tag"],
+    )
+    R = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 1, 0, 0), 10.0),
+         (1, datetime(2024, 1, 1, 2, 0, 0), 20.0)],
+        ["k", "rt", "pay"],
+    )
+    fwd = {
+        r.tag: r.pay
+        for r in asof_join_grouped(
+            L, R, on="k", left_time="t", right_time="rt",
+            payload=["pay"], direction="forward",
+        ).collect()
+    }
+    assert fwd == {"l1": 10.0, "l2": None}  # nothing after 06:00
+
+    tol = {
+        r.tag: r.pay
+        for r in asof_join_grouped(
+            L, R, on="k", left_time="t", right_time="rt",
+            payload=["pay"], tolerance_sec=3600.0,
+        ).collect()
+    }
+    # backward within 1 h: l1 has nothing at-or-before; l2's latest right
+    # row (02:00) is 4 h away -> outside tolerance
+    assert tol == {"l1": None, "l2": None}
+
+    near = {
+        r.tag: r.pay
+        for r in asof_join_grouped(
+            L, R, on="k", left_time="t", right_time="rt",
+            payload=["pay"], direction="nearest",
+        ).collect()
+    }
+    assert near == {"l1": 10.0, "l2": 20.0}
