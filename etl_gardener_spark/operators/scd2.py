@@ -99,7 +99,7 @@ def scd2_apply_batch(
     observation) fall out of ``scd2_encode`` with no case analysis.
     """
     affected = batch_obs.select(key_col).distinct()
-    untouched = periods.join(affected, key_col, "left_anti")
+    untouched = periods.join(F.broadcast(affected), key_col, "left_anti")
     aff_periods = periods.join(F.broadcast(affected), key_col, "left_semi")
     closed = aff_periods.filter(~F.col("is_current"))
     open_pseudo = aff_periods.filter(F.col("is_current")).select(
