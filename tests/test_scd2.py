@@ -110,3 +110,59 @@ def test_apply_batch_continuation_merges_counts(spark):
     r = rows[0]
     assert (r.attr_value, r.n_obs, r.is_current) == (9, 3, True)
     assert r.valid_from == datetime(2024, 1, 1, 4)
+
+
+from hypothesis import given, settings, strategies as st
+
+obs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # key
+        st.integers(min_value=1, max_value=60),   # ts offset minutes
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # attr
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(obs=obs_strategy, cut1=st.integers(0, 60), cut2=st.integers(0, 60))
+def test_property_batch_apply_equals_full_encode(spark, obs, cut1, cut2):
+    """For ANY observation stream and ANY time-ordered 3-way batch split,
+    applying batches incrementally equals encoding the whole history —
+    the invariant that makes the nightly SCD2 upsert restart-safe.
+    Ties in (key, ts) get unique tie-break ids, matching the day
+    pipeline's unique event ids."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    lo, hi = sorted((cut1, cut2))
+    rows = []
+    for i, (k, t, a) in enumerate(obs):
+        rows.append((k, datetime(2024, 1, 1, t // 60, t % 60), i, a))
+    full = scd2_encode(
+        spark.createDataFrame(rows, schema), "user_id", "k", "ts", "event_id"
+    )
+    batches = [
+        [r for r in rows if r[1].minute + 60 * r[1].hour <= lo],
+        [r for r in rows if lo < r[1].minute + 60 * r[1].hour <= hi],
+        [r for r in rows if r[1].minute + 60 * r[1].hour > hi],
+    ]
+    batches = [b for b in batches if b]
+    periods = scd2_encode(
+        spark.createDataFrame(batches[0], schema), "user_id", "k", "ts", "event_id"
+    )
+    for b in batches[1:]:
+        periods = scd2_apply_batch(
+            periods,
+            spark.createDataFrame(b, schema),
+            "user_id", "k", "ts", "event_id",
+        )
+    assert _canon(periods) == _canon(full)
