@@ -1735,3 +1735,75 @@ def stream_sliding_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+@query(
+    "stream_session_window",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM gaps
+    ), agg AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess GROUP BY user_id, sid
+    ), m AS (SELECT max(ts) AS mx FROM events)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events
+    FROM agg a, m
+    WHERE EXISTS (SELECT 1 FROM agg b WHERE b.user_id = a.user_id
+                  AND b.session_start > a.session_start)
+       OR epoch_ms(a.session_end) + 1800000 < epoch_ms(m.mx) - 600000
+    """,
+    tags=("llm", "streaming", "sessionize", "native-window"),
+)
+def stream_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the BUILT-IN session_window aggregate
+    — the declarative counterpart to [[stream_sessionize]]'s custom
+    applyInPandasWithState operator: same gap semantics, but state
+    merging lives in the engine's session-window state store instead of
+    user code (no Python in the loop). Append mode emits a session once
+    the watermark (10 min here) passes its end + gap; the oracle states
+    that closure condition exactly — a session surfaces iff a later
+    session of the same user exists or the final watermark
+    (max event time - 10 min) passed its end + 30 min. Exact-gap ties
+    would diverge from the lag-based oracle but cannot occur in
+    microsecond-resolution testdata (see [[session_window_rollup]])."""
+    import uuid as _uuid
+
+    from etl_gardener_spark.streaming.events import read_events_stream
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    name = f"sw_{_uuid.uuid4().hex[:8]}"
+    with state_store_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
