@@ -725,3 +725,31 @@ def nation_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal, c_custkey FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@query(
+    "lateral_top2_per_nation",
+    "SELECT nation, c_name, c_acctbal FROM (" + _LATERAL_SQL + ") q",
+    tags=("analytics", "sql-api", "lateral"),
+)
+def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by balance per nation expressed through the SQL
+    API as a correlated LATERAL subquery with ORDER BY + LIMIT — the
+    identical SQL text runs on both engines, and Spark decorrelates it
+    into the same windowed top-k plan the DataFrame API's
+    [[topk_per_group]] produces (one shuffle, per-group limit). Included
+    to pin the engine's spark.sql surface: registry queries are
+    otherwise DataFrame-built, but a reference user's SQL runs as-is."""
+    from etl_gardener_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL).select("nation", "c_name", "c_acctbal")
