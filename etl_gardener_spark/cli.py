@@ -67,14 +67,27 @@ def cmd_backfill(args) -> int:
     compressed into one synchronous command: seed the jobs, mark them
     postProcessing (no parser involved for already-landed JSONL), and
     drain the monitor. Days are independent partitions, so the monitor
-    runs them concurrently; rerunning a range is idempotent."""
+    runs them concurrently. Rerunning a range is idempotent: completed
+    and failed jobs are re-seeded (every stage replaces its own
+    partition), while jobs recovered mid-chain from a previous
+    interrupted run resume from their persisted state instead of being
+    reset."""
     from datetime import timedelta
 
     from etl_gardener_spark.orchestrator import job as J
     from etl_gardener_spark.orchestrator.config import load_config
     from etl_gardener_spark.orchestrator.gardener import Gardener
+    from etl_gardener_spark.orchestrator.tracker import JobExistsError
 
     cfg = load_config(args.config)
+    start = Date.fromisoformat(args.start)
+    end = Date.fromisoformat(args.end)
+    if start > end:
+        print(json.dumps({"error": f"--start {start} is after --end {end}"}))
+        return 2
+    if not cfg.sources:
+        print(json.dumps({"error": "config has no sources"}))
+        return 2
     g = Gardener(
         _spark(),
         cfg,
@@ -84,15 +97,18 @@ def cmd_backfill(args) -> int:
         state_dir=args.state_dir,
         retry_delay_sec=1.0,
     )
-    start = Date.fromisoformat(args.start)
-    end = Date.fromisoformat(args.end)
     jobs = []
     d = start
     while d <= end:
         for src in cfg.sources:
             job = src.job_spec().with_date(d)
-            g.tracker.add_job(job)
-            g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+            try:
+                g.tracker.add_job(job)
+                g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+            except JobExistsError:
+                # recovered non-terminal job from an interrupted run:
+                # leave its state alone — the monitor resumes it
+                pass
             jobs.append(job)
         d += timedelta(days=1)
     ok = g.monitor.drain(timeout_sec=args.timeout)

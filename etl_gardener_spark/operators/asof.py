@@ -177,23 +177,39 @@ def asof_join_grouped(
     overlap = set(payload) & set(left.columns)
     if overlap:
         raise ValueError(f"payload columns collide with left: {sorted(overlap)}")
-    out_fields = [left.schema[c] for c in left.columns] + [
-        right.schema[p] for p in payload
-    ]
     from pyspark.sql import types as T
 
+    # Payload fields are forced nullable: unmatched left rows emit NULL
+    # payloads, and copying a non-nullable right field verbatim would let
+    # Catalyst constant-fold IsNull(payload) to false downstream.
+    out_fields = [left.schema[c] for c in left.columns] + [
+        T.StructField(p, right.schema[p].dataType, nullable=True) for p in payload
+    ]
     out_schema = T.StructType(out_fields)
     lcols = list(left.columns)
     r_cols = [on, right_time] + [p for p in payload if p not in (on, right_time)]
     r_proj = right.select(*r_cols)
 
     def _merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
-        l_sorted = l_pdf.sort_values(left_time, kind="mergesort")
-        if r_pdf.empty:
-            out = l_sorted.copy()
+        # merge_asof rejects NULL keys outright; the union+window form
+        # treats a NULL-time left row as matchless (NULL payload) and
+        # ignores NULL-time right rows — mirror that here.
+        l_null = l_pdf[l_pdf[left_time].isna()]
+        l_pdf = l_pdf[l_pdf[left_time].notna()]
+        r_pdf = r_pdf[r_pdf[right_time].notna()]
+
+        def _with_null_payload(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = pdf.copy()
             for p in payload:
                 out[p] = None
             return out[lcols + payload]
+
+        l_sorted = l_pdf.sort_values(left_time, kind="mergesort")
+        if r_pdf.empty:
+            out = _with_null_payload(l_sorted)
+            if not l_null.empty:
+                out = pd.concat([out, _with_null_payload(l_null)])
+            return out
         r_sorted = r_pdf.sort_values(right_time, kind="mergesort")
         merged = pd.merge_asof(
             l_sorted,
@@ -208,10 +224,11 @@ def asof_join_grouped(
             ),
             suffixes=("", "__r"),
         )
-        rt_out = right_time if right_time not in lcols else f"{right_time}__r"
         keep = lcols + [p if p in merged.columns else f"{p}__r" for p in payload]
         out = merged[keep]
         out.columns = lcols + payload
+        if not l_null.empty:
+            out = pd.concat([out, _with_null_payload(l_null)])
         return out
 
     return left.groupBy(on).cogroup(r_proj.groupBy(on)).applyInPandas(

@@ -221,12 +221,16 @@ def promote_with_quarantine(
     """Expectation-gated promotion: accepted rows land in
     ``accepted_tier`` with their original schema; violating rows land in
     ``quarantine_tier`` carrying a ``dq_reason`` audit column — nothing
-    is silently dropped, and reprocessing a fixed batch is the same
-    append-then-overwrite discipline as every other warehouse write.
+    is silently dropped. Both writes use dynamic partition overwrite
+    (the T3 WriteTruncate discipline): re-promoting a fixed batch
+    replaces its own day partitions byte-for-byte, so the gate is
+    idempotent — a plain append would double rows on rerun.
 
-    One scan feeds both writes (the split is a projection); at 100 TB the
+    The split is a projection riding each write's scan; at 100 TB the
     quarantine side is typically a tiny fraction, so its write cost is
-    proportional to violations, not to the batch. Returns counts.
+    proportional to violations, not to the batch. Returns THIS batch's
+    disposition counts, from one aggregate over the annotated batch —
+    not a rescan of the (historically large) tiers.
     """
     ann = split_by_expectations(df, checks)
     accepted = ann.filter(F.col("dq_disposition") == "accepted").drop(
@@ -235,8 +239,15 @@ def promote_with_quarantine(
     quarantined = ann.filter(F.col("dq_disposition") == "quarantined").drop(
         "dq_disposition"
     ).withColumn("dq_reason", F.concat_ws(",", "dq_reasons")).drop("dq_reasons")
-    wh.append(accepted, accepted_tier, experiment, datatype)
-    wh.append(quarantined, quarantine_tier, experiment, datatype)
-    n_acc = wh.read(df.sparkSession, accepted_tier, experiment, datatype).count()
-    n_q = wh.read(df.sparkSession, quarantine_tier, experiment, datatype).count()
-    return {"accepted": n_acc, "quarantined": n_q}
+    wh.overwrite_partitions(accepted, accepted_tier, experiment, datatype)
+    wh.overwrite_partitions(quarantined, quarantine_tier, experiment, datatype)
+    counts = {
+        r["dq_disposition"]: r["n"]
+        for r in ann.groupBy("dq_disposition")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        "accepted": counts.get("accepted", 0),
+        "quarantined": counts.get("quarantined", 0),
+    }

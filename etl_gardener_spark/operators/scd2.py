@@ -61,7 +61,11 @@ def scd2_encode(
         F.min(ts_col).alias("valid_from"),
         F.sum("__w").cast("long").alias("n_obs"),
     )
-    close = Window.partitionBy(key_col).orderBy("valid_from")
+    # __run tie-breaks the close window: two consecutive runs can share a
+    # valid_from (equal-ts observations with different attrs), and
+    # ordering by valid_from alone would assign valid_to/is_current
+    # nondeterministically between them.
+    close = Window.partitionBy(key_col).orderBy("valid_from", "__run")
     return periods.select(
         key_col,
         "attr_value",

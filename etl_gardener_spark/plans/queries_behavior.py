@@ -603,9 +603,10 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_obs
       FROM runs GROUP BY user_id, run_id)
     SELECT user_id, attr_value, valid_from,
-           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-             AS valid_to,
-           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id)
              IS NULL AS is_current,
            n_obs
     FROM periods

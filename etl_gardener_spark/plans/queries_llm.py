@@ -1757,9 +1757,7 @@ def stream_sliding_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (SELECT max(ts) AS mx FROM events)
     SELECT a.user_id, a.session_start, a.session_end, a.n_events
     FROM agg a, m
-    WHERE EXISTS (SELECT 1 FROM agg b WHERE b.user_id = a.user_id
-                  AND b.session_start > a.session_start)
-       OR epoch_ms(a.session_end) + 1800000 < epoch_ms(m.mx) - 600000
+    WHERE epoch_ms(a.session_end) + 1800000 < epoch_ms(m.mx) - 600000
     """,
     tags=("llm", "streaming", "sessionize", "native-window"),
 )
@@ -1768,11 +1766,12 @@ def stream_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the declarative counterpart to [[stream_sessionize]]'s custom
     applyInPandasWithState operator: same gap semantics, but state
     merging lives in the engine's session-window state store instead of
-    user code (no Python in the loop). Append mode emits a session once
-    the watermark (10 min here) passes its end + gap; the oracle states
-    that closure condition exactly — a session surfaces iff a later
-    session of the same user exists or the final watermark
-    (max event time - 10 min) passed its end + 30 min. Exact-gap ties
+    user code (no Python in the loop). Append-mode emission is purely
+    watermark-driven: a session surfaces iff the final watermark
+    (max event time - 10 min) passed its end + 30 min — unlike
+    [[stream_sessionize]]'s custom operator, a later session of the same
+    user does NOT flush an earlier one, so the oracle states only the
+    watermark condition. Exact-gap ties
     would diverge from the lag-based oracle but cannot occur in
     microsecond-resolution testdata (see [[session_window_rollup]])."""
     import uuid as _uuid

@@ -153,3 +153,39 @@ sources:
     for day in (1, 2):
         raw = wh.read_partition(spark, "raw", "ndt", "ndt7", Date(2024, 3, day))
         assert raw.count() == 1  # deduped to latest parser.Time
+
+    # rerun over the same range (completed jobs re-seed, stages replace
+    # their own partitions): exit 0 again, no row duplication
+    rc = main(
+        [
+            "backfill",
+            "--config", str(cfg),
+            "--warehouse", str(tmp_path / "wh"),
+            "--landing", str(landing),
+            "--schema", str(schema_file),
+            "--state-dir", str(tmp_path / "state"),
+            "--start", "2024-03-01",
+            "--end", "2024-03-02",
+            "--timeout", "240",
+        ]
+    )
+    assert rc == 0
+    for day in (1, 2):
+        assert wh.read_partition(
+            spark, "raw", "ndt", "ndt7", Date(2024, 3, day)
+        ).count() == 1
+
+    # invalid range is a usage error, not a fake failure
+    rc = main(
+        [
+            "backfill",
+            "--config", str(cfg),
+            "--warehouse", str(tmp_path / "wh"),
+            "--landing", str(landing),
+            "--schema", str(schema_file),
+            "--state-dir", str(tmp_path / "state2"),
+            "--start", "2024-03-05",
+            "--end", "2024-03-01",
+        ]
+    )
+    assert rc == 2

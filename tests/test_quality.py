@@ -142,3 +142,12 @@ def test_promote_with_quarantine_counts(spark, df, tmp_path):
     }
     acc = wh.read(spark, "raw", "exp", "t")
     assert "dq_reason" not in acc.columns and "dq_reasons" not in acc.columns
+
+    # idempotent: re-promoting the same batch replaces its partitions,
+    # never doubles them
+    stats2 = promote_with_quarantine(
+        batch, [not_null("name"), in_range("v", 0, 10)], wh, "exp", "t"
+    )
+    assert stats2 == {"accepted": 2, "quarantined": 3}
+    assert wh.read(spark, "raw", "exp", "t").count() == 2
+    assert wh.read(spark, "quarantine", "exp", "t").count() == 3

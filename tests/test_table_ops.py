@@ -394,10 +394,13 @@ def test_cluster_partition_zorder(spark, tmp_path):
     # aggregate skipping potential instead: mean bounding-box span well
     # under the lexicographic baseline's 100% trailing-column span
     # (perfect quadrants would be ~50%).
+    # With the op's 4x range-exchange sampling, 5/5 calibration runs give
+    # perfect quadrants (31, 31); the thresholds keep one-file slack for
+    # residual boundary jitter.
     mean_sx = sum(sx for sx, _ in zboxes) / len(zboxes)
     mean_sy = sum(sy for _, sy in zboxes) / len(zboxes)
-    assert mean_sx <= 48 and mean_sy <= 54, zboxes
-    assert sum(1 for _, sy in zboxes if sy <= 48) >= 2, zboxes
+    assert mean_sx <= 40 and mean_sy <= 48, zboxes
+    assert sum(1 for _, sy in zboxes if sy <= 42) >= 3, zboxes
 
     # content preserved exactly
     got = sorted(
