@@ -553,3 +553,35 @@ class Warehouse:
         path = self.partition_path(tier, experiment, datatype, day)
         fs = _hadoop_fs(spark, path)
         return bool(fs.exists(_hadoop_path(spark, path)))
+
+
+def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) -> list[str]:
+    """Remove orphaned staging directories (``*.__clustering__``,
+    ``*.__compacting__``, ``*.__upserting__``) left behind when a staged
+    write crashed between write and atomic swap.
+
+    Crash-safety of the staged-swap discipline means orphans are
+    harmless — the live partition was never touched, and the next run of
+    the same op deletes its own stale staging dir before writing — but
+    they hold disk until someone sweeps. This is that sweep, the plain-
+    Parquet analogue of Delta's VACUUM: driver-side directory listing
+    only (no data read), age-gated so an in-flight op's staging dir
+    (younger than ``min_age_sec``) is never yanked out from under it.
+    Returns the deleted paths.
+    """
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    suffixes = (".__clustering__", ".__compacting__", ".__upserting__")
+    removed: list[str] = []
+    now = _time.time()
+    for dirpath, dirnames, _ in _os.walk(root):
+        for d in list(dirnames):
+            if d.endswith(suffixes):
+                full = _os.path.join(dirpath, d)
+                if now - _os.path.getmtime(full) >= min_age_sec:
+                    _shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+                    dirnames.remove(d)
+    return removed

@@ -438,3 +438,25 @@ def test_read_days_and_partition_filter_guard(spark, tmp_path):
 
     with pytest.raises(ValueError, match="requires a partition filter"):
         wh.read(spark, "raw", "exp", "t", require_partition_filter=True)
+
+
+def test_vacuum_staging_age_gated(spark, tmp_path):
+    import os
+    import time
+
+    from etl_gardener_spark.warehouse import vacuum_staging
+
+    root = tmp_path / "wh"
+    stale = root / "tmp_exp" / "t" / "date=2024-01-01.__compacting__"
+    fresh = root / "tmp_exp" / "t" / "date=2024-01-02.__clustering__"
+    live = root / "tmp_exp" / "t" / "date=2024-01-01"
+    for d in (stale, fresh, live):
+        d.mkdir(parents=True)
+        (d / "part-0.parquet").write_bytes(b"x")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    removed = vacuum_staging(spark, str(root), min_age_sec=3600)
+    assert removed == [str(stale)]
+    assert not stale.exists()
+    assert fresh.exists() and live.exists()  # young staging + live data kept
