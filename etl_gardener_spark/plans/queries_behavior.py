@@ -754,3 +754,47 @@ def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL).select("nation", "c_name", "c_acctbal")
+
+
+@query(
+    "top_percentile_orders",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) AS pr
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_top,
+           ROUND(MIN(o_totalprice), 2) AS threshold_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM ranked WHERE pr >= 0.99
+    GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "window", "percent-rank"),
+)
+def top_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1%-by-price orders per priority via PERCENT_RANK — the
+    relative-rank window family (percent_rank/cume_dist) the ranking
+    suite otherwise lacks. percent_rank is tie-stable (equal prices
+    share a rank, no tie-break needed), so the >= 0.99 cut is
+    deterministic on both engines; the per-priority window shuffles
+    orders once and the output is a 5-row summary. The rank threshold
+    1.0*(n-1) arithmetic is exact integer-derived division — identical
+    across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        ranked.filter(F.col("pr") >= 0.99)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_top"),
+            F.round(F.min("o_totalprice"), 2).alias("threshold_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
