@@ -280,3 +280,12 @@ def test_heavy_hitters_take_ordered(spark):
     # global sort of the vocabulary
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.split("TakeOrderedAndProject")[0]
+
+
+def test_scd2_single_exchange(spark):
+    df = Q.REGISTRY["scd2_user_attribute"].fn(spark, SF)
+    p = plan(df)
+    # change-flag LAG, run-id cumsum, period aggregate, and closing LEAD
+    # all ride ONE key exchange (formatted output names each node twice)
+    assert p.count("Exchange") == 2, p.count("Exchange")
+    assert p.count("Window") >= 6  # three window nodes, tree + details
