@@ -170,3 +170,46 @@ def test_embedding_near_dup_pairs_lsh_subset_of_exact(vecs):
     }
     assert lsh <= exact
     assert (0, 4) in lsh  # identical vectors always share the SRP bucket
+
+
+from hypothesis import given, settings, strategies as st
+
+# Small vocab + short docs force heavy shingle collisions and boundary
+# jaccard values — the adversarial regime for the prefix filter.
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_word, min_size=3, max_size=8).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus, threshold=st.sampled_from([0.3, 0.5, 0.8]))
+def test_property_prefix_filter_is_lossless(spark, texts, threshold):
+    """jaccard_pairs's prefix-filtered inverted index (PPJoin positional
+    bound + size filter) must return EXACTLY the brute-force all-pairs
+    result at any threshold — the filters are pruning optimizations,
+    never recall trade-offs."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ND.jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=threshold
+        ).collect()
+    }
+
+    # brute force in plain Python over the same 3-word shingles
+    def shingles(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows if len(t.split()) >= 3}
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want[(a, b)] = round(inter / union, 6)
+    assert got == want
