@@ -798,3 +798,45 @@ def top_percentile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+@query(
+    "value_mad_by_type",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med_value
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, med.med_value,
+             ABS(e.value - med.med_value) AS adev
+      FROM events e JOIN med USING (event_type)
+      WHERE e.value IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(med_value), 6) AS median_value,
+           ROUND(median(adev), 6) AS mad
+    FROM dev GROUP BY event_type
+    """,
+    tags=("analytics", "robust-stats", "percentile"),
+)
+def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event_type — the robust dispersion
+    gauge that, unlike [[value_outliers_by_type]]'s mean/std, a few
+    extreme values cannot drag. Same two-pass broadcast-stats shape:
+    pass 1 computes each type's exact median (interpolated, Spark
+    `median` ≡ DuckDB `median` on doubles), the 5-row relation
+    broadcasts onto pass 2's deviation scan, and a second exact median
+    finishes. Exact medians sort within each small group; at 100 TB both
+    passes swap to `percentile_approx` at a declared error bound."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(F.median("value").alias("med_value"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_value",
+        F.abs(F.col("value") - F.col("med_value")).alias("adev"),
+    )
+    return dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.max("med_value"), 6).alias("median_value"),
+        F.round(F.median("adev"), 6).alias("mad"),
+    )
