@@ -1806,3 +1806,62 @@ def stream_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+_PHASH32 = (
+    "list_reduce(list_transform(string_split(substr(md5(text),1,8), ''),"
+    " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
+    " (x, y) -> x * 16 + y)"
+)
+
+
+@query(
+    "mm_phash_near_pairs",
+    f"""
+    WITH h AS (SELECT doc_id, {_PHASH32} AS phash FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    """,
+    tags=("llm", "multimodal", "dedup", "lsh"),
+)
+def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-item multimodal dedup: perceptual-hash near-duplicate pairs
+    over binary payloads. The pHash is computed INSIDE mapInPandas over
+    the payload bytes (here the deterministic md5-fold stub — a real
+    pipeline swaps in DCT-based pHash after decode, same 32-bit output
+    contract), then the TEXT pipeline's SimHash banding operator
+    (neardup.simhash_near_pairs, 8-band pigeonhole, lossless for
+    hamming <= 7) finds candidate pairs unchanged — modality lives in
+    the UDF, the candidate-generation plan is shared. The oracle
+    brute-forces all pairs (quadratic, oracle-only)."""
+    from etl_gardener_spark.operators import neardup as ND
+    from etl_gardener_spark.operators.multimodal import attach_binary
+
+    d = load_table(spark, sf_dir, "documents")
+    payloads = attach_binary(d, "text", "doc_id")
+
+    def _phash(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": [
+                        int(hashlib.md5(bytes(p)).hexdigest()[:8], 16)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    sim = payloads.select("doc_id", "payload").mapInPandas(
+        _phash, "doc_id long, simhash long"
+    )
+    out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=7, bands=8)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
