@@ -840,3 +840,51 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("med_value"), 6).alias("median_value"),
         F.round(F.median("adev"), 6).alias("mad"),
     )
+
+
+@query(
+    "bucketed_cohort_join",
+    """
+    WITH dim AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT d.cohort_day, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS total_value
+    FROM events e JOIN dim d USING (user_id)
+    GROUP BY d.cohort_day, e.event_type
+    """,
+    tags=("analytics", "bucketing", "join"),
+)
+def bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort enrichment join executed over BUCKETED tables: both
+    sides are written bucket-sorted on user_id once, and the join then
+    plans with ZERO hash exchanges — the shuffle is paid at write time,
+    which is the economics for a fact table joined on the same key by
+    every downstream query (tests/test_bucketing.py pins the
+    exchange-free plan; this entry pins the RESULTS through the bucketed
+    write + catalog read path against the plain-join oracle). At 100 TB
+    the bucket count scales to target-file-size x cluster parallelism;
+    32 here."""
+    import tempfile as _tf
+
+    from etl_gardener_spark.warehouse import Warehouse
+
+    wh = Warehouse(_tf.mkdtemp(prefix="etl_gardener_spark_bucketed_"))
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", F.to_date("ts").alias("d")
+    )
+    dim = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    tf_name = wh.save_bucketed(e, "raw", "bexp", "events", ["user_id"], 32)
+    td_name = wh.save_bucketed(dim, "raw", "bexp", "cohorts", ["user_id"], 32)
+    return (
+        spark.table(tf_name)
+        .join(spark.table(td_name), "user_id")
+        .groupBy("cohort_day", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
+                "total_value"
+            ),
+        )
+    )
