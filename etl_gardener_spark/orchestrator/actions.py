@@ -94,18 +94,36 @@ class StandardActions:
             st = self._ops(job).load_to_tmp(prefix, self.schema_for(job))
         except Exception as e:  # noqa: BLE001 — classified below
             raise classify(e) from e
-        # files-per-date histogram (metrics/metrics.go:152-165; recorded
-        # from LoadStatistics in ops/actions.go:290-309)
+        # files/bytes-per-date histograms (metrics/metrics.go:152-191;
+        # recorded from LoadStatistics in ops/actions.go:290-309). The
+        # byte count comes from the same prefix listing the dispatch gate
+        # used — metadata only, no data read.
         metrics.FILES_PER_DATE.observe(
             job.experiment, job.datatype, value=st.input_files
         )
+        from etl_gardener_spark.sources.listing import prefix_stats
+
+        _, total_bytes = prefix_stats(self.spark, prefix)
+        metrics.BYTES_PER_DATE.observe(
+            job.experiment, job.datatype, value=float(total_bytes)
+        )
         return self._detail(st)
 
-    def dedup(self, job: J.Job) -> str:
+    def _run_query_op(self, job: J.Job, query: str, fn) -> OpStats:
+        """Run a query-shaped table op and record its slot-seconds
+        analogue (executor task-time delta) in the reference's
+        query_cost_seconds histogram (ops/actions.go:150-170)."""
+        t0 = metrics.spark_task_seconds(self.spark)
         try:
-            st = self._ops(job).dedup()
+            st = fn()
         except Exception as e:  # noqa: BLE001
             raise classify(e) from e
+        cost = metrics.spark_task_seconds(self.spark) - t0
+        metrics.QUERY_COST.observe(job.datatype, query, value=max(cost, 0.0))
+        return st
+
+    def dedup(self, job: J.Job) -> str:
+        st = self._run_query_op(job, "dedup", self._ops(job).dedup)
         return self._detail(st)
 
     def copy(self, job: J.Job) -> str:
@@ -122,10 +140,7 @@ class StandardActions:
     def join(self, job: J.Job) -> str:
         if not job.datasets.join:
             return "join skipped: no join dataset"  # actions.go:371-374
-        try:
-            st = self._ops(job).join()
-        except Exception as e:  # noqa: BLE001
-            raise classify(e) from e
+        st = self._run_query_op(job, "join", self._ops(job).join)
         return self._detail(st)
 
     def join_ready(self, job: J.Job) -> bool:

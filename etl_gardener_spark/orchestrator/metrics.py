@@ -177,3 +177,22 @@ QUERY_COST = Histogram(
     "Executor-CPU-seconds per query (slot-seconds analogue).",
     [1, 10, 100, 1000, 10000, 1e5, 1e6, 4.64e7], ("datatype", "query")
 )
+
+
+def spark_task_seconds(spark) -> float:
+    """Cumulative executor task time (seconds) from Spark's status store —
+    the slot-seconds analogue (the reference records BigQuery SlotMillis,
+    ops/actions.go:150-170): task time is how long tasks occupied
+    executor slots, which is exactly what a slot-second measures. Driver-
+    side metadata read, no job triggered. Callers record per-query cost
+    as the delta around an action; with concurrent jobs on one session
+    the deltas overlap (attribution is approximate — the same way shared
+    BigQuery slots attribute), while totals remain exact.
+    """
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    total_ms = 0
+    it = store.executorList(False).iterator()
+    while it.hasNext():
+        total_ms += it.next().totalDuration()
+    return total_ms / 1000.0

@@ -238,3 +238,30 @@ def test_restart_recovers_mid_pipeline(spark, tmp_path):
         assert wh.read_partition(spark, "join", "ndt", "ndt7", job.date).count() == 2
     finally:
         g2.monitor.shutdown()
+
+
+def test_pipeline_records_query_cost_metrics(gardener):
+    """The dedup/join query ops must record their slot-seconds analogue
+    (executor task-time delta) and the load its files/bytes histograms —
+    the reference's job-statistics observability (ops/actions.go:150-170,
+    290-309)."""
+    from etl_gardener_spark.orchestrator import metrics as M
+
+    g, landing, _ = gardener
+    job = g.config.sources[0].job_spec().with_date(Date(2024, 3, 7))
+    rows = [
+        {"id": "a", "parser": {"Time": "2024-03-07T01:00:00Z"}, "value": 1.0},
+        {"id": "a", "parser": {"Time": "2024-03-07T02:00:00Z"}, "value": 2.0},
+    ]
+    _write_day(landing, job.prefix(), rows)
+    g.tracker.add_job(job)
+    g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+    assert g.monitor.drain(timeout_sec=120.0)
+    assert g.tracker.get_status(job.key()).state == J.COMPLETE
+
+    text = M.REGISTRY.expose_text()
+    assert 'gardener_query_cost_seconds_count{datatype="ndt7",query="dedup"}' in text
+    assert 'gardener_query_cost_seconds_count{datatype="ndt7",query="join"}' in text
+    assert 'gardener_bytes_count{experiment="ndt",datatype="ndt7"}' in text
+    # task time accumulated: the sum is positive once real work ran
+    assert M.spark_task_seconds(g.spark) > 0
