@@ -106,9 +106,13 @@ def cmd_backfill(args) -> int:
                 g.tracker.add_job(job)
                 g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
             except JobExistsError:
-                # recovered non-terminal job from an interrupted run:
-                # leave its state alone — the monitor resumes it
-                pass
+                # Recovered non-terminal job from an interrupted run:
+                # leave mid-chain state alone (the monitor resumes it) —
+                # EXCEPT a job snapshotted in 'init' (crash between
+                # add_job and the kickoff set_status), which no action
+                # covers and would strand the rerun; kick it off now.
+                if g.tracker.get_status(job.key()).state == J.INIT:
+                    g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
             jobs.append(job)
         d += timedelta(days=1)
     ok = g.monitor.drain(timeout_sec=args.timeout)

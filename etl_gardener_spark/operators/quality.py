@@ -231,7 +231,17 @@ def promote_with_quarantine(
     proportional to violations, not to the batch. Returns THIS batch's
     disposition counts, from one aggregate over the annotated batch —
     not a rescan of the (historically large) tiers.
+
+    A disposition side with NO rows for one of the batch's days still
+    clears that day in its tier: dynamic overwrite only replaces the
+    partitions present in the incoming frame, so without the explicit
+    delete a re-promotion of a FIXED batch (3 violations → 0) would
+    leave the stale quarantine rows beside the now-accepted copies.
+    The per-(day, disposition) presence map comes from the same small
+    aggregate that produces the counts.
     """
+    from etl_gardener_spark.warehouse import DATE_COL
+
     ann = split_by_expectations(df, checks)
     accepted = ann.filter(F.col("dq_disposition") == "accepted").drop(
         "dq_reasons", "dq_disposition"
@@ -239,15 +249,29 @@ def promote_with_quarantine(
     quarantined = ann.filter(F.col("dq_disposition") == "quarantined").drop(
         "dq_disposition"
     ).withColumn("dq_reason", F.concat_ws(",", "dq_reasons")).drop("dq_reasons")
-    wh.overwrite_partitions(accepted, accepted_tier, experiment, datatype)
-    wh.overwrite_partitions(quarantined, quarantine_tier, experiment, datatype)
-    counts = {
-        r["dq_disposition"]: r["n"]
-        for r in ann.groupBy("dq_disposition")
+    per_day = {
+        (r[DATE_COL], r["dq_disposition"]): r["n"]
+        for r in ann.groupBy(DATE_COL, "dq_disposition")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    batch_days = {d for d, _ in per_day}
+    wh.overwrite_partitions(accepted, accepted_tier, experiment, datatype)
+    wh.overwrite_partitions(quarantined, quarantine_tier, experiment, datatype)
+    for day in batch_days:
+        if (day, "accepted") not in per_day:
+            wh.delete_partition(
+                df.sparkSession, accepted_tier, experiment, datatype, day
+            )
+        if (day, "quarantined") not in per_day:
+            wh.delete_partition(
+                df.sparkSession, quarantine_tier, experiment, datatype, day
+            )
     return {
-        "accepted": counts.get("accepted", 0),
-        "quarantined": counts.get("quarantined", 0),
+        "accepted": sum(
+            n for (d, disp), n in per_day.items() if disp == "accepted"
+        ),
+        "quarantined": sum(
+            n for (d, disp), n in per_day.items() if disp == "quarantined"
+        ),
     }

@@ -95,17 +95,15 @@ class StandardActions:
         except Exception as e:  # noqa: BLE001 — classified below
             raise classify(e) from e
         # files/bytes-per-date histograms (metrics/metrics.go:152-191;
-        # recorded from LoadStatistics in ops/actions.go:290-309). The
-        # byte count comes from the same prefix listing the dispatch gate
-        # used — metadata only, no data read.
+        # recorded from LoadStatistics in ops/actions.go:290-309). Both
+        # come from the ONE prefix listing load_with_stats already did —
+        # at ~900k files/day a second recursive listing would double the
+        # load's metadata I/O.
         metrics.FILES_PER_DATE.observe(
             job.experiment, job.datatype, value=st.input_files
         )
-        from etl_gardener_spark.sources.listing import prefix_stats
-
-        _, total_bytes = prefix_stats(self.spark, prefix)
         metrics.BYTES_PER_DATE.observe(
-            job.experiment, job.datatype, value=float(total_bytes)
+            job.experiment, job.datatype, value=float(st.input_bytes)
         )
         return self._detail(st)
 

@@ -185,9 +185,12 @@ def spark_task_seconds(spark) -> float:
     ops/actions.go:150-170): task time is how long tasks occupied
     executor slots, which is exactly what a slot-second measures. Driver-
     side metadata read, no job triggered. Callers record per-query cost
-    as the delta around an action; with concurrent jobs on one session
-    the deltas overlap (attribution is approximate — the same way shared
-    BigQuery slots attribute), while totals remain exact.
+    as the delta around an action. Caveat, unlike per-job SlotMillis:
+    the counter is session-global, so deltas taken around CONCURRENT
+    ops each include the others' overlapping task time — per-query
+    observations are upper bounds that over-count under concurrency
+    (and are exact when ops run serially). Treat the histogram as a
+    cost-magnitude signal, not an additive ledger.
     """
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()

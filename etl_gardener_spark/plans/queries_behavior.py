@@ -287,7 +287,10 @@ def dq_quarantine_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_gardener_spark.warehouse import Warehouse
 
-    wh = Warehouse(_tf.mkdtemp(prefix="etl_gardener_spark_dqgate_"))
+    import shutil as _sh
+
+    root = _tf.mkdtemp(prefix="etl_gardener_spark_dqgate_")
+    wh = Warehouse(root)
     e = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
     checks = [
         in_range("value", 0, 200),
@@ -316,7 +319,10 @@ def dq_quarantine_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return acc.unionByName(quar)
+    out = acc.unionByName(quar)
+    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    _sh.rmtree(root, ignore_errors=True)
+    return result
 
 
 @query(
@@ -870,14 +876,17 @@ def bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_gardener_spark.warehouse import Warehouse
 
-    wh = Warehouse(_tf.mkdtemp(prefix="etl_gardener_spark_bucketed_"))
+    import shutil as _sh
+
+    root = _tf.mkdtemp(prefix="etl_gardener_spark_bucketed_")
+    wh = Warehouse(root)
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value", F.to_date("ts").alias("d")
     )
     dim = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     tf_name = wh.save_bucketed(e, "raw", "bexp", "events", ["user_id"], 32)
     td_name = wh.save_bucketed(dim, "raw", "bexp", "cohorts", ["user_id"], 32)
-    return (
+    out = (
         spark.table(tf_name)
         .join(spark.table(td_name), "user_id")
         .groupBy("cohort_day", "event_type")
@@ -888,6 +897,15 @@ def bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Materialize before dropping the scratch tables: the result is tiny
+    # (cohorts x types) and the bucketed copy of events must not outlive
+    # the query (repeated bench runs would otherwise accrete a full
+    # events copy per invocation in /tmp).
+    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    for t in (tf_name, td_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _sh.rmtree(root, ignore_errors=True)
+    return result
 
 
 @query(

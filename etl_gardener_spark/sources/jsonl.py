@@ -44,11 +44,13 @@ TIMESTAMP_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 @dataclass
 class LoadStats:
     """Mirrors the load statistics the reference records
-    (ops/actions.go:290-309: InputFiles, OutputRows, bad rows)."""
+    (ops/actions.go:290-309: InputFiles, InputFileBytes, OutputRows,
+    bad rows)."""
 
     input_files: int
     output_rows: int
     corrupt_rows: int
+    input_bytes: int = 0
 
 
 def read_jsonl(
@@ -111,12 +113,17 @@ def load_with_stats(
     from etl_gardener_spark.sources.listing import prefix_stats
 
     paths = [path] if isinstance(path, str) else list(path)
-    n_files = sum(len(prefix_stats(spark, p)[0]) for p in paths)
+    n_files, n_bytes = 0, 0
+    for pth in paths:
+        objs, total = prefix_stats(spark, pth)
+        n_files += len(objs)
+        n_bytes += total
     good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return good, LoadStats(
         input_files=n_files,
         output_rows=int(counts["total"]) - int(counts["corrupt"]),
         corrupt_rows=int(counts["corrupt"]),
+        input_bytes=n_bytes,
     )
 
 

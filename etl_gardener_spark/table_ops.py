@@ -58,6 +58,7 @@ class OpStats:
     rows_out: int = 0
     rows_deleted: int = 0
     input_files: int = 0
+    input_bytes: int = 0
     corrupt_rows: int = 0
     elapsed_sec: float = 0.0
     dry_run_plan: str | None = None
@@ -119,6 +120,7 @@ class TableOps:
             op="load_to_tmp",
             rows_out=load.output_rows,
             input_files=load.input_files,
+            input_bytes=load.input_bytes,
             corrupt_rows=load.corrupt_rows,
             elapsed_sec=time.monotonic() - t0,
         )

@@ -576,12 +576,34 @@ def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) 
     suffixes = (".__clustering__", ".__compacting__", ".__upserting__")
     removed: list[str] = []
     now = _time.time()
+
+    def _newest_mtime(path: str) -> float:
+        """Newest mtime anywhere in the staging tree: an in-flight write
+        touches task files under _temporary/ without refreshing the top
+        directory's own mtime, so the top-level stat alone would age-out
+        a long-running op mid-write. Metadata-only walk, bounded by the
+        staging dir's size."""
+        newest = 0.0
+        for dp, dns, fns in _os.walk(path):
+            for name in dns + fns + ["."]:
+                try:
+                    newest = max(
+                        newest, _os.path.getmtime(_os.path.join(dp, name))
+                    )
+                except OSError:
+                    pass  # concurrently renamed/removed entry: skip
+        return newest
+
     for dirpath, dirnames, _ in _os.walk(root):
         for d in list(dirnames):
             if d.endswith(suffixes):
                 full = _os.path.join(dirpath, d)
-                if now - _os.path.getmtime(full) >= min_age_sec:
+                try:
+                    age = now - _newest_mtime(full)
+                except OSError:
+                    continue  # dir vanished (op just committed its swap)
+                if age >= min_age_sec:
                     _shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
-                    dirnames.remove(d)
+                dirnames.remove(d)
     return removed

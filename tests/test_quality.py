@@ -151,3 +151,17 @@ def test_promote_with_quarantine_counts(spark, df, tmp_path):
     assert stats2 == {"accepted": 2, "quarantined": 3}
     assert wh.read(spark, "raw", "exp", "t").count() == 2
     assert wh.read(spark, "quarantine", "exp", "t").count() == 3
+
+    # a FIXED batch (no violations) clears the day's stale quarantine
+    # rows even though the quarantine frame is empty for that day
+    fixed = batch.withColumn("name", F.coalesce("name", F.lit("ok"))).withColumn(
+        "v", F.coalesce(F.least("v", F.lit(10.0)), F.lit(5.0))
+    )
+    stats3 = promote_with_quarantine(
+        fixed, [not_null("name"), in_range("v", 0, 10)], wh, "exp", "t"
+    )
+    assert stats3 == {"accepted": 5, "quarantined": 0}
+    assert wh.read(spark, "raw", "exp", "t").count() == 5
+    assert not wh.partition_exists(
+        spark, "quarantine", "exp", "t", batch.select("date").first()["date"]
+    )

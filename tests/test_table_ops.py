@@ -454,7 +454,10 @@ def test_vacuum_staging_age_gated(spark, tmp_path):
         d.mkdir(parents=True)
         (d / "part-0.parquet").write_bytes(b"x")
     old = time.time() - 7200
+    # age the dir AND its contents: the sweep uses the newest mtime in
+    # the tree, so an in-flight write's fresh task files protect it
     os.utime(stale, (old, old))
+    os.utime(stale / "part-0.parquet", (old, old))
 
     removed = vacuum_staging(spark, str(root), min_age_sec=3600)
     assert removed == [str(stale)]
