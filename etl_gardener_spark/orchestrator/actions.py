@@ -96,7 +96,7 @@ class StandardActions:
             raise classify(e) from e
         # files/bytes-per-date histograms (metrics/metrics.go:152-191;
         # recorded from LoadStatistics in ops/actions.go:290-309). Both
-        # come from the ONE prefix listing load_with_stats already did —
+        # come from the ONE prefix listing the observed load already did —
         # at ~900k files/day a second recursive listing would double the
         # load's metadata I/O.
         metrics.FILES_PER_DATE.observe(

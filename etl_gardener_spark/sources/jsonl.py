@@ -130,3 +130,54 @@ def load_with_stats(
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write a DataFrame as newline-delimited JSON (test/fixture helper)."""
     df.write.mode(mode).option("timestampFormat", TIMESTAMP_FORMAT).json(path)
+
+
+def read_jsonl_observed(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: T.StructType,
+):
+    """Read JSONL for a single downstream WRITE, with row/corrupt counts
+    riding that write's own job instead of a separate counting pass.
+
+    Returns ``(good_df, finish)``: ``good_df`` is the corrupt-filtered
+    frame to write; after the caller's action has run, ``finish()``
+    returns the LoadStats. Implementation: ``df.observe`` attaches
+    count/corrupt-count accumulator expressions to the plan — they are
+    computed by the tasks of whatever action consumes the frame, so the
+    one write job produces data AND statistics. Versus the cache+count
+    formulation this removes a full extra pass over the day's batch and
+    the cache of it (at 100 TB/day the cache is the difference between a
+    streaming-through load and one that spills a day of JSON to
+    executor storage).
+    """
+    from pyspark.sql import Observation
+
+    from etl_gardener_spark.sources.listing import prefix_stats
+
+    raw = read_jsonl(spark, path, schema, drop_corrupt=False)
+    obs = Observation()
+    observed = raw.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.col(CORRUPT_COL)).alias("corrupt"),
+    )
+    good = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+
+    paths = [path] if isinstance(path, str) else list(path)
+
+    def finish() -> LoadStats:
+        got = obs.get
+        n_files, n_bytes = 0, 0
+        for pth in paths:
+            objs, total = prefix_stats(spark, pth)
+            n_files += len(objs)
+            n_bytes += total
+        return LoadStats(
+            input_files=n_files,
+            output_rows=int(got["total"]) - int(got["corrupt"]),
+            corrupt_rows=int(got["corrupt"]),
+            input_bytes=n_bytes,
+        )
+
+    return good, finish

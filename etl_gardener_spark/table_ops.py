@@ -45,7 +45,7 @@ from pyspark.sql import types as T
 from etl_gardener_spark.operators.dedup import DedupSpec, active_spec, dedup_keep_best
 from etl_gardener_spark.operators.join import join_annotate
 from etl_gardener_spark.plans.explain import explain_str
-from etl_gardener_spark.sources.jsonl import load_with_stats
+from etl_gardener_spark.sources.jsonl import read_jsonl_observed
 from etl_gardener_spark.warehouse import DATE_COL, Warehouse
 
 
@@ -105,9 +105,14 @@ class TableOps:
         self, source_prefix: str, schema: T.StructType, dry_run: bool = False
     ) -> OpStats:
         """Append JSONL under ``source_prefix`` into the tmp day partition,
-        stamping the job date (cloud/bq/ops.go:130-155; WriteAppend)."""
+        stamping the job date (cloud/bq/ops.go:130-155; WriteAppend).
+
+        Row/corrupt counts ride the write job itself (``df.observe``
+        accumulators — sources/jsonl.read_jsonl_observed): ONE pass over
+        the day's batch, no cache, matching how BigQuery's load job
+        reports LoadStatistics as a side effect of the load."""
         t0 = time.monotonic()
-        df, load = load_with_stats(self.spark, source_prefix, schema)
+        df, finish = read_jsonl_observed(self.spark, source_prefix, schema)
         df = df.withColumn(DATE_COL, F.lit(self.job.date.isoformat()).cast("date"))
         if dry_run:
             return OpStats(op="load_to_tmp", dry_run_plan=explain_str(df))
@@ -116,6 +121,7 @@ class TableOps:
         self.wh.append_day(
             df, "tmp", self.job.experiment, self.job.datatype, self.job.date
         )
+        load = finish()
         return OpStats(
             op="load_to_tmp",
             rows_out=load.output_rows,
