@@ -463,3 +463,34 @@ def test_vacuum_staging_age_gated(spark, tmp_path):
     assert removed == [str(stale)]
     assert not stale.exists()
     assert fresh.exists() and live.exists()  # young staging + live data kept
+
+
+def test_read_jsonl_observed_single_pass_counts(spark, tmp_path):
+    """Counts ride the consuming action (df.observe): correct totals
+    with corrupt rows present, no cache, stats available after ONE
+    write action."""
+    import json as _json
+
+    from etl_gardener_spark.sources.jsonl import read_jsonl_observed
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [{"id": f"i{k}", "ts": "2024-01-15T01:00:00.000000Z", "v": float(k)}
+            for k in range(5)]
+    (d / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    (d / "bad.jsonl").write_text('{"id": broken,,,\n')
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    good, finish = read_jsonl_observed(spark, str(d), schema)
+    out = tmp_path / "out"
+    good.write.mode("overwrite").parquet(str(out))  # the one action
+    st = finish()
+    assert (st.output_rows, st.corrupt_rows, st.input_files) == (5, 1, 2)
+    assert st.input_bytes > 0
+    assert spark.read.parquet(str(out)).count() == 5
