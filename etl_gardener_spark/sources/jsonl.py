@@ -66,7 +66,7 @@ def read_jsonl(
     time (``DROPMALFORMED`` — no side column ever enters the plan, so
     count-only queries stay legal and column pruning is unconstrained).
     With ``drop_corrupt=False`` malformed lines populate only
-    ``_corrupt_record`` (PERMISSIVE) so ``load_with_stats`` can count them.
+    ``_corrupt_record`` (PERMISSIVE) so ``read_jsonl_observed`` can count them.
     """
     reader = (
         spark.read.option("timestampFormat", TIMESTAMP_FORMAT)
@@ -86,44 +86,6 @@ def read_jsonl(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
-    )
-
-
-def load_with_stats(
-    spark: SparkSession,
-    path: str | list[str],
-    schema: T.StructType,
-) -> tuple[DataFrame, LoadStats]:
-    """Read JSONL and report LoadStats (good/corrupt row counts, file count).
-
-    The counting pass is a separate action; callers on the hot path that
-    don't need stats should use ``read_jsonl`` directly (one pass).
-    """
-    # Spark refuses to query _corrupt_record straight off a raw JSON scan
-    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed batch first. The
-    # cache holds one landing prefix (one day of one datatype), which is the
-    # stage's working set anyway; the caller's write consumes it immediately.
-    raw = read_jsonl(spark, path, schema, drop_corrupt=False).cache()
-    counts = raw.select(
-        F.count(F.lit(1)).alias("total"),
-        F.count(F.col(CORRUPT_COL)).alias("corrupt"),
-    ).first()
-    # File count from the filesystem listing (metadata-only), like the
-    # reference's LoadStatistics.InputFiles — counts empty files too.
-    from etl_gardener_spark.sources.listing import prefix_stats
-
-    paths = [path] if isinstance(path, str) else list(path)
-    n_files, n_bytes = 0, 0
-    for pth in paths:
-        objs, total = prefix_stats(spark, pth)
-        n_files += len(objs)
-        n_bytes += total
-    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return good, LoadStats(
-        input_files=n_files,
-        output_rows=int(counts["total"]) - int(counts["corrupt"]),
-        corrupt_rows=int(counts["corrupt"]),
-        input_bytes=n_bytes,
     )
 
 
@@ -150,12 +112,40 @@ def read_jsonl_observed(
     the cache of it (at 100 TB/day the cache is the difference between a
     streaming-through load and one that spills a day of JSON to
     executor storage).
+
+    One prefix listing total: files/bytes are listed up front and the
+    reader receives the EXPLICIT file list, so Spark's file index never
+    re-walks the prefix (at ~900k files/day a second recursive listing
+    would double the load's metadata I/O). Hidden files (``_``/``.``
+    prefixes) are excluded from the read, matching the directory
+    reader's convention, but still counted in the listing stats.
+
+    Contract: ``good_df`` must be consumed by exactly ONE action before
+    ``finish()`` — the observation binds to the FIRST action that runs
+    (a pre-write ``isEmpty()``/``first()`` would capture a partial
+    scan's counts), and ``finish()`` blocks until some action has run.
     """
+    import os as _os
+
     from pyspark.sql import Observation
 
     from etl_gardener_spark.sources.listing import prefix_stats
 
-    raw = read_jsonl(spark, path, schema, drop_corrupt=False)
+    paths = [path] if isinstance(path, str) else list(path)
+    objs, n_bytes = [], 0
+    for pth in paths:
+        o, b = prefix_stats(spark, pth)
+        objs.extend(o)
+        n_bytes += b
+    data_files = [
+        o.path
+        for o in objs
+        if not _os.path.basename(o.path).startswith(("_", "."))
+    ]
+    # empty/missing prefix: fall through to the plain reader so the
+    # caller sees the standard path-not-found analysis error
+    source = data_files if data_files else path
+    raw = read_jsonl(spark, source, schema, drop_corrupt=False)
     obs = Observation()
     observed = raw.observe(
         obs,
@@ -164,17 +154,10 @@ def read_jsonl_observed(
     )
     good = observed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
-    paths = [path] if isinstance(path, str) else list(path)
-
     def finish() -> LoadStats:
         got = obs.get
-        n_files, n_bytes = 0, 0
-        for pth in paths:
-            objs, total = prefix_stats(spark, pth)
-            n_files += len(objs)
-            n_bytes += total
         return LoadStats(
-            input_files=n_files,
+            input_files=len(objs),
             output_rows=int(got["total"]) - int(got["corrupt"]),
             corrupt_rows=int(got["corrupt"]),
             input_bytes=n_bytes,

@@ -110,12 +110,29 @@ class TableOps:
         Row/corrupt counts ride the write job itself (``df.observe``
         accumulators — sources/jsonl.read_jsonl_observed): ONE pass over
         the day's batch, no cache, matching how BigQuery's load job
-        reports LoadStatistics as a side effect of the load."""
+        reports LoadStatistics as a side effect of the load.
+
+        The dry-run path builds its plan WITHOUT the observation: an
+        Observation registers a session-wide listener that only detaches
+        after an action delivers its metrics, so observing a plan that
+        is never executed would leak one listener per dry run on a
+        long-lived session. (A write that raises leaks one too — bounded
+        by the monitor's retry pacing, and the job fails loudly.)"""
         t0 = time.monotonic()
+        if dry_run:
+            from etl_gardener_spark.sources.jsonl import CORRUPT_COL, read_jsonl
+
+            plan_df = (
+                read_jsonl(self.spark, source_prefix, schema, drop_corrupt=False)
+                .filter(F.col(CORRUPT_COL).isNull())
+                .drop(CORRUPT_COL)
+                .withColumn(
+                    DATE_COL, F.lit(self.job.date.isoformat()).cast("date")
+                )
+            )
+            return OpStats(op="load_to_tmp", dry_run_plan=explain_str(plan_df))
         df, finish = read_jsonl_observed(self.spark, source_prefix, schema)
         df = df.withColumn(DATE_COL, F.lit(self.job.date.isoformat()).cast("date"))
-        if dry_run:
-            return OpStats(op="load_to_tmp", dry_run_plan=explain_str(df))
         # append_day, not append: jobs for different dates of one datatype
         # run concurrently and must not share committer staging state.
         self.wh.append_day(
