@@ -980,3 +980,66 @@ def event_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "scd2_incremental_apply",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_id, k,
+             CASE WHEN k IS DISTINCT FROM LAG(k) OVER w THEN 1 ELSE 0 END
+               AS changed
+      FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, k,
+             SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    periods AS (
+      SELECT user_id, run_id, MIN(k) AS attr_value,
+             MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM runs GROUP BY user_id, run_id)
+    SELECT user_id, attr_value, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id) AS valid_to,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id)
+             IS NULL AS is_current,
+           n_obs
+    FROM periods
+    """,
+    tags=("analytics", "scd2", "incremental"),
+)
+def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL SCD2 path under the full-encode oracle: history
+    is split at a mid-range day boundary, the first half encoded, and
+    the second half folded in with scd2_apply_batch (untouched keys via
+    one broadcast anti join; affected keys re-encode open period +
+    batch). The oracle is the same full-history SQL as
+    [[scd2_user_attribute]] — so the driver's hash gate itself proves
+    apply-per-batch ≡ encode-all-at-once on real data, not just on the
+    unit tests' crafted streams."""
+    from etl_gardener_spark.operators.scd2 import scd2_apply_batch, scd2_encode
+
+    e = load_table(spark, sf_dir, "events")
+    obs = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    # split at the range midpoint — both halves non-empty for any span
+    lo, hi = obs.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    ).first()
+    from datetime import timedelta
+
+    cut = lo + timedelta(days=(hi - lo).days // 2) if hi > lo else lo
+    first = obs.filter(F.to_date("ts") <= F.lit(cut.isoformat()).cast("date"))
+    second = obs.filter(F.to_date("ts") > F.lit(cut.isoformat()).cast("date"))
+    periods = scd2_encode(first, "user_id", "k", "ts", "event_id")
+    return scd2_apply_batch(periods, second, "user_id", "k", "ts", "event_id")
