@@ -1043,3 +1043,49 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     second = obs.filter(F.to_date("ts") > F.lit(cut.isoformat()).cast("date"))
     periods = scd2_encode(first, "user_id", "k", "ts", "event_id")
     return scd2_apply_batch(periods, second, "user_id", "k", "ts", "event_id")
+
+
+@query(
+    "rollup_grouping_id",
+    """
+    SELECT COALESCE(o_orderstatus, '?') AS status,
+           COALESCE(o_orderpriority, '?') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "agg", "rollup", "grouping-id"),
+)
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with an explicit grouping id: gid distinguishes a NULL
+    grouping slot that means 'subtotal' (grouping()=1) from a NULL that
+    is real data — the disambiguation COALESCE-labeling alone cannot
+    give when the dimension domain could itself contain the label.
+    gid ∈ {0 detail, 1 per-status subtotal, 3 grand total}; both engines
+    compute it as grouping(status)*2 + grouping(priority) over one
+    Expand pass of the scan. Sums accumulate in DECIMAL."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+                2,
+            ).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("?")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("?")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total",
+        )
+    )
