@@ -1,10 +1,12 @@
 """Behavioral-analytics and warehouse-hygiene operators over the
 events/orders/embeddings tables: rolling distinct windows, sequence
 transitions, concentration (Pareto) stats, global heavy hitters,
-fulfillment-lag percentiles, RFM segmentation, z-score anomaly gates,
-expectation-gated quarantine promotion, int8 embedding quantization,
-native session windows, SCD2 dimension builds, sliding-window rollups,
-and period-over-period growth.
+fulfillment-lag percentiles, RFM segmentation, z-score and MAD anomaly
+gates, expectation-gated quarantine promotion, int8 embedding
+quantization, native session windows, SCD2 dimension builds (full and
+incremental), sliding-window rollups, period-over-period growth,
+market-basket affinity, relative-rank cuts, grouping-id rollups,
+bucketed co-located joins, and a correlated-LATERAL SQL-API entry.
 
 These extend the reference's daily-batch surface (SURVEY.md §2.2 has no
 aggregates at all) with the session/user-level rollups a production
