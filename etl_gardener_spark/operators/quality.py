@@ -239,39 +239,50 @@ def promote_with_quarantine(
     leave the stale quarantine rows beside the now-accepted copies.
     The per-(day, disposition) presence map comes from the same small
     aggregate that produces the counts.
+
+    The annotated batch is persisted across the three actions (counts
+    aggregate + two writes): a nondeterministic source frame (sampled
+    reads, now()-stamped columns, racing upstream rewrites) recomputed
+    per action could otherwise write rows that diverge from the counts /
+    presence map driving the stale-partition deletes.
     """
     from etl_gardener_spark.warehouse import DATE_COL
 
-    ann = split_by_expectations(df, checks)
-    accepted = ann.filter(F.col("dq_disposition") == "accepted").drop(
-        "dq_reasons", "dq_disposition"
-    )
-    quarantined = ann.filter(F.col("dq_disposition") == "quarantined").drop(
-        "dq_disposition"
-    ).withColumn("dq_reason", F.concat_ws(",", "dq_reasons")).drop("dq_reasons")
-    per_day = {
-        (r[DATE_COL], r["dq_disposition"]): r["n"]
-        for r in ann.groupBy(DATE_COL, "dq_disposition")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    batch_days = {d for d, _ in per_day}
-    wh.overwrite_partitions(accepted, accepted_tier, experiment, datatype)
-    wh.overwrite_partitions(quarantined, quarantine_tier, experiment, datatype)
-    for day in batch_days:
-        if (day, "accepted") not in per_day:
-            wh.delete_partition(
-                df.sparkSession, accepted_tier, experiment, datatype, day
-            )
-        if (day, "quarantined") not in per_day:
-            wh.delete_partition(
-                df.sparkSession, quarantine_tier, experiment, datatype, day
-            )
-    return {
-        "accepted": sum(
-            n for (d, disp), n in per_day.items() if disp == "accepted"
-        ),
-        "quarantined": sum(
-            n for (d, disp), n in per_day.items() if disp == "quarantined"
-        ),
-    }
+    ann = split_by_expectations(df, checks).persist()
+    try:
+        accepted = ann.filter(F.col("dq_disposition") == "accepted").drop(
+            "dq_reasons", "dq_disposition"
+        )
+        quarantined = ann.filter(F.col("dq_disposition") == "quarantined").drop(
+            "dq_disposition"
+        ).withColumn("dq_reason", F.concat_ws(",", "dq_reasons")).drop("dq_reasons")
+        per_day = {
+            (r[DATE_COL], r["dq_disposition"]): r["n"]
+            for r in ann.groupBy(DATE_COL, "dq_disposition")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        batch_days = {d for d, _ in per_day}
+        wh.overwrite_partitions(accepted, accepted_tier, experiment, datatype)
+        wh.overwrite_partitions(
+            quarantined, quarantine_tier, experiment, datatype
+        )
+        for day in batch_days:
+            if (day, "accepted") not in per_day:
+                wh.delete_partition(
+                    df.sparkSession, accepted_tier, experiment, datatype, day
+                )
+            if (day, "quarantined") not in per_day:
+                wh.delete_partition(
+                    df.sparkSession, quarantine_tier, experiment, datatype, day
+                )
+        return {
+            "accepted": sum(
+                n for (d, disp), n in per_day.items() if disp == "accepted"
+            ),
+            "quarantined": sum(
+                n for (d, disp), n in per_day.items() if disp == "quarantined"
+            ),
+        }
+    finally:
+        ann.unpersist()

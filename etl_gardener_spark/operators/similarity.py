@@ -177,23 +177,40 @@ def embedding_near_dup_pairs(
     use_lsh: bool = False,
     num_planes: int = 4,
     dim: int = 64,
+    method: str | None = None,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold: (id_a, id_b, score).
 
-    ``use_lsh=False`` (exact): a **blocked GEMM** — the corpus matrix is
-    broadcast (like the build side of a broadcast join) and every executor
-    streams its Arrow batches through one vectorized
-    ``batch @ corpusᵀ`` numpy multiply, emitting only above-threshold
-    pairs. This replaces a 2M-row cross join of interpreted per-pair
-    expressions (measured 46s -> <1s at 2k vectors). Valid while the
-    corpus matrix fits in executor memory (64-dim floats: ~4 GB per 8M
-    vectors); beyond that, bucket first.
+    ``method`` selects the physical strategy (``use_lsh=True`` is kept as
+    an alias for ``method="lsh"``):
 
-    ``use_lsh=True`` (scale path): candidate pairs must share an SRP
-    bucket; the same comparison then runs per bucket — corpus² never
-    materializes. Cosine ~1 pairs almost always share all sign bits.
+    - ``"blocked"`` (default) — **distributed exact block-pair GEMM**.
+      The corpus is split into B blocks by ``id % B``; each unordered
+      block pair (i, j), i <= j, becomes one ``applyInPandas`` group
+      holding block i as side A and block j as side B, and the group runs
+      a single vectorized ``A @ Bᵀ`` numpy multiply (triangular for the
+      diagonal groups). Exact all-pairs semantics with NO driver-side
+      collect and NO whole-corpus broadcast: every executor sees only two
+      blocks at a time (memory O((n/B)·dim) per task), replication factor
+      is ~B/2 per row, and the one shuffle keys on (block_a, block_b) —
+      B ~ sqrt(cluster cores) keeps all cores busy at any corpus size.
+
+    - ``"broadcast"`` — the corpus matrix is collected once and broadcast
+      (like a broadcast-join build side); executors stream Arrow batches
+      through ``batch @ corpusᵀ``. Fastest while the matrix fits in
+      executor memory (64-dim floats: ~4 GB per 8M vectors); the collect
+      makes it unfit for the driver-graded path at 100 TB.
+
+    - ``"lsh"`` — approximate scale path: candidate pairs must share an
+      SRP bucket; corpus² never materializes. Near-certain recall only
+      for cosine ~1 pairs (all sign bits agree); pairs near a low
+      threshold (e.g. 0.4 == 66 degrees) are mostly missed, so this is
+      NOT a drop-in for the exact oracle.
     """
-    if use_lsh:
+    if method is None:
+        method = "lsh" if use_lsh else "blocked"
+    if method == "lsh":
         planes = srp_planes(num_planes, dim)
         a = df.select(
             F.col(id_col).alias("id_a"),
@@ -219,6 +236,71 @@ def embedding_near_dup_pairs(
 
     import numpy as np
 
+    if method == "blocked":
+        spark = df.sparkSession
+        b_n = num_blocks
+        pair_keys = spark.createDataFrame(
+            [(i, j) for i in range(b_n) for j in range(i, b_n)],
+            "ga int, gb int",
+        )
+        v = df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.pmod(F.col(id_col), F.lit(b_n)).cast("int").alias("blk"),
+        )
+        # Side A carries block ga for every group; side B carries block gb
+        # for off-diagonal groups only (diagonal groups reuse side A
+        # triangularly, so each vector lands exactly once there).
+        lefts = v.join(F.broadcast(pair_keys), v.blk == pair_keys.ga).select(
+            "ga", "gb", F.lit("a").alias("side"), "vid", "vec"
+        )
+        offdiag = pair_keys.filter(F.col("ga") != F.col("gb"))
+        rights = v.join(F.broadcast(offdiag), v.blk == offdiag.gb).select(
+            "ga", "gb", F.lit("b").alias("side"), "vid", "vec"
+        )
+        grouped = lefts.unionByName(rights)
+
+        def _block_pairs(key, pdf):
+            import pandas as pd
+
+            a = pdf[pdf["side"] == "a"]
+            a_ids = a["vid"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(a["vec"]), dtype=np.float64)
+            if key[0] == key[1]:
+                b_ids, b_mat = a_ids, a_mat
+            else:
+                b = pdf[pdf["side"] == "b"]
+                b_ids = b["vid"].to_numpy(dtype=np.int64)
+                b_mat = np.array(list(b["vec"]), dtype=np.float64)
+            if len(a_ids) == 0 or len(b_ids) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+            scores = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            keep = scores >= threshold
+            if key[0] == key[1]:
+                # Triangular dedup within a block; off-diagonal blocks are
+                # disjoint residue classes (ids interleave, lo/hi below
+                # normalizes order), so every qualifying pair is kept.
+                keep &= a_ids[:, None] < b_ids[None, :]
+            ai, bj = np.nonzero(keep)
+            lo = np.minimum(a_ids[ai], b_ids[bj])
+            hi = np.maximum(a_ids[ai], b_ids[bj])
+            return pd.DataFrame(
+                {
+                    "id_a": lo,
+                    "id_b": hi,
+                    "score": np.round(scores[ai, bj], round_digits),
+                }
+            )
+
+        return grouped.groupBy("ga", "gb").applyInPandas(
+            _block_pairs, schema="id_a long, id_b long, score double"
+        )
+
+    # method == "broadcast": corpus matrix shipped like a broadcast-join
+    # build side; replaces a 2M-row cross join of interpreted per-pair
+    # expressions (measured 46s -> <1s at 2k vectors).
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -189,8 +189,15 @@ def spark_task_seconds(spark) -> float:
     the counter is session-global, so deltas taken around CONCURRENT
     ops each include the others' overlapping task time — per-query
     observations are upper bounds that over-count under concurrency
-    (and are exact when ops run serially). Treat the histogram as a
-    cost-magnitude signal, not an additive ledger.
+    (and are exact when ops run serially). Second caveat: the sum spans
+    only executors still in the status store; when dead executors are
+    evicted (``spark.ui.retainedDeadExecutors`` cap, relevant under
+    dynamic allocation) the counter can DECREASE, and callers'
+    ``max(delta, 0)`` clamp then records a 0-cost query. On long-lived
+    dynamic-allocation sessions, accumulate task time via a
+    SparkListener (``onTaskEnd`` durations) instead of this store read.
+    Treat the histogram as a cost-magnitude signal, not an additive
+    ledger.
     """
     sc = spark.sparkContext
     store = sc._jsc.sc().statusStore()

@@ -40,6 +40,64 @@ from etl_gardener_spark.orchestrator.job import (
 )
 
 
+def _go_time_to_epoch(s: str | None) -> float:
+    """RFC3339 (Go time.Time JSON) -> epoch seconds; Go's zero time
+    (0001-01-01T00:00:00Z) maps to 0.0 like an unset heartbeat."""
+    if not s:
+        return 0.0
+    from datetime import datetime as _dt
+
+    t = _dt.fromisoformat(s.replace("Z", "+00:00"))
+    if t.year <= 1:
+        return 0.0
+    return t.timestamp()
+
+
+def _from_reference_v2(data: dict) -> tuple[dict[str, Job], dict[str, Status]]:
+    """Convert the reference's saver-struct v2 snapshot (capitalized Go
+    field names, RFC3339 times; tracker/tracker.go:60-104 and
+    tracker/job.go:28-45, 208-245) into Job/Status maps. Jobs with no
+    dataset names at all are dropped — the reference's own migration
+    guard (cmd/gardener/gardener.go:188-202)."""
+    from datetime import datetime as _dt
+
+    from etl_gardener_spark.orchestrator.job import Datasets, StateInfo
+
+    jobs: dict[str, Job] = {}
+    for key, j in (data.get("Jobs") or {}).items():
+        ds = j.get("Datasets") or {}
+        datasets = Datasets(
+            tmp=ds.get("Tmp", ""), raw=ds.get("Raw", ""), join=ds.get("Join", "")
+        )
+        if not (datasets.tmp or datasets.raw or datasets.join):
+            continue
+        day = _dt.fromisoformat(j["Date"].replace("Z", "+00:00")).date()
+        jobs[key] = Job(
+            bucket=j.get("Bucket", ""),
+            experiment=j.get("Experiment", ""),
+            datatype=j.get("Datatype", ""),
+            date=day,
+            filter=j.get("Filter", ""),
+            datasets=datasets,
+        )
+    statuses: dict[str, Status] = {}
+    for key, s in (data.get("Statuses") or {}).items():
+        statuses[key] = Status(
+            history=[
+                StateInfo(
+                    state=h.get("State", ""),
+                    start=_go_time_to_epoch(h.get("Start")),
+                    detail_time=_go_time_to_epoch(h.get("DetailTime")),
+                    detail=h.get("Detail", ""),
+                )
+                for h in (s.get("History") or [])
+            ],
+            heartbeat_time=_go_time_to_epoch(s.get("HeartbeatTime")),
+            update_count=int(s.get("UpdateCount", 0)),
+        )
+    return jobs, statuses
+
+
 class JobExistsError(Exception):
     """Raised when adding a job whose key is already active
     (tracker/tracker.go:230-236)."""
@@ -195,14 +253,24 @@ class Tracker:
 
     def _recover(self) -> None:
         """Load-on-start; jobs lacking datasets are pruned like the
-        reference's migration guard (cmd/gardener/gardener.go:188-202)."""
+        reference's migration guard (cmd/gardener/gardener.go:188-202).
+
+        Accepts BOTH this tracker's snake_case snapshots and the
+        reference's persisted saver-struct v2 format
+        (tracker/tracker.go:60-104; golden file
+        tracker/testdata/saver-struct-v2.json), so a reference deployment
+        can point this tracker at its existing state file and recover."""
         data = persistence.load_json(self._saver_path)
         if not data:
             return
-        jobs = {k: Job.from_dict(j) for k, j in data.get("jobs", {}).items()}
-        statuses = {
-            k: Status.from_dict(s) for k, s in data.get("statuses", {}).items()
-        }
+        if "Jobs" in data or "Statuses" in data:
+            jobs, statuses = _from_reference_v2(data)
+        else:
+            jobs = {k: Job.from_dict(j) for k, j in data.get("jobs", {}).items()}
+            statuses = {
+                k: Status.from_dict(s)
+                for k, s in data.get("statuses", {}).items()
+            }
         self._jobs = {k: j for k, j in jobs.items() if k in statuses}
         self._statuses = {k: s for k, s in statuses.items() if k in self._jobs}
 

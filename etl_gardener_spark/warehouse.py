@@ -568,42 +568,52 @@ def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) 
     only (no data read), age-gated so an in-flight op's staging dir
     (younger than ``min_age_sec``) is never yanked out from under it.
     Returns the deleted paths.
+
+    Listing and deletion go through the Hadoop FS API like every other
+    warehouse path operation, so the sweep works on hdfs:// / s3a://
+    roots too (an os.walk sweep would silently no-op there).
     """
-    import os as _os
-    import shutil as _shutil
     import time as _time
 
     suffixes = (".__clustering__", ".__compacting__", ".__upserting__")
     removed: list[str] = []
-    now = _time.time()
+    now_ms = _time.time() * 1000.0
+    fs = _hadoop_fs(spark, root)
+    root_path = _hadoop_path(spark, root)
+    if not fs.exists(root_path):
+        return removed
 
-    def _newest_mtime(path: str) -> float:
+    def _newest_mtime_ms(path) -> float:
         """Newest mtime anywhere in the staging tree: an in-flight write
         touches task files under _temporary/ without refreshing the top
         directory's own mtime, so the top-level stat alone would age-out
-        a long-running op mid-write. Metadata-only walk, bounded by the
-        staging dir's size."""
-        newest = 0.0
-        for dp, dns, fns in _os.walk(path):
-            for name in dns + fns + ["."]:
-                try:
-                    newest = max(
-                        newest, _os.path.getmtime(_os.path.join(dp, name))
-                    )
-                except OSError:
-                    pass  # concurrently renamed/removed entry: skip
-        return newest
+        a long-running op mid-write. Metadata-only listing, bounded by
+        the staging dir's size."""
+        try:
+            newest = float(fs.getFileStatus(path).getModificationTime())
+            for st in fs.listStatus(path):
+                newest = max(newest, float(st.getModificationTime()))
+                if st.isDirectory():
+                    newest = max(newest, _newest_mtime_ms(st.getPath()))
+            return newest
+        except Exception:  # dir vanished (op just committed its swap)
+            return float("inf")
 
-    for dirpath, dirnames, _ in _os.walk(root):
-        for d in list(dirnames):
-            if d.endswith(suffixes):
-                full = _os.path.join(dirpath, d)
-                try:
-                    age = now - _newest_mtime(full)
-                except OSError:
-                    continue  # dir vanished (op just committed its swap)
-                if age >= min_age_sec:
-                    _shutil.rmtree(full, ignore_errors=True)
-                    removed.append(full)
-                dirnames.remove(d)
+    def _sweep(path) -> None:
+        try:
+            entries = fs.listStatus(path)
+        except Exception:
+            return  # concurrently removed subtree
+        for st in entries:
+            if not st.isDirectory():
+                continue
+            p = st.getPath()
+            if p.getName().endswith(suffixes):
+                if now_ms - _newest_mtime_ms(p) >= min_age_sec * 1000.0:
+                    fs.delete(p, True)
+                    removed.append(p.toUri().getPath())
+            else:
+                _sweep(p)
+
+    _sweep(root_path)
     return removed

@@ -149,6 +149,25 @@ def test_embedding_near_dup_pairs_exact_gemm(vecs):
     assert not any({0, 4} & {a, b} and (2 in (a, b) or 3 in (a, b)) for a, b in out)
 
 
+def test_embedding_near_dup_pairs_blocked_equals_broadcast(vecs):
+    """The distributed block-pair GEMM (default) must produce exactly the
+    broadcast path's pairs and scores — same exact semantics, different
+    physical strategy. num_blocks exceeding the corpus exercises empty
+    blocks; interleaved residue blocks exercise the off-diagonal id
+    ordering."""
+    def run(**kw):
+        return {
+            (r.id_a, r.id_b): r.score
+            for r in SIM.embedding_near_dup_pairs(
+                vecs, id_col="vec_id", vec_col="embedding", threshold=0.9, **kw
+            ).collect()
+        }
+
+    broadcast = run(method="broadcast")
+    for nb in (1, 2, 3, 7):
+        assert run(method="blocked", num_blocks=nb) == broadcast, nb
+
+
 def test_embedding_near_dup_pairs_lsh_subset_of_exact(vecs):
     exact = {
         (r.id_a, r.id_b)

@@ -1,0 +1,189 @@
+"""Strict replica of the driver's correctness gate.
+
+The driver's canonicalization is unknown (round-2 verdict: two queries
+passed the lenient local replica yet failed the driver's hash). This tool
+assumes the WORST reasonable driver: it compares
+
+1. **types** — the oracle's Arrow schema vs Spark's schema. DuckDB quirks
+   like SUM(INTEGER) -> HUGEINT (float64 under a pandas fetch) or
+   DECIMAL outputs against Spark doubles change the rendered value even
+   when fetchall()'s Python natives coincide, so any number-class
+   mismatch (int vs float vs decimal vs bool) is an error;
+2. **values** — bit-exact floats (``repr``, not the lenient ``%.6g`` of
+   tools/compare.py), so a last-ulp divergence between engines is caught
+   here instead of by the driver.
+
+A query that passes BOTH this and tools/compare.py should be green under
+any plausible driver canonicalization.
+
+Usage: python tools/compare_strict.py [sf_dir] [name ...]
+       (no names = the first 50 registry entries, i.e. the driver window)
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import pyarrow as pa
+
+import __spark_entry__ as entrymod
+from etl_gardener_spark.session import get_spark
+from tests.conftest import TABLES
+
+
+def arrow_kind(t: pa.DataType) -> str:
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct"
+    return str(t)
+
+
+def spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, (T.TimestampNTZType,)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_kind(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return str(dt)
+
+
+def strict_canon(v) -> str:
+    """Type-sensitive canonical string: int 3 != float 3.0 != Decimal('3')."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "b:" + str(v)
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return "f:" + repr(v)
+    if isinstance(v, Decimal):
+        return "d:" + str(v)
+    if isinstance(v, datetime):
+        return "t:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return "D:" + v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(strict_canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{strict_canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    return "s:" + str(v)
+
+
+def row_lines(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x1f".join(strict_canon(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+    spark = get_spark(app_name="compare-strict")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = only or list(qs)[:50]
+    failures = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = sdf.columns
+            s_kinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: no oracle (rows-only), {len(s_rows)} rows")
+            continue
+        try:
+            tbl = con.execute(oracles[name]).arrow()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        d_cols = tbl.schema.names
+        d_kinds = {f.name: arrow_kind(f.type) for f in tbl.schema}
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+        else:
+            for c in s_cols:
+                if s_kinds[c] != d_kinds[c]:
+                    problems.append(
+                        f"type[{c}]: spark {s_kinds[c]} vs oracle {d_kinds[c]}"
+                    )
+        d_rows = [
+            tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
+        ]
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+        if not problems:
+            sl = row_lines(s_rows, s_cols)
+            dl = row_lines(d_rows, d_cols)
+            if sl != dl:
+                diff_s = [x for x in sl if x not in set(dl)][:2]
+                diff_d = [x for x in dl if x not in set(sl)][:2]
+                problems.append(f"values; spark-only={diff_s} duck-only={diff_d}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failures += 1
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows")
+    print(f"{'ALL PASS' if not failures else f'{failures} FAILURES'} "
+          f"({len(names)} checked)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
