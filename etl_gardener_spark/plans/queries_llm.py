@@ -956,7 +956,11 @@ _SIMHASH_CTE = f"""
       GROUP BY doc_id, bit),
     sim AS (
       SELECT doc_id,
-             SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+             -- CAST: DuckDB SUM over BIGINT yields HUGEINT (int128),
+             -- which a pandas/arrow fetch renders as float64/decimal and
+             -- hash-mismatches Spark's int64
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+                           ELSE 0 END) AS BIGINT) AS simhash
       FROM bit_sums GROUP BY doc_id)
 """
 
