@@ -194,21 +194,16 @@ def minhash_signature(
     return out
 
 
-def minhash_lsh_candidates(
-    sig: DataFrame,
-    id_col: str,
-    num_hashes: int = 12,
-    bands: int = 4,
+def exploded_bands(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Candidate pairs via banded LSH: split the k-slot signature into
-    ``bands`` bands of k/bands rows; docs agreeing on ALL rows of any band
-    become a candidate pair.
-
-    Plan shape: explode to (id, band, band_key) — band_key = md5 of the
-    band's concatenated slots — then self-equi-join on (band, band_key)
-    with id< id to orient pairs, then distinct. The join key is a hash
-    bucket, so work scales with bucket occupancy, never corpus².
-    """
+    """(id, band, band_key) — one row per document per LSH band, with
+    band_key = md5 of the band's concatenated signature slots. This is
+    the equi-join key relation every LSH consumer (self-join pair
+    finding, incremental store probing) joins on; at warehouse scale the
+    persisted store keeps exactly this shape, bucketed by (band,
+    band_key), so a probe join is co-located and touches only matching
+    buckets."""
     rows = num_hashes // bands
     band_structs = F.array(
         *[
@@ -227,10 +222,28 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    exploded = (
+    return (
         sig.select(F.col(id_col), F.explode(band_structs).alias("bk"))
         .select(id_col, "bk.band", "bk.band_key")
     )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs via banded LSH: split the k-slot signature into
+    ``bands`` bands of k/bands rows; docs agreeing on ALL rows of any band
+    become a candidate pair.
+
+    Plan shape: explode to (id, band, band_key) — band_key = md5 of the
+    band's concatenated slots — then self-equi-join on (band, band_key)
+    with id< id to orient pairs, then distinct. The join key is a hash
+    bucket, so work scales with bucket occupancy, never corpus².
+    """
+    exploded = exploded_bands(sig, id_col, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -293,6 +306,156 @@ def minhash_lsh_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_store(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    n: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """(id, sh, sig_0..k-1) — the persistable near-dup signature store.
+
+    This is the relation a production pipeline writes to the warehouse
+    after each ingest so the NEXT batch can dedup against the corpus
+    without touching corpus text again: ``sh`` (distinct int64 shingle
+    hashes) powers exact Jaccard verification, the sig slots power LSH
+    candidate probing. ~8 bytes x (shingles + k) per document — orders of
+    magnitude smaller than the text it replaces. At scale, persist it
+    bucketed by id (and keep a derived ``exploded_bands`` table bucketed
+    by (band, band_key)) so probe joins are co-located.
+    """
+    sh = shingle_hash_sets(df, text_col, id_col, n)
+    staged = sh.select(
+        F.col(id_col),
+        F.col("sh"),
+        F.transform(F.col("sh"), lambda h: h % F.lit(_H32_MOD)).alias("h32"),
+    )
+    sig_cols = []
+    for i in range(num_hashes):
+        a, b = perm_consts(i)
+        sig_cols.append(
+            F.array_min(F.transform(F.col("h32"), _perm_fn(a, b))).alias(f"sig_{i}")
+        )
+    out = staged.select(id_col, "sh", *sig_cols)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus WITHOUT
+    re-scanning the corpus: candidates come from probing the batch's LSH
+    band keys against the persisted signature ``store``
+    (``minhash_store`` shape) plus a batch-internal self-join; exact
+    Jaccard verification runs on the stored shingle-hash sets.
+
+    Returns one row per new document:
+    ``(id, dup_of, jaccard, status)`` where ``dup_of`` is the SMALLEST
+    matching doc id among store documents and earlier (smaller-id) batch
+    documents with verified Jaccard >= threshold (NULL if none),
+    ``jaccard`` is the similarity to that survivor, and ``status`` is
+    'unique' / 'dup_of_store' / 'dup_in_batch'. The unique rows' store
+    relation (``minhash_store`` of the batch filtered to unique) is what
+    an ingest appends before the next batch.
+
+    Scale shape: per-batch cost is O(batch) hashing + two equi-joins on
+    (band, band_key) — the store side arrives pre-bucketed on that key,
+    so the probe shuffles ONLY the batch's band rows; verification joins
+    fetch shingle sets for candidate ids only. Nothing is ever O(corpus)
+    per ingest, which is the entire point at 100 TB. This is min-id
+    survivor assignment, not transitive-closure clustering — chains
+    (new B dups new A which dups store S) keep per-pair evidence and are
+    resolved by connected_components downstream when full clusters are
+    needed.
+    """
+    batch = minhash_store(new_docs, text_col, id_col, num_hashes, n)
+    nb = exploded_bands(batch, id_col, num_hashes, bands)
+    sb = exploded_bands(store, id_col, num_hashes, bands)
+    cross = (
+        nb.alias("b")
+        .join(
+            sb.alias("a"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    cand = cross.unionByName(within).distinct()
+    sh_sources = store.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    ).unionByName(batch.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
+    inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    verified = (
+        cand.join(sh_sources, "id_a")
+        .join(
+            batch.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter_sz / (F.size("sh_a") + F.size("sh_b") - inter_sz), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # struct-min orders by id_a first: the survivor is the smallest
+    # matching id, and its jaccard rides along in the same aggregate.
+    best = (
+        verified.groupBy("id_b")
+        .agg(F.min(F.struct(F.col("id_a"), F.col("jaccard"))).alias("m"))
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("m.id_a").alias("dup_of"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+    store_ids = store.select(
+        F.col(id_col).alias("dup_of"), F.lit(True).alias("_in_store")
+    )
+    return (
+        new_docs.select(id_col)
+        .join(best, id_col, "left")
+        .join(store_ids, "dup_of", "left")
+        .select(
+            id_col,
+            "dup_of",
+            "jaccard",
+            F.when(F.col("dup_of").isNull(), F.lit("unique"))
+            .when(F.col("_in_store"), F.lit("dup_of_store"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
     )
 
 

@@ -904,6 +904,63 @@ def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5
     )
 
 
+def _incremental_dedup_oracle(threshold: float = 0.5) -> str:
+    """Even doc_ids play the persisted corpus store, odd doc_ids the
+    incoming batch (ids interleave, exercising the general store-id >
+    batch-id case). A batch doc's survivor is the smallest matching id
+    among ALL matching store docs plus SMALLER matching batch docs —
+    mirrored from the oriented pairs CTE by reading it from both ends."""
+    return (
+        "WITH "
+        + _minhash_ctes(threshold=threshold)
+        + f"""
+    , matches AS (
+      -- x = the larger end: every smaller match (store or batch) counts
+      SELECT p.id_b AS doc_id, p.id_a AS other, p.jaccard
+      FROM pairs p WHERE p.id_b % 2 = 1
+      UNION ALL
+      -- x = the smaller end: the larger side counts only if it is store
+      SELECT p.id_a AS doc_id, p.id_b AS other, p.jaccard
+      FROM pairs p WHERE p.id_a % 2 = 1 AND p.id_b % 2 = 0
+    ),
+    best AS (SELECT doc_id, MIN(other) AS dup_of FROM matches GROUP BY doc_id),
+    withj AS (
+      SELECT b.doc_id, b.dup_of,
+             (SELECT MIN(m.jaccard) FROM matches m
+              WHERE m.doc_id = b.doc_id AND m.other = b.dup_of) AS jaccard
+      FROM best b)
+    SELECT nd.doc_id, w.dup_of, w.jaccard,
+           CASE WHEN w.dup_of IS NULL THEN 'unique'
+                WHEN w.dup_of % 2 = 0 THEN 'dup_of_store'
+                ELSE 'dup_in_batch' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) nd
+    LEFT JOIN withj w ON nd.doc_id = w.doc_id
+    """
+    )
+
+
+@query(
+    "doc_incremental_dedup",
+    _incremental_dedup_oracle(),
+    tags=("llm", "dedup", "incremental"),
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup: the odd-id half of the corpus
+    arrives as a new batch and dedups against the even-id half's
+    persisted MinHash signature store (operators/neardup.py
+    ``minhash_store`` / ``incremental_minhash_dedup``) — LSH band-key
+    probe joins + exact Jaccard on stored shingle hashes, never touching
+    store text. The per-ingest pattern that keeps dedup cost O(batch) at
+    a 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    store = ND.minhash_store(store_docs, "text", "doc_id")
+    return ND.incremental_minhash_dedup(
+        new_docs, store, "text", "doc_id", threshold=0.5
+    )
+
+
 @query("doc_minhash_lsh_pairs", _minhash_oracle(), tags=("llm", "dedup", "lsh"))
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12, one-hash-k-permutations) + LSH(4 bands x 3 rows)

@@ -149,6 +149,50 @@ def test_embedding_near_dup_pairs_exact_gemm(vecs):
     assert not any({0, 4} & {a, b} and (2 in (a, b) or 3 in (a, b)) for a, b in out)
 
 
+def test_incremental_minhash_dedup_statuses(spark):
+    """Batch-vs-store dedup semantics on a crafted split: exact dup of a
+    store doc -> dup_of_store (even when the store id is LARGER than the
+    batch id), dup between two batch docs -> dup_in_batch pointing at the
+    smaller id, no match / too-short docs -> unique."""
+    store_docs = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog near the river"),
+            (40, "completely different content about spark partitions and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch_docs = spark.createDataFrame(
+        [
+            # exact dup of store doc 2
+            (11, "the quick brown fox jumps over the lazy dog near the river"),
+            # exact dup of store doc 40 — store id LARGER than batch id
+            (13, "completely different content about spark partitions and shuffles"),
+            # pair of in-batch dups: 17 survives, 19 dups it
+            (17, "a totally novel passage speaking about warehouses and parquet files"),
+            (19, "a totally novel passage speaking about warehouses and parquet files"),
+            # unique content
+            (21, "unrelated text mentioning streaming watermarks and stateful sessions"),
+            # too short to shingle
+            (23, "two words"),
+        ],
+        ["doc_id", "text"],
+    )
+    store = ND.minhash_store(store_docs, "text", "doc_id")
+    out = {
+        r.doc_id: (r.dup_of, r.jaccard, r.status)
+        for r in ND.incremental_minhash_dedup(
+            batch_docs, store, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[11] == (2, 1.0, "dup_of_store")
+    assert out[13] == (40, 1.0, "dup_of_store")
+    assert out[17] == (None, None, "unique")
+    assert out[19] == (17, 1.0, "dup_in_batch")
+    assert out[21] == (None, None, "unique")
+    assert out[23] == (None, None, "unique")
+
+
 def test_embedding_near_dup_pairs_blocked_equals_broadcast(vecs):
     """The distributed block-pair GEMM (default) must produce exactly the
     broadcast path's pairs and scores — same exact semantics, different
