@@ -1091,3 +1091,58 @@ def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@query(
+    "snapshot_diff_events",
+    """
+    WITH old AS (
+      SELECT event_id, ts, user_id, event_type, value FROM events
+      WHERE CAST(ts AS DATE) <= DATE '2024-01-20'),
+    new AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END
+               AS value
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-06')
+    SELECT CASE WHEN o.event_id IS NULL THEN 'insert'
+                WHEN n.event_id IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           COALESCE(n.event_id, o.event_id) AS event_id,
+           CASE WHEN n.event_id IS NULL THEN o.ts ELSE n.ts END AS ts,
+           CASE WHEN n.event_id IS NULL THEN o.user_id ELSE n.user_id END
+             AS user_id,
+           CASE WHEN n.event_id IS NULL THEN o.event_type ELSE n.event_type END
+             AS event_type,
+           CASE WHEN n.event_id IS NULL THEN o.value ELSE n.value END AS value
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL
+       OR o.ts IS DISTINCT FROM n.ts
+       OR o.user_id IS DISTINCT FROM n.user_id
+       OR o.event_type IS DISTINCT FROM n.event_type
+       OR o.value IS DISTINCT FROM n.value
+    """,
+    tags=("analytics", "cdc", "diff"),
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC (operators/diff.snapshot_diff): two versions of
+    the events table — the new load drops the first five days, adds ten
+    new ones, and corrects every error event's value — produce a delta of
+    insert/update/delete rows keyed by event_id. One full-outer shuffle
+    join, row-local null-safe change classification; deletes carry the
+    last-seen old values. The value correction is an exact double add
+    (+1.0), deterministic across engines — no rounding anywhere."""
+    from etl_gardener_spark.operators.diff import snapshot_diff
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    old = e.filter(F.to_date("ts") <= F.lit("2024-01-20"))
+    new = e.filter(F.to_date("ts") >= F.lit("2024-01-06")).withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return snapshot_diff(
+        old, new, keys=["event_id"], compare_cols=["ts", "user_id", "event_type", "value"]
+    )
