@@ -507,6 +507,23 @@ def kmeans(
     corpus size, which is what makes Lloyd scale: the only full-data
     operations are a map (assign) and a map-side-combined sum (update).
     """
+    assign, _cents = kmeans_fit(df, id_col, vec_col, k, n_iter, round_digits)
+    return assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 2,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means returning BOTH the final assignment (id, cluster_id)
+    and the fitted centroid relation (cid, cvec). The centroid relation
+    is the persistable model an incremental pipeline stores next to the
+    corpus assignments, so later batches can be routed to the same
+    clusters without re-training (``incremental_semantic_dedup``)."""
     spark = df.sparkSession
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -538,9 +555,10 @@ def kmeans(
                 ).alias("cvec")
             )
         ).localCheckpoint(eager=True)
-    return kmeans_assign(vecs, cents, id_col, vec_col, round_digits).select(
+    final = kmeans_assign(vecs, cents, id_col, vec_col, round_digits).select(
         F.col(id_col), F.col("cid").alias("cluster_id")
     )
+    return final, cents
 
 
 def semantic_dedup(
@@ -600,4 +618,110 @@ def semantic_dedup(
         id_col,
         "cluster_id",
         F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+    )
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    store: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup for INCREMENTAL ingest: route a new batch of embeddings to
+    the corpus' existing k-means clusters (``cents`` from ``kmeans_fit``,
+    broadcast — no re-training) and compare each new vector ONLY against
+    same-cluster store vectors and earlier same-cluster batch vectors.
+
+    ``store`` is the persisted corpus relation (id, vec, cluster_id) —
+    at warehouse scale partitioned by cluster_id, so the per-cluster
+    grouping below co-locates for free. Returns one row per new vector:
+    (id, cluster_id, dup_of, score, status) with the same min-id survivor
+    semantics as ``incremental_minhash_dedup``: dup_of is the smallest
+    matching id among ALL matching store vectors and SMALLER-id batch
+    vectors at rounded cosine >= threshold; status is 'unique' /
+    'dup_of_store' / 'dup_in_batch'.
+
+    Per-ingest cost: O(batch x k) assignment + per-affected-cluster GEMM
+    (untouched clusters are pruned with a semi-join on the batch's
+    cluster set) — never O(corpus).
+    """
+    import numpy as np
+
+    batch_assign = kmeans_assign(
+        new_vecs, cents, id_col, vec_col, round_digits
+    ).withColumnRenamed("cid", "cluster_id")
+    batch = (
+        new_vecs.select(id_col, vec_col)
+        .join(batch_assign, id_col)
+        .localCheckpoint(eager=True)
+    )
+    affected = batch.select("cluster_id").distinct()
+    store_part = store.select(id_col, vec_col, "cluster_id").join(
+        F.broadcast(affected), "cluster_id", "left_semi"
+    )
+    tagged = store_part.withColumn("__side", F.lit("s")).unionByName(
+        batch.withColumn("__side", F.lit("n"))
+    )
+
+    def _cluster_matches(pdf):
+        import pandas as pd
+
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        sides = pdf["__side"].to_numpy()
+        mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        scores = (mat @ mat.T) / np.outer(norms, norms)
+        np.round(scores, round_digits, out=scores)
+        is_new = sides == "n"
+        # row i (new) matches column j iff above threshold and j is a
+        # store vector (any id) or an earlier (smaller-id) batch vector
+        eligible = (sides == "s")[None, :] | (
+            is_new[None, :] & (ids[None, :] < ids[:, None])
+        )
+        keep = (scores >= threshold) & eligible & is_new[:, None]
+        np.fill_diagonal(keep, False)
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "doc": ids[ai],
+                "other": ids[bj],
+                "score": scores[ai, bj],
+                "other_store": (sides[bj] == "s"),
+            }
+        )
+
+    matches = tagged.groupBy("cluster_id").applyInPandas(
+        _cluster_matches,
+        schema="doc long, other long, score double, other_store boolean",
+    )
+    best = (
+        matches.groupBy("doc")
+        .agg(
+            F.min(
+                F.struct(F.col("other"), F.col("score"), F.col("other_store"))
+            ).alias("m")
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("m.other").alias("dup_of"),
+            F.col("m.score").alias("score"),
+            F.col("m.other_store").alias("__st"),
+        )
+    )
+    return (
+        batch.select(id_col, "cluster_id")
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            "dup_of",
+            "score",
+            F.when(F.col("dup_of").isNull(), F.lit("unique"))
+            .when(F.col("__st"), F.lit("dup_of_store"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
     )

@@ -1230,19 +1230,27 @@ def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int = 8, n_iter: int = 2) -> tuple[str, str]:
+def _kmeans_ctes(
+    k: int = 8, n_iter: int = 2, train_where: str = "TRUE"
+) -> tuple[str, str]:
     """Unrolled Lloyd iterations as CTEs, mirroring operators/similarity.
     kmeans exactly (seeded centroids, rounded-cosine argmax with min-cid
     ties, rounded element-wise means). Returns (cte_block, final_assign)
-    so derived oracles (semantic dedup) can build on the assignment."""
+    so derived oracles (semantic dedup) can build on the assignment.
 
-    def assign(name: str, cents: str) -> str:
+    ``train_where`` restricts the TRAINING corpus (seeds + iteration
+    scans) for incremental oracles; the final assignment CTE always
+    scans ALL embeddings — assignment is per-row against fixed
+    centroids, so assigning everything at once equals assigning any
+    subset separately."""
+
+    def assign(name: str, cents: str, where: str = "TRUE") -> str:
         return f"""{name} AS (SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
                    ORDER BY ROUND({_cosine_sql("e.embedding", "c.cvec")}, 6)
                      DESC, c.cid) AS rn
-          FROM embeddings e, {cents} c) WHERE rn = 1)"""
+          FROM embeddings e, {cents} c WHERE {where}) WHERE rn = 1)"""
 
     def update(name: str, assigned: str) -> str:
         return f"""{name} AS (
@@ -1254,10 +1262,10 @@ def _kmeans_ctes(k: int = 8, n_iter: int = 2) -> tuple[str, str]:
 
     parts = [
         f"c0 AS (SELECT vec_id AS cid, embedding AS cvec\n"
-        f"          FROM embeddings WHERE vec_id < {k})"
+        f"          FROM embeddings WHERE vec_id < {k} AND ({train_where}))"
     ]
     for it in range(n_iter):
-        parts.append(assign(f"a{it}", f"c{it}"))
+        parts.append(assign(f"a{it}", f"c{it}", train_where))
         parts.append(update(f"c{it + 1}", f"a{it}"))
     parts.append(assign(f"a{n_iter}", f"c{n_iter}"))
     return ",\n    ".join(parts), f"a{n_iter}"
@@ -1307,6 +1315,66 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor rule as a decorrelated duplicate-id anti set."""
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.semantic_dedup(e, "vec_id", "embedding", k=8, n_iter=2, threshold=0.4)
+
+
+def _incremental_semdedup_oracle(
+    k: int = 16, n_iter: int = 2, threshold: float = 0.4
+) -> str:
+    """Store = even vec_ids (k-means trained on them alone), batch = odd
+    vec_ids routed to the stored centroids. Same min-id survivor
+    semantics as the incremental MinHash oracle. Seeds are even ids
+    < 16, i.e. 8 actual clusters."""
+    ctes, fin = _kmeans_ctes(k, n_iter, train_where="vec_id % 2 = 0")
+    cos_xy = _cosine_sql("x.embedding", "y.embedding")
+    return f"""
+    WITH {ctes},
+    av AS (SELECT a.vec_id, a.cid, e.embedding
+           FROM {fin} a JOIN embeddings e USING (vec_id)),
+    m AS (
+      SELECT x.vec_id AS doc, y.vec_id AS other,
+             ROUND({cos_xy}, 6) AS score
+      FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+      WHERE x.vec_id % 2 = 1
+        AND (y.vec_id % 2 = 0 OR y.vec_id < x.vec_id)
+        AND ROUND({cos_xy}, 6) >= {threshold}),
+    best AS (SELECT doc, MIN(other) AS dup_of FROM m GROUP BY doc),
+    wj AS (SELECT b.doc, b.dup_of,
+            (SELECT MIN(score) FROM m
+             WHERE m.doc = b.doc AND m.other = b.dup_of) AS score
+           FROM best b)
+    SELECT nb.vec_id, nb.cid AS cluster_id, w.dup_of, w.score,
+           CASE WHEN w.dup_of IS NULL THEN 'unique'
+                WHEN w.dup_of % 2 = 0 THEN 'dup_of_store'
+                ELSE 'dup_in_batch' END AS status
+    FROM (SELECT vec_id, cid FROM {fin} WHERE vec_id % 2 = 1) nb
+    LEFT JOIN wj w ON nb.vec_id = w.doc
+    """
+
+
+@query(
+    "emb_incremental_semantic_dedup",
+    _incremental_semdedup_oracle(),
+    tags=("llm", "dedup", "clustering", "incremental"),
+)
+def emb_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: the odd-id half of the embeddings arrives as
+    a new batch, is routed to the even-id corpus' FITTED k-means
+    centroids (kmeans_fit — no re-training), and dedups against
+    same-cluster store vectors plus earlier batch vectors
+    (operators/similarity.incremental_semantic_dedup). Per-ingest cost
+    O(batch x k) routing + per-affected-cluster GEMM — never O(corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    store_vecs = e.filter(F.col("vec_id") % 2 == 0)
+    new_vecs = e.filter(F.col("vec_id") % 2 == 1)
+    assign, cents = SIM.kmeans_fit(
+        store_vecs, "vec_id", "embedding", k=16, n_iter=2
+    )
+    store = store_vecs.select("vec_id", "embedding").join(
+        assign.localCheckpoint(eager=False), "vec_id"
+    )
+    return SIM.incremental_semantic_dedup(
+        new_vecs, store, cents, "vec_id", "embedding", threshold=0.4
+    )
 
 
 @query(

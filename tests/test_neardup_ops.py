@@ -193,6 +193,43 @@ def test_incremental_minhash_dedup_statuses(spark):
     assert out[23] == (None, None, "unique")
 
 
+def test_incremental_semantic_dedup_statuses(spark):
+    """Batch-vs-store SemDeDup: routing to FITTED centroids (no
+    re-training), min-id survivor across store (any id, including ids
+    larger than the batch's) and earlier batch vectors, unique when no
+    same-cluster neighbor clears the threshold."""
+    store_vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (40, [0.0, 1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    batch_vecs = spark.createDataFrame(
+        [
+            (11, [1.0, 0.01, 0.0, 0.0]),   # near-dup of store 0
+            (13, [0.0, 1.0, 0.0, 0.0]),    # exact dup of store 40 (id > batch id)
+            (17, [0.6, 0.8, 0.0, 0.0]),    # no neighbor above threshold
+            (19, [0.6, 0.8, 0.0, 0.0]),    # dup of batch 17
+            (21, [0.0, 0.0, 1.0, 0.0]),    # orthogonal to everything
+        ],
+        ["vec_id", "embedding"],
+    )
+    assign, cents = SIM.kmeans_fit(
+        store_vecs, "vec_id", "embedding", k=41, n_iter=1
+    )
+    store = store_vecs.join(assign, "vec_id")
+    out = {
+        r.vec_id: (r.dup_of, r.status)
+        for r in SIM.incremental_semantic_dedup(
+            batch_vecs, store, cents, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[11] == (0, "dup_of_store")
+    assert out[13] == (40, "dup_of_store")
+    assert out[17] == (None, "unique")
+    assert out[19] == (17, "dup_in_batch")
+    assert out[21] == (None, "unique")
+
+
 def test_embedding_near_dup_pairs_blocked_equals_broadcast(vecs):
     """The distributed block-pair GEMM (default) must produce exactly the
     broadcast path's pairs and scores — same exact semantics, different
