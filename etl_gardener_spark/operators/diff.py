@@ -88,3 +88,27 @@ def snapshot_diff(
         # deletes carry the last-seen old values; inserts/updates the new
         out_cols.append(F.when(~in_new, oc(c)).otherwise(nc(c)).alias(c))
     return joined.select(*out_cols).filter(F.col(CHANGE_COL).isNotNull())
+
+
+def apply_diff(
+    old: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Replay a ``snapshot_diff`` delta onto the old snapshot,
+    reconstructing the new one: changed keys (any kind) leave the old
+    relation via ONE anti join, then insert/update rows come back in with
+    their new values. ``apply_diff(old, snapshot_diff(old, new, keys),
+    keys)`` equals ``new`` on the diffed columns (pinned by the roundtrip
+    property test) — the consumer-side contract that makes shipping
+    deltas instead of snapshots safe.
+
+    Scale shape: anti join + union — the anti join shuffles only the
+    delta's keys against old (broadcast when the delta is small, the
+    common case), never a full-outer of two snapshots.
+    """
+    keys = list(keys)
+    touched = delta.select(keys)
+    kept = old.select(delta.drop(CHANGE_COL).columns).join(
+        touched, keys, "left_anti"
+    )
+    incoming = delta.filter(F.col(CHANGE_COL) != "delete").drop(CHANGE_COL)
+    return kept.unionByName(incoming)

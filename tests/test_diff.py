@@ -1,10 +1,14 @@
 """snapshot_diff (CDC) semantics on crafted snapshots: insert/update/
 delete classification, null-safe column comparison, delete rows carrying
-last-seen old values, multi-column keys, unchanged rows dropped."""
+last-seen old values, multi-column keys, unchanged rows dropped — plus
+the apply_diff roundtrip property (hypothesis-generated snapshots)."""
 
 from __future__ import annotations
 
-from etl_gardener_spark.operators.diff import snapshot_diff
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_gardener_spark.operators.diff import apply_diff, snapshot_diff
 
 
 def test_snapshot_diff_classification_and_values(spark):
@@ -60,6 +64,32 @@ def test_snapshot_diff_composite_key(spark):
         (1, "y"): ("delete", 2.0),
         (2, "y"): ("insert", 4.0),
     }
+
+
+# one row per key: (key, tag, value) with nullable tag/value exercises
+# the null-safe comparisons; small key space forces overlap between the
+# generated snapshots so all three change kinds appear.
+_row = st.tuples(
+    st.integers(min_value=0, max_value=7),
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+    st.one_of(st.none(), st.sampled_from([0.0, 1.5, -3.25])),
+)
+_snapshot = st.lists(_row, max_size=8, unique_by=lambda r: r[0])
+
+
+@settings(max_examples=12, deadline=None)
+@given(old_rows=_snapshot, new_rows=_snapshot)
+def test_apply_diff_roundtrip(spark, old_rows, new_rows):
+    """apply_diff(old, snapshot_diff(old, new)) == new for arbitrary
+    snapshots, including empty sides and null transitions."""
+    schema = "id long, tag string, value double"
+    old = spark.createDataFrame(old_rows, schema=schema)
+    new = spark.createDataFrame(new_rows, schema=schema)
+    delta = snapshot_diff(old, new, keys=["id"])
+    rebuilt = apply_diff(old, delta, keys=["id"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
 
 
 def test_snapshot_diff_explicit_compare_subset(spark):
