@@ -99,3 +99,46 @@ def test_snapshot_diff_explicit_compare_subset(spark):
     assert (
         snapshot_diff(old, new, keys=["id"], compare_cols=["tag"]).count() == 0
     )
+
+
+def test_snapshot_diff_feeds_scd2_incremental_apply(spark):
+    """CDC -> SCD2 composition: the insert/update delta between two
+    dimension snapshots, stamped with the new snapshot's load time, is
+    exactly the observation batch scd2_apply_batch needs — and the
+    incrementally maintained period table equals a full re-encode over
+    the combined observation stream."""
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.operators.scd2 import scd2_apply_batch, scd2_encode
+
+    day1 = spark.createDataFrame(
+        [(1, "bronze"), (2, "silver"), (3, "gold")], ["user_id", "tier"]
+    )
+    day2 = spark.createDataFrame(
+        [(1, "bronze"), (2, "gold"), (4, "silver")], ["user_id", "tier"]
+    )
+    obs1 = day1.select(
+        "user_id", F.lit(1).cast("long").alias("ts"),
+        F.col("user_id").cast("long").alias("tie"), "tier"
+    )
+    delta = snapshot_diff(day1, day2, keys=["user_id"]).filter(
+        F.col("change") != "delete"
+    )
+    obs2 = delta.select(
+        "user_id", F.lit(2).cast("long").alias("ts"),
+        F.col("user_id").cast("long").alias("tie"), "tier"
+    )
+    periods1 = scd2_encode(obs1, "user_id", "tier", "ts", "tie")
+    incremental = scd2_apply_batch(periods1, obs2, "user_id", "tier", "ts", "tie")
+    full = scd2_encode(obs1.unionByName(obs2), "user_id", "tier", "ts", "tie")
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # the changed key got a closed bronze... silver->gold period pair
+    rows = {
+        (r.user_id, r.attr_value): (r.valid_from, r.valid_to, r.is_current)
+        for r in incremental.collect()
+    }
+    assert rows[(2, "silver")] == (1, 2, False)
+    assert rows[(2, "gold")] == (2, None, True)
+    assert rows[(4, "silver")] == (2, None, True)
