@@ -2108,10 +2108,14 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # this window covers every SURVEY.md §2 family (T1-T5 parity queries
 # stay, per the round-2 verdict) plus one-or-more representatives of each
 # extension family — text analysis, corpus ops, exact/MinHash/Jaccard/
-# SimHash dedup, graph clustering, ANN + semantic dedup, multimodal,
-# streaming, SCD2 and TPC-H — so the families added since round 1 get
-# driver-verified rows instead of self-certified local sweeps. Everything
-# outside the window still runs in tools/compare.py's full local sweep.
+# SimHash dedup (incl. incremental batch-vs-store), graph clustering,
+# ANN + semantic dedup, CDC, multimodal, streaming, SCD2 and TPC-H — so
+# the families added since round 1 get driver-verified rows instead of
+# self-certified local sweeps. Queries with two rounds of green driver
+# rows (topk_per_group, range_count_errors_before_purchase,
+# refresh_rollup_days was kept) may rotate out for never-driver-checked
+# newcomers; everything outside the window still runs in
+# tools/compare.py's and tools/compare_strict.py's full local sweeps.
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     "dedup_keep_best",
@@ -2133,8 +2137,7 @@ DRIVER_WINDOW: list[str] = [
     "sessionize",
     "brand_revenue",
     "asof_purchase_last_click",
-    "range_count_errors_before_purchase",
-    "topk_per_group",
+    "snapshot_diff_events",
     "daily_approx_users",
     "weekly_users_sketch_rollup",
     # TPC-H decision-support shapes
@@ -2154,12 +2157,14 @@ DRIVER_WINDOW: list[str] = [
     "doc_exact_dup_groups",
     "doc_minhash_lsh_pairs",
     "doc_jaccard_pairs",
+    "doc_incremental_dedup",
     "doc_simhash_pairs",
     "doc_pagerank",
     "doc_dup_clusters",
     # embeddings (ANN, clustering, semantic + exact near-dup)
     "emb_kmeans",
     "emb_semantic_dedup",
+    "emb_incremental_semantic_dedup",
     "emb_ann_topk",
     "emb_ann_topk_lsh",
     "emb_ann_topk_ivf",
