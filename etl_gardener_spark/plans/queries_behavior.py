@@ -1146,3 +1146,38 @@ def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         old, new, keys=["event_id"], compare_cols=["ts", "user_id", "event_type", "value"]
     )
+
+
+@query(
+    "snapshot_apply_roundtrip",
+    """
+    SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_type = 'error' THEN value + 1.0 ELSE value END
+             AS value
+    FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-06'
+    """,
+    tags=("analytics", "cdc", "diff"),
+)
+def snapshot_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC roundtrip, driver-verified: apply_diff replays the delta from
+    [[snapshot_diff_events]] onto the old snapshot and must reproduce the
+    new snapshot EXACTLY — the oracle is simply the new snapshot's
+    definition, so the hash gate proves delta-shipping loses nothing.
+    One full-outer join (diff) + one anti join + union (apply)."""
+    from etl_gardener_spark.operators.diff import apply_diff, snapshot_diff
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    old = e.filter(F.to_date("ts") <= F.lit("2024-01-20"))
+    new = e.filter(F.to_date("ts") >= F.lit("2024-01-06")).withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    )
+    delta = snapshot_diff(
+        old, new, keys=["event_id"],
+        compare_cols=["ts", "user_id", "event_type", "value"],
+    )
+    return apply_diff(old, delta, keys=["event_id"])
