@@ -2006,3 +2006,25 @@ def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+@query(
+    "stream_dedup_vs_store",
+    """
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+    FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events s
+      WHERE CAST(s.ts AS DATE) <= DATE '2024-01-03'
+        AND s.user_id = e.user_id AND s.event_type = e.event_type)
+    """,
+    tags=("llm", "streaming", "dedup", "incremental"),
+)
+def stream_dedup_vs_store_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: stream-static LEFT ANTI join against
+    the persisted seen-key store — only never-seen (user_id, event_type)
+    combinations pass. Stateless (no watermark state), store broadcast per
+    micro-batch; the batch oracle is the NOT EXISTS complement."""
+    from etl_gardener_spark.streaming.events import stream_dedup_vs_store
+
+    return stream_dedup_vs_store(spark, sf_dir)

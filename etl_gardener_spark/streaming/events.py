@@ -230,3 +230,46 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         q.stop()
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), schema=out.schema)
+
+
+def stream_dedup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination / incremental dedup against a PERSISTED
+    key store: the event stream left-anti joins a static relation of
+    already-seen (user_id, event_type) keys (here: every combination
+    observed through Jan 3, computed once in batch from the warehouse),
+    emitting ONLY events whose key the corpus has never seen.
+
+    This is the streaming twin of the batch incremental dedup operators
+    (neardup.incremental_minhash_dedup): the store side is loaded once
+    and broadcast into every micro-batch — no stream-side shuffle, no
+    streaming state at all (the anti join is stateless row filtering,
+    unlike dropDuplicatesWithinWatermark whose state grows with the key
+    working set). At 100 TB the store arrives bucketed/broadcast and
+    per-batch cost stays O(batch).
+    """
+    from etl_gardener_spark.sources.tables import load_table
+
+    seen = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.to_date("ts") <= F.lit("2024-01-03"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    events = read_events_stream(spark, sf_dir)
+    novel = events.join(
+        F.broadcast(seen), ["user_id", "event_type"], "left_anti"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    name = f"novel_{uuid.uuid4().hex[:8]}"
+    q = (
+        novel.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), schema=out.schema)
