@@ -2113,9 +2113,10 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # the families added since round 1 get driver-verified rows instead of
 # self-certified local sweeps. Queries with two rounds of green driver
 # rows (topk_per_group, range_count_errors_before_purchase,
-# refresh_rollup_days was kept) may rotate out for never-driver-checked
-# newcomers; everything outside the window still runs in
-# tools/compare.py's and tools/compare_strict.py's full local sweeps.
+# refresh_rollup_days) rotate out for never-driver-checked newcomers;
+# everything outside the window still runs in tools/compare.py's and
+# tools/compare_strict.py's full local sweeps.
+# tests/test_plans.py::test_driver_window_contract pins |window| == 50.
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     "dedup_keep_best",
@@ -2131,7 +2132,6 @@ DRIVER_WINDOW: list[str] = [
     "load_csv",
     "load_orc",
     "read_schema_evolved",
-    "refresh_rollup_days",
     # analytics core (formerly-red rows stay visible, fixed this round)
     "q1_pricing_summary",
     "sessionize",

@@ -159,6 +159,20 @@ def test_weekly_sketch_rollup_error_bound(spark):
         assert r["sketch_ok"], (r["week"], r["exact_users"])
 
 
+def test_driver_window_contract():
+    """The driver oracle-checks the first 50 emitted queries: the window
+    list must be exactly 50 known, distinct, oracle-backed names, and
+    queries()/oracle_sql() must emit them first."""
+    assert len(Q.DRIVER_WINDOW) == 50
+    assert len(set(Q.DRIVER_WINDOW)) == 50
+    missing = [n for n in Q.DRIVER_WINDOW if n not in Q.REGISTRY]
+    assert not missing, missing
+    no_oracle = [n for n in Q.DRIVER_WINDOW if not Q.REGISTRY[n].oracle]
+    assert not no_oracle, no_oracle
+    assert list(Q.queries())[:50] == Q.DRIVER_WINDOW
+    assert list(Q.oracle_sql())[:50] == Q.DRIVER_WINDOW
+
+
 def test_emb_near_dup_pairs_is_distributed_blocked_gemm(spark):
     """The driver-graded exact near-dup query must run the distributed
     block-pair GEMM: grouped applyInPandas (FlatMapGroupsInPandas) over
