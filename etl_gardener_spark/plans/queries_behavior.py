@@ -1181,3 +1181,66 @@ def snapshot_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         compare_cols=["ts", "user_id", "event_type", "value"],
     )
     return apply_diff(old, delta, keys=["event_id"])
+
+
+@query(
+    "session_error_counts",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM gaps
+    ), sessions AS (
+      SELECT user_id, session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT s.user_id, s.session_id, s.session_start, s.session_end,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_errors
+    FROM sessions s LEFT JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'error'
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("analytics", "interval", "join"),
+)
+def session_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/intervals.interval_point_join):
+    error events counted inside each session's [start, end] bounds. The
+    operator bucketizes time so containment is an equi-join on
+    (user_id, hour-bucket) with the range predicate as a codegen'd
+    residual — no per-key interval x point cross product; the oracle is
+    the naive range join. Sessions come from the same microsecond-exact
+    sessionization as [[sessionize]]."""
+    from etl_gardener_spark.operators.intervals import interval_point_join
+    from etl_gardener_spark.plans.queries import sessionize
+
+    sessions = sessionize(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    errors = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("ts").alias("err_ts"),
+                F.col("event_id").alias("err_id"))
+    )
+    joined = interval_point_join(
+        sessions,
+        errors,
+        on="user_id",
+        start="session_start",
+        end="session_end",
+        ts="err_ts",
+        bucket_seconds=3600,
+        how="left",
+    )
+    return joined.groupBy(
+        "user_id", "session_id", "session_start", "session_end"
+    ).agg(F.count("err_id").cast("long").alias("n_errors"))
