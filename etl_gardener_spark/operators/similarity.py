@@ -404,6 +404,23 @@ def cosine_topk_ivf(
                 ),
             )
         )
+        if keep == 1:
+            # argmax as ONE hash aggregate (map-side combined) instead of
+            # a sort window: min_by over the (-score, cid) struct picks
+            # the identical (score DESC, cid ASC) winner without sorting
+            # every vector's C rows — the corpus-side assignment is the
+            # big input, so this is the path that matters at scale.
+            ordk = F.struct((-F.col("__s")).alias("s"), F.col("cid").alias("c"))
+            val = F.struct(F.col("cid"), F.col(out_vec))
+            return (
+                scored.groupBy(out_id)
+                .agg(F.min_by(val, ordk).alias("__m"))
+                .select(
+                    out_id,
+                    F.col(f"__m.{out_vec}").alias(out_vec),
+                    F.col("__m.cid").alias("cell"),
+                )
+            )
         w = Window.partitionBy(out_id).orderBy(
             F.col("__s").desc(), F.col("cid").asc()
         )
@@ -449,8 +466,11 @@ def kmeans_assign(
     round_digits: int = 6,
 ) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (ties -> smallest
-    cid): (id, cid). One broadcast nested-loop of |df| x k rows + one
-    per-id window — the Lloyd assignment step, no corpus shuffle.
+    cid): (id, cid). One broadcast nested-loop of |df| x k rows + ONE
+    hash aggregate — the Lloyd assignment step, no corpus shuffle and no
+    sort: argmax is min_by over the (-score, cid) struct, which picks the
+    identical (score DESC, cid ASC) winner as a window would but with a
+    map-side-combined aggregate instead of sorting every vector's k rows.
 
     Norms are staged on each join input (computed once per vector / per
     centroid, not once per pair — the projections sit below the join, so
@@ -479,12 +499,8 @@ def kmeans_assign(
             ).alias("__s"),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("__s").desc(), F.col("cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cid")
-    )
+    ordk = F.struct((-F.col("__s")).alias("s"), F.col("cid").alias("c"))
+    return scored.groupBy(id_col).agg(F.min_by(F.col("cid"), ordk).alias("cid"))
 
 
 def kmeans(
