@@ -2028,3 +2028,67 @@ def stream_dedup_vs_store_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gardener_spark.streaming.events import stream_dedup_vs_store
 
     return stream_dedup_vs_store(spark, sf_dir)
+
+
+def _lsh_recall_oracle(threshold: float = 0.3) -> str:
+    """Exact pairs from the quadratic sh-join; LSH pairs from the banded
+    candidates; recall per jaccard decile bucket. Identical integer
+    counts divide to identical doubles on both engines."""
+    return (
+        "WITH "
+        + _minhash_ctes(threshold=threshold)
+        + f"""
+    , exact AS (
+      SELECT ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                   6) AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+    e AS (SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM exact WHERE j >= {threshold} GROUP BY 1),
+    l AS (SELECT CAST(FLOOR(jaccard * 10) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_lsh
+          FROM pairs GROUP BY 1)
+    SELECT e.bucket, e.n_exact, COALESCE(l.n_lsh, 0) AS n_lsh,
+           CAST(COALESCE(l.n_lsh, 0) AS DOUBLE) / e.n_exact AS recall
+    FROM e LEFT JOIN l USING (bucket)
+    """
+    )
+
+
+@query(
+    "doc_lsh_recall_report",
+    _lsh_recall_oracle(),
+    tags=("llm", "dedup", "lsh", "quality"),
+)
+def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality measurement as a first-class query: per jaccard-decile
+    bucket, how many true near-dup pairs exist (exact PPJoin pipeline)
+    and how many the banded MinHash-LSH pipeline recovered — the recall
+    curve that tells you whether bands x rows are tuned for the corpus.
+    The expensive exact side runs on a sample/SF in practice; the report
+    shape is what matters (recall near 1.0 in high deciles, dropping
+    toward the threshold decile is the expected banded-LSH signature)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
+    lsh = ND.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, n=3, threshold=0.3
+    )
+    bucket = lambda c: F.floor(F.col(c) * 10).cast("long")  # noqa: E731
+    e = exact.groupBy(bucket("jaccard").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    l = lsh.groupBy(bucket("jaccard").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh")
+    )
+    return (
+        e.join(l, "bucket", "left")
+        .select(
+            "bucket",
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).cast("long").alias("n_lsh"),
+            (
+                F.coalesce("n_lsh", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
