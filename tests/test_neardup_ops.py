@@ -193,6 +193,46 @@ def test_incremental_minhash_dedup_statuses(spark):
     assert out[23] == (None, None, "unique")
 
 
+def test_incremental_minhash_equals_full_corpus_pairs(spark):
+    """Equivalence property across a corpus of templated near-dups: every
+    batch (odd-id) doc's survivor from the incremental path must equal
+    the min matching id derived from the FULL corpus's verified LSH pair
+    set (store docs any id, batch docs smaller id) — the exact relation
+    the registered oracle states."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red green blue yellow purple orange pink black",
+    ]
+    rows = []
+    for i in range(24):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + " extra tail token"
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    full_pairs = {
+        (r.id_a, r.id_b)
+        for r in ND.minhash_lsh_pairs(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    store_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    store = ND.minhash_store(store_docs, "text", "doc_id")
+    got = {
+        r.doc_id: r.dup_of
+        for r in ND.incremental_minhash_dedup(
+            batch_docs, store, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    for i in range(1, 24, 2):
+        matches = {a for (a, b) in full_pairs if b == i and (a % 2 == 0 or a < i)}
+        matches |= {b for (a, b) in full_pairs if a == i and b % 2 == 0}
+        expected = min(matches) if matches else None
+        assert got[i] == expected, (i, got[i], expected)
+
+
 def test_incremental_semantic_dedup_statuses(spark):
     """Batch-vs-store SemDeDup: routing to FITTED centroids (no
     re-training), min-id survivor across store (any id, including ids
