@@ -5,6 +5,6 @@ Everything here returns Spark ``Column`` expressions built exclusively from
 the hot path. Pandas UDFs appear only where built-ins genuinely cannot
 express the semantics (see operators/multimodal.py)."""
 
-from etl_gardener_spark.functions import text
+from etl_gardener_spark.functions import scrub, text
 
-__all__ = ["text"]
+__all__ = ["text", "scrub"]

@@ -1,7 +1,8 @@
 """Relational operators: the reference's table-op surface plus the
 LLM-data-pipeline extensions (dedup family — including incremental
-batch-vs-store — similarity search, snapshot diff / CDC, interval joins,
-text analysis, multimodal plumbing)."""
+batch-vs-store and corpus line dedup — similarity search, snapshot
+diff / CDC, interval joins, text analysis, deterministic splits /
+sampling, BM25 retrieval, multimodal plumbing)."""
 
 from etl_gardener_spark.operators.dedup import (
     DedupSpec,
@@ -18,6 +19,13 @@ from etl_gardener_spark.operators.neardup import (
     incremental_minhash_dedup,
     minhash_store,
 )
+from etl_gardener_spark.operators.corpus import drop_duplicate_lines
+from etl_gardener_spark.operators.sampling import (
+    hash_split,
+    sample_cap_per_key,
+    stratified_sample,
+)
+from etl_gardener_spark.operators.search import bm25_topk, topk_ngrams
 from etl_gardener_spark.operators.similarity import (
     incremental_semantic_dedup,
     kmeans_fit,
@@ -36,4 +44,10 @@ __all__ = [
     "incremental_minhash_dedup",
     "kmeans_fit",
     "incremental_semantic_dedup",
+    "drop_duplicate_lines",
+    "hash_split",
+    "stratified_sample",
+    "sample_cap_per_key",
+    "bm25_topk",
+    "topk_ngrams",
 ]

@@ -285,3 +285,77 @@ def mixture_report(
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("__tot"), 6).alias("token_share"),
     )
+
+
+def drop_duplicate_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    line_sep: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal (the C4 / MassiveText line
+    filter): a line whose normalized form appears in more than
+    ``max_docs`` distinct documents is boilerplate (nav bars, cookie
+    banners, license headers) and is dropped from EVERY document; each
+    survivor document is reassembled in original line order.
+
+    Output: (id, text, n_lines_kept, n_lines_dropped) with ``text``
+    rebuilt from the kept lines.
+
+    Spark shape — two shuffles, both on the 60-bit line hash:
+      1. posexplode lines, hash the normalized line, groupBy(hash) with
+         a countDistinct(doc) — map-side combine collapses each
+         partition's repeats before the wire.
+      2. join the (hash, n_docs) verdicts back to the line stream
+         (hash-keyed equi-join; AQE may broadcast the verdict side when
+         few lines repeat), then one groupBy(doc) rebuilds documents via
+         array_sort(collect_list(struct(pos, line))) — order restored by
+         the explicit pos key, never by partition luck.
+
+    At 100 TB the verdict table is |distinct lines| rows of 16 bytes —
+    orders of magnitude smaller than the corpus — and no stage holds a
+    whole document set in memory; cost is two hash-partitioned passes
+    over the line stream. (Suffix-array substring dedup is the heavier
+    cousin; line-grain is the standard first pass.)
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__h", _h60(F.lower(F.trim(F.col("__line")))))
+    verdict = lines.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__n_docs")
+    )
+    tagged = lines.join(verdict, "__h").withColumn(
+        "__keep", F.col("__n_docs") <= max_docs
+    )
+    return (
+        tagged.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("__keep"), F.struct("__pos", "__line")
+                    )
+                )
+            ).alias("__kept"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["__line"]),
+                line_sep,
+            ).alias(text_col),
+            "n_lines_kept",
+            "n_lines_dropped",
+        )
+    )

@@ -1,0 +1,163 @@
+"""Deterministic sampling & dataset splitting for training pipelines:
+hash-bucket train/val/test splits, per-stratum exact-fraction sampling,
+and per-key deterministic top-n ("reservoir") sampling.
+
+A training-data pipeline must never split or sample with RNG: reruns,
+backfills, and incremental appends have to land every document in the
+SAME split forever (else eval contaminates train on the next rebuild).
+Everything here derives from md5 of the id — content-addressed, engine-
+portable (DuckDB mirrors `conv(substr(md5(x),1,8),16,10)` with
+`('0x' || substr(md5(x),1,8))::BIGINT`), and stable under repartitioning.
+
+Scale posture: `hash_split` is a pure narrow projection — zero shuffle,
+zero state, applies map-side at any corpus size. `stratified_sample`
+shuffles once on the strata key (the same single window-exchange shape
+as dedup_keep_best); per-stratum counts ride that window, so there is
+no separate count pass. No RNG, no sampleBy (whose Bernoulli draws give
+only approximate fractions and change membership per run).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: modulus for split bucketing — 1e6 buckets ≈ 0.0001% quantization of
+#: requested fractions; the 32-bit md5 prefix is uniform over it.
+SPLIT_MOD = 1_000_000
+
+
+def hash_bucket(id_col: Column | str, mod: int = SPLIT_MOD) -> Column:
+    """Uniform deterministic bucket in [0, mod): first 8 md5 hex chars of
+    the id's string form, parsed as an integer. Content-addressed — the
+    bucket is a pure function of the id, not of partitioning, row order,
+    or session, so a document keeps its bucket across reruns and engines
+    (DuckDB oracle: ``('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::
+    BIGINT % mod``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h32 = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h32 % F.lit(mod)).alias("bucket")
+
+
+def split_thresholds(weights: Mapping[str, float], mod: int = SPLIT_MOD) -> list[tuple[str, int]]:
+    """Cumulative upper bucket bounds (exclusive) per split label, in the
+    mapping's order. Weights are normalized; the final bound is forced to
+    ``mod`` so rounding never drops a bucket."""
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum to a positive value")
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w / total
+        bounds.append((name, int(round(acc * mod))))
+    bounds[-1] = (bounds[-1][0], mod)
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a deterministic split label (train/val/test, any
+    number of named fractions) from its id hash. Narrow projection — no
+    shuffle, no action; Catalyst folds the CASE chain into the scan
+    projection, so at 100 TB this costs one extra expression per row.
+
+    The reference's pipeline has no train/test notion (it ships complete
+    partitions); this is the extension a pretraining corpus needs on top:
+    the split must survive backfills (reference parity concern: the same
+    idempotent-rerun discipline as table_ops' partition swaps).
+    """
+    bucket = hash_bucket(id_col)
+    expr: Column | None = None
+    prev = 0
+    for name, hi in split_thresholds(weights):
+        cond = bucket < F.lit(hi) if prev == 0 else (bucket >= F.lit(prev)) & (
+            bucket < F.lit(hi)
+        )
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+        prev = hi
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    frac: float,
+    id_col: str,
+    *,
+    min_rows: int = 1,
+) -> DataFrame:
+    """EXACT-fraction deterministic sample per stratum: within each
+    stratum, rank rows by (md5(id), id) and keep the first
+    ``max(min_rows, ceil(frac * n))``. Unlike ``df.sampleBy`` (per-row
+    Bernoulli: approximate counts, membership changes with the seed and
+    with Spark's partition-RNG layout), membership here is a pure
+    function of the data — append-only growth keeps previously-sampled
+    ids sampled as long as their rank holds.
+
+    One shuffle on the strata key; the per-stratum count rides the same
+    window (count over unbounded frame), so no second aggregation pass.
+    Skew note: a hot stratum bounds the window task; at 100 TB use the
+    strata key's natural granularity (e.g. lang x source-shard) to keep
+    per-stratum volumes bounded, exactly as dedup bounds by day.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    ordk = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(*strata).orderBy(*ordk)
+    wc = Window.partitionBy(*strata)
+    out = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("__rk")
+            <= F.greatest(
+                F.lit(min_rows), F.ceil(F.col("__n") * F.lit(float(frac)))
+            )
+        )
+        .drop("__rk", "__n")
+    )
+    return out
+
+
+def sample_cap_per_key(
+    df: DataFrame, key: Sequence[str], n: int, id_col: str
+) -> DataFrame:
+    """Deterministic per-key cap ("reservoir of size n" without RNG): keep
+    the n rows whose id-md5 ranks first within each key. rank<=n lets
+    Spark's WindowGroupLimit push a bounded per-key heap below the
+    shuffle — the at-scale shape for capping crawler domains or dedup
+    clusters to a fixed contribution."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(*key).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def expected_counts(
+    weights: Mapping[str, float], total_rows: int, mod: int = SPLIT_MOD
+) -> dict[str, int]:
+    """Expected rows per split under perfectly uniform bucketing — the
+    quantization-aware target tests compare observed counts against."""
+    out: dict[str, int] = {}
+    prev = 0
+    for name, hi in split_thresholds(weights, mod):
+        out[name] = math.ceil(total_rows * (hi - prev) / mod)
+        prev = hi
+    return out

@@ -2113,7 +2113,10 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # the families added since round 1 get driver-verified rows instead of
 # self-certified local sweeps. Queries with two rounds of green driver
 # rows (topk_per_group, range_count_errors_before_purchase,
-# refresh_rollup_days) rotate out for never-driver-checked newcomers;
+# refresh_rollup_days, q1_pricing_summary, asof_purchase_last_click,
+# load_orc) rotate out for never-driver-checked newcomers — round 3 adds
+# doc_scrub_pii, doc_line_dedup, doc_bm25_search for the new scrub /
+# line-dedup / search families;
 # everything outside the window still runs in tools/compare.py's and
 # tools/compare_strict.py's full local sweeps.
 # tests/test_plans.py::test_driver_window_contract pins |window| == 50.
@@ -2130,13 +2133,10 @@ DRIVER_WINDOW: list[str] = [
     "upsert_partition",
     "load_jsonl",
     "load_csv",
-    "load_orc",
     "read_schema_evolved",
     # analytics core (formerly-red rows stay visible, fixed this round)
-    "q1_pricing_summary",
     "sessionize",
     "brand_revenue",
-    "asof_purchase_last_click",
     "snapshot_diff_events",
     "daily_approx_users",
     "weekly_users_sketch_rollup",
@@ -2145,7 +2145,7 @@ DRIVER_WINDOW: list[str] = [
     "q6_forecast_revenue",
     "q9_product_profit",
     "q18_large_volume_customers",
-    # text analysis + corpus ops
+    # text analysis + corpus ops (+ round-3 scrub/line-dedup/search)
     "doc_token_stats",
     "doc_langid",
     "doc_quality_score",
@@ -2153,6 +2153,9 @@ DRIVER_WINDOW: list[str] = [
     "corpus_clean",
     "doc_decontaminate",
     "doc_pack_sequences",
+    "doc_scrub_pii",
+    "doc_line_dedup",
+    "doc_bm25_search",
     # dedup family (exact / MinHash-LSH / Jaccard / SimHash / graph)
     "doc_exact_dup_groups",
     "doc_minhash_lsh_pairs",

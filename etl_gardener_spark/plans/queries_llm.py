@@ -2092,3 +2092,242 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 additions: scrubbing, splits/sampling, search, line dedup
+# ---------------------------------------------------------------------------
+
+from etl_gardener_spark.functions import scrub as SC  # noqa: E402
+from etl_gardener_spark.operators import sampling as SP  # noqa: E402
+from etl_gardener_spark.operators import search as SR  # noqa: E402
+
+
+def _synth_pii_spark():
+    """Deterministic PII decoration of the synthetic docs (the testdata
+    carries none): email, URL, IP, and phone derived from doc_id — the
+    SAME expression in the oracle, so redaction is exercised for real."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach me: u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or https://ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p?q=1 at 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" call +1 (555) 000-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+
+
+_SYNTH_PII_SQL = (
+    "text || ' reach me: u' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.org or https://ex' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.example.com/p?q=1 at 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' call +1 (555) 000-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+@query(
+    "doc_scrub_pii",
+    f"""
+    WITH raw AS (SELECT doc_id, {_SYNTH_PII_SQL} AS t FROM documents)
+    SELECT doc_id,
+           md5({SC.oracle_redact_sql('t')}) AS scrub_md5,
+           {SC.oracle_count_sql('t', 'url')} AS n_url,
+           {SC.oracle_count_sql('t', 'email')} AS n_email,
+           {SC.oracle_count_sql('t', 'ip')} AS n_ip,
+           {SC.oracle_count_sql('t', 'phone')} AS n_phone
+    FROM raw
+    """,
+    tags=("llm", "scrub", "pii"),
+)
+def doc_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/scrub.py): URL -> EMAIL -> IP -> PHONE
+    redaction order pinned on both engines; counts measured with earlier
+    kinds' matches removed so a nested match counts once. Pure
+    regexp_replace chain — codegen'd, no shuffle, applies map-side at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _synth_pii_spark().alias("t"))
+    return raw.select(
+        "doc_id",
+        F.md5(SC.redact("t")).alias("scrub_md5"),
+        *SC.pii_counts("t"),
+    )
+
+
+@query(
+    "doc_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 960000 THEN 'train'
+                WHEN b < 980000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 1000000 AS b
+          FROM documents)
+    """,
+    tags=("llm", "sampling", "split"),
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py):
+    96/2/2 by md5 bucket of the doc id. Narrow projection, no shuffle;
+    membership survives reruns, backfills, and engine swaps (the DuckDB
+    oracle derives the identical bucket via hex-cast)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SP.hash_split(
+        d, "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02}
+    ).select("doc_id", "split")
+
+
+@query(
+    "doc_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            <= GREATEST(1, CEIL(0.2 * COUNT(*) OVER (PARTITION BY lang)))
+    """,
+    tags=("llm", "sampling"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 20% per-language sample (operators/sampling.py): rank by
+    md5(id) within each stratum, keep ceil(frac*n). One shuffle; counts
+    ride the same window. Unlike sampleBy's Bernoulli draws the fraction
+    is exact and membership is a pure function of the data."""
+    d = load_table(spark, sf_dir, "documents")
+    return SP.stratified_sample(d, ["lang"], 0.2, "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "doc_domain_cap",
+    """
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+    """,
+    tags=("llm", "sampling"),
+)
+def doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap (operators/sampling.py): keep at most
+    3 docs per source, chosen deterministically by id hash — the
+    anti-domination pass a crawl corpus runs per domain. rank<=n lets
+    WindowGroupLimit keep a bounded per-key heap below the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return SP.sample_cap_per_key(d, ["source"], 3, "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@query(
+    "doc_bm25_search",
+    "WITH " + _DOCS_BODY + "," + SR.bm25_oracle_sql(_BM25_TERMS, k=10),
+    tags=("llm", "search", "bm25"),
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term keyword query (operators/search.py):
+    postings filtered to query terms before any shuffle; corpus stats
+    and per-term df broadcast back; per-doc weights summed in exact
+    integer micros so the ranking is bit-stable across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return SR.bm25_topk(d, "text", "doc_id", _BM25_TERMS, k=10)
+
+
+@query(
+    "doc_top_bigrams",
+    f"""
+    {_DOCS_CTE},
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      FROM d WHERE len(toks) >= 2),
+    counts AS (SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram)
+    SELECT ngram, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, ngram ASC) AS BIGINT)
+             AS rank
+    FROM counts QUALIFY rank <= 20
+    """,
+    tags=("llm", "search", "ngrams"),
+)
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigrams (operators/search.py): the boilerplate /
+    template profile. One map-side-combined shuffle on the bigram; the
+    global top-k runs over the distinct-gram aggregate only."""
+    d = load_table(spark, sf_dir, "documents")
+    return SR.topk_ngrams(d, "text", n=2, k=20)
+
+
+_LINE_CHUNK = 3  # tokens per synthetic "line" for the line-dedup query
+
+
+def _line_dedup_oracle() -> str:
+    h = _h60("lower(trim(line))")
+    c = _LINE_CHUNK
+    return f"""
+    {_DOCS_CTE},
+    chunked AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
+                            i -> array_to_string(
+                                   list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))
+               AS lines
+      FROM d),
+    lines AS (
+      SELECT doc_id, unnest(lines) AS line,
+             unnest(range(0, len(lines))) AS pos
+      FROM chunked),
+    hashed AS (SELECT doc_id, pos, line, {h} AS h FROM lines),
+    verdict AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h),
+    tagged AS (
+      SELECT doc_id, pos, line, nd <= 1 AS keep
+      FROM hashed JOIN verdict USING (h))
+    SELECT doc_id,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                                   chr(10) ORDER BY pos), '')) AS text_md5,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped
+    FROM tagged GROUP BY doc_id
+    """
+
+
+@query("doc_line_dedup", _line_dedup_oracle(), tags=("llm", "dedup", "lines"))
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (operators/corpus.py
+    drop_duplicate_lines — the C4/MassiveText boilerplate filter): a
+    normalized line seen in >1 distinct docs is dropped from every doc;
+    docs are rebuilt in original line order. The synthetic corpus has no
+    newlines, so 'lines' are 3-token chunks built identically on both
+    engines. Two hash-keyed shuffles regardless of corpus size."""
+    c = _LINE_CHUNK
+    d = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__toks) / {c}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(__toks, i*{c}+1, {c})))"
+    )
+    lined = d.select(
+        "doc_id", TX.ws_tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.when(F.size("__toks") > 0, F.array_join(chunks, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    out = CP.drop_duplicate_lines(lined, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
