@@ -2331,3 +2331,185 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines_kept",
         "n_lines_dropped",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+from etl_gardener_spark.operators import pca as PC  # noqa: E402
+
+
+@query(
+    "emb_pca_variance_check",
+    """
+    WITH x AS (
+      SELECT unnest(embedding) AS v, unnest(range(0, len(embedding))) AS i
+      FROM embeddings),
+    pv AS (SELECT i, var_pop(v) AS var FROM x GROUP BY i)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           ROUND(SUM(var), 4) AS total_var,
+           TRUE AS pca_ok
+    FROM pv
+    """,
+    tags=("llm", "pca", "bound-check"),
+)
+def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable PCA certification via trace preservation: a full-
+    rank PCA's eigenvalue sum must equal the total per-dimension
+    population variance (trace of the covariance). Eigendecomposition is
+    not SQL-expressible, so — like the HLL sketch rows — the oracle pins
+    the EXACT side (total variance, straight from the raw dims) and a
+    constant-TRUE bound flag; the Spark side emits the same total
+    variance plus ``pca_ok`` = |Σ eigenvalues − total_var| / total_var
+    < 1e-6. Green hash iff the distributed Gram/mean statistics and the
+    driver-side eigh reproduce the corpus variance exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    model = PC.pca_fit(e, "embedding", k=64)
+    ev_sum = float(sum(model.explained_var))
+    counts = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    tv = (
+        e.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "i", "v"
+            )
+        )
+        .groupBy("i")
+        .agg(F.var_pop("v").alias("var"))
+        .agg(F.sum("var").alias("tv"))
+    )
+    return counts.crossJoin(F.broadcast(tv)).select(
+        "n_vecs",
+        F.round(F.col("tv"), 4).alias("total_var"),
+        (
+            F.abs(F.lit(ev_sum) - F.col("tv")) / F.col("tv") < 1e-6
+        ).alias("pca_ok"),
+    )
+
+
+@query("emb_pca_whiten", None, tags=("llm", "pca"))
+def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitened top-4 principal components per vector (rows-only: the
+    component VALUES depend on eigh, which SQL cannot mirror; the
+    variance identity above is the oracle-backed certificate). The
+    projection itself is pure codegen — component coefficients are
+    folded in as array literals, no Python, no join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    model = PC.pca_fit(e, "embedding", k=4)
+    out = PC.pca_project(e, "embedding", model, whiten=True)
+    return out.select(
+        "vec_id",
+        F.transform(F.col("pc"), lambda v: F.round(v, 4)).alias("pc_white"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus pipeline: scrub-grade cleaning -> split, one query
+# ---------------------------------------------------------------------------
+
+
+def _training_ready_oracle() -> str:
+    h = _h60("lower(trim(line))")
+    c = _LINE_CHUNK
+    return f"""
+    {_DOCS_CTE},
+    chunked AS (
+      SELECT doc_id, text,
+             list_transform(range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
+                            i -> array_to_string(
+                                   list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))
+               AS lines
+      FROM d),
+    lines AS (
+      SELECT doc_id, unnest(lines) AS line,
+             unnest(range(0, len(lines))) AS pos
+      FROM chunked),
+    hashed AS (SELECT doc_id, pos, line, {h} AS h FROM lines),
+    verdictl AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(CASE WHEN nd <= 1 THEN line END,
+                                 chr(10) ORDER BY pos), '') AS text2
+      FROM hashed JOIN verdictl USING (h) GROUP BY doc_id),
+    fp AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'))) AS keep_id
+      FROM documents),
+    scored AS (
+      SELECT r.doc_id, r.text2, f.keep_id,
+             len(list_filter(string_split_regex(lower(trim(r.text2)), '\\s+'),
+                             x -> len(x) > 0)) AS ntok,
+             ('0x' || substr(md5(CAST(r.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS b
+      FROM rebuilt r JOIN fp f USING (doc_id))
+    SELECT doc_id,
+           CASE WHEN doc_id <> keep_id THEN 'dup'
+                WHEN ntok < 10 THEN 'short'
+                ELSE 'ok' END AS verdict,
+           CASE WHEN b < 960000 THEN 'train'
+                WHEN b < 980000 THEN 'val'
+                ELSE 'test' END AS split,
+           md5(text2) AS clean_md5
+    FROM scored
+    """
+
+
+@query(
+    "corpus_training_ready",
+    _training_ready_oracle(),
+    tags=("llm", "pipeline", "end-to-end"),
+)
+def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus pipeline in ONE declarative plan: duplicate-
+    line (boilerplate) removal -> exact-dup survivor election -> length
+    gate on the CLEANED text -> deterministic train/val/test assignment.
+    Per doc: verdict ('dup' | 'short' | 'ok', first failing gate wins),
+    split, and the md5 of the cleaned text a writer would persist.
+
+    Composition stays Catalyst-native end to end: line dedup's two
+    hash-keyed shuffles, a window over the content fingerprint, a narrow
+    split projection — no operator boundary materializes anything, so
+    AQE sees the whole pipeline and the corpus makes three keyed passes
+    total regardless of scale."""
+    c = _LINE_CHUNK
+    d = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__toks) / {c}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(__toks, i*{c}+1, {c})))"
+    )
+    lined = d.select(
+        "doc_id", TX.ws_tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.when(F.size("__toks") > 0, F.array_join(chunks, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    rebuilt = CP.drop_duplicate_lines(lined, "text", "doc_id").select(
+        "doc_id", F.col("text").alias("text2")
+    )
+    from pyspark.sql import Window as W
+
+    fp = d.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy(TX.fingerprint_md5("text")))
+        .alias("keep_id"),
+    )
+    scored = rebuilt.join(fp, "doc_id").withColumn(
+        "ntok", F.size(TX.ws_tokens("text2"))
+    )
+    out = SP.hash_split(
+        scored, "doc_id", {"train": 0.96, "val": 0.02, "test": 0.02}
+    )
+    return out.select(
+        "doc_id",
+        F.when(F.col("doc_id") != F.col("keep_id"), "dup")
+        .when(F.col("ntok") < 10, "short")
+        .otherwise("ok")
+        .alias("verdict"),
+        "split",
+        F.md5("text2").alias("clean_md5"),
+    )

@@ -144,6 +144,18 @@ def test_bm25_idf_downweights_common_terms(spark):
     assert out[10] > max(v for k, v in out.items() if k != 10)
 
 
+def test_bm25_plan_broadcasts_stats_no_smj_no_python(mini_corpus):
+    """The postings side must join corpus stats and per-term df via
+    broadcast (never a sort-merge shuffle of the postings), and the whole
+    score pipeline stays JVM-side."""
+    out = SR.bm25_topk(mini_corpus, "text", "doc_id", ["spark", "join"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # dfreq
+    assert "BroadcastNestedLoopJoin" in plan  # one-row (N, avgdl)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_topk_ngrams_counts_and_ties(spark):
     df = spark.createDataFrame(
         [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
