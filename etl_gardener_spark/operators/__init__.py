@@ -20,8 +20,10 @@ from etl_gardener_spark.operators.neardup import (
     minhash_store,
 )
 from etl_gardener_spark.operators.corpus import drop_duplicate_lines
+from etl_gardener_spark.operators.pca import pca_fit, pca_project
 from etl_gardener_spark.operators.sampling import (
     hash_split,
+    mixture_sample,
     sample_cap_per_key,
     stratified_sample,
 )
@@ -48,6 +50,9 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "sample_cap_per_key",
+    "mixture_sample",
     "bm25_topk",
     "topk_ngrams",
+    "pca_fit",
+    "pca_project",
 ]

@@ -150,6 +150,78 @@ def sample_cap_per_key(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    strat_col: str,
+    target_shares: Mapping[str, float],
+    id_col: str,
+) -> DataFrame:
+    """Deterministic corpus-mixture construction: downsample each stratum
+    so the OUTPUT matches ``target_shares`` (a data-mixture spec, e.g.
+    ``{"web": 0.6, "code": 0.3, "wiki": 0.1}``) at the largest feasible
+    total size. Strata absent from the spec are excluded (share 0).
+
+    The output size is maximal subject to availability: ``scale =
+    min_s(n_s / share_s)`` and each stratum keeps
+    ``floor(share_s * scale)`` rows, chosen by md5-of-id rank — so the
+    result is a pure function of the data and the spec (reruns,
+    repartitions, and engine swaps agree exactly; membership is stable
+    like `stratified_sample`).
+
+    Fully distributed: per-stratum counts are a |strata|-row aggregate,
+    the spec is a broadcast literal frame, the binding constraint is a
+    one-row min over that tiny join, and quotas broadcast back onto the
+    ranked stream — no driver collect, one window shuffle on the stratum
+    key at any corpus size.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(v <= 0 for v in target_shares.values()):
+        raise ValueError("target shares must be positive")
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        sorted(target_shares.items()), [strat_col, "__share"]
+    )
+    in_spec = df.join(F.broadcast(targets), strat_col)
+    counts = in_spec.groupBy(strat_col, "__share").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    scale = counts.agg(
+        F.min(F.col("__n") / F.col("__share")).alias("__scale")
+    )
+    quota = counts.crossJoin(F.broadcast(scale)).select(
+        strat_col,
+        F.floor(F.col("__share") * F.col("__scale")).cast("long").alias("__quota"),
+    )
+    w = Window.partitionBy(strat_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        in_spec.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(quota), strat_col)
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota", "__share")
+    )
+
+
+def temperature_shares(
+    sizes: Mapping[str, float], alpha: float = 0.3
+) -> dict[str, float]:
+    """Temperature-scaled mixture shares: ``share_s ∝ size_s ** alpha``
+    (the standard multilingual/multi-source rebalancing — alpha=1 keeps
+    natural proportions, alpha=0 is uniform; 0.2-0.3 is the usual
+    pretraining pick). Returns normalized shares to feed
+    `mixture_sample`. Driver-side arithmetic over the |strata|-sized
+    size map (itself a tiny aggregate, e.g. `corpus.mixture_report`)."""
+    if not sizes:
+        raise ValueError("sizes must be non-empty")
+    if any(v <= 0 for v in sizes.values()):
+        raise ValueError("sizes must be positive")
+    powered = {k: float(v) ** alpha for k, v in sizes.items()}
+    tot = sum(powered.values())
+    return {k: v / tot for k, v in powered.items()}
+
+
 def expected_counts(
     weights: Mapping[str, float], total_rows: int, mod: int = SPLIT_MOD
 ) -> dict[str, int]:

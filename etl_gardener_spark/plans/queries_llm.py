@@ -2513,3 +2513,37 @@ def corpus_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.md5("text2").alias("clean_md5"),
     )
+
+
+@query(
+    "doc_mixture_sample",
+    """
+    WITH c AS (
+      SELECT source, COUNT(*) AS n FROM documents
+      WHERE source IN ('src0','src1','src2') GROUP BY source),
+    t(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    s AS (SELECT MIN(n / share) AS scale FROM c JOIN t USING (source)),
+    q AS (
+      SELECT c.source, CAST(FLOOR(t.share * s.scale) AS BIGINT) AS quota
+      FROM c JOIN t USING (source) CROSS JOIN s),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents WHERE source IN ('src0','src1','src2'))
+    SELECT doc_id, source FROM r JOIN q USING (source) WHERE rn <= quota
+    """,
+    tags=("llm", "sampling", "mixture"),
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture construction (operators/sampling.py mixture_sample):
+    downsample three sources to a 50/30/20 output mixture at the largest
+    feasible size (scale = min n_s/share_s), membership by md5 rank.
+    Counts, the binding constraint, and quotas are all tiny broadcast
+    relations around one window shuffle — no driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    out = SP.mixture_sample(
+        d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id"
+    )
+    return out.select("doc_id", "source")

@@ -98,6 +98,47 @@ def test_sample_cap_per_key(spark):
         SP.sample_cap_per_key(df, ["source"], 0, "doc_id")
 
 
+def test_mixture_sample_hits_target_shares(spark):
+    # src a: 100 docs, b: 60, c: 10. Targets 50/30/20 -> binding stratum
+    # is c (10/0.2 = 50): quotas floor(.5*50)=25, floor(.3*50)=15, 10.
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(60)]
+        + [(2000 + i, "c") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = SP.mixture_sample(df, "source", {"a": 0.5, "b": 0.3, "c": 0.2}, "doc_id")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 25, "b": 15, "c": 10}
+
+
+def test_mixture_sample_excludes_unspecified_strata_and_is_stable(spark):
+    rows = [(i, ["a", "b", "junk"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = SP.mixture_sample(df, "source", {"a": 0.5, "b": 0.5}, "doc_id")
+    assert out1.filter(F.col("source") == "junk").count() == 0
+    got1 = {r["doc_id"] for r in out1.collect()}
+    got2 = {r["doc_id"] for r in SP.mixture_sample(df.repartition(11), "source", {"a": 0.5, "b": 0.5}, "doc_id").collect()}
+    assert got1 == got2
+    with pytest.raises(ValueError):
+        SP.mixture_sample(df, "source", {}, "doc_id")
+    with pytest.raises(ValueError):
+        SP.mixture_sample(df, "source", {"a": -1.0}, "doc_id")
+
+
+def test_temperature_shares():
+    nat = {"big": 8000.0, "small": 1000.0}
+    t1 = SP.temperature_shares(nat, alpha=1.0)
+    assert abs(t1["big"] - 8 / 9) < 1e-12
+    t0 = SP.temperature_shares(nat, alpha=0.0)
+    assert abs(t0["big"] - 0.5) < 1e-12
+    t = SP.temperature_shares(nat, alpha=0.3)
+    assert 0.5 < t["big"] < 8 / 9  # between uniform and natural
+    assert abs(sum(t.values()) - 1.0) < 1e-12
+    with pytest.raises(ValueError):
+        SP.temperature_shares({})
+
+
 def test_expected_counts_quantization():
     got = SP.expected_counts({"train": 0.96, "val": 0.02, "test": 0.02}, 100)
     assert got == {"train": 96, "val": 2, "test": 2}
