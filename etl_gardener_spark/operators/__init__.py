@@ -30,6 +30,7 @@ from etl_gardener_spark.operators.sampling import (
 from etl_gardener_spark.operators.search import bm25_topk, topk_ngrams
 from etl_gardener_spark.operators.similarity import (
     incremental_semantic_dedup,
+    incremental_topk,
     kmeans_fit,
 )
 
@@ -46,6 +47,7 @@ __all__ = [
     "incremental_minhash_dedup",
     "kmeans_fit",
     "incremental_semantic_dedup",
+    "incremental_topk",
     "drop_duplicate_lines",
     "hash_split",
     "stratified_sample",

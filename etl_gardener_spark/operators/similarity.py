@@ -91,6 +91,44 @@ def cosine_topk(
     )
 
 
+def incremental_topk(
+    old_topk: DataFrame,
+    queries: DataFrame,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incrementally maintain exact top-k neighbor lists as a NEW vector
+    batch arrives: score only the batch against the queries, union with
+    the stored per-query top-k, re-rank, keep k. Equivalent to re-running
+    `cosine_topk` over the full corpus — the global top-k is contained in
+    (stored top-k) ∪ (batch top-k), and both sides share the same
+    (rounded score DESC, neighbor_id ASC) total order — at the cost of
+    one |batch| x |queries| scan instead of a corpus rescan.
+
+    ``old_topk`` is `cosine_topk` output (query_id, neighbor_id, score,
+    rank); rank is recomputed. The 100 TB maintenance loop: corpus top-k
+    materializes once, every append folds in at batch cost — the same
+    batch-vs-store discipline as `incremental_minhash_dedup` and
+    `incremental_semantic_dedup`.
+    """
+    batch_topk = cosine_topk(
+        new_vecs, queries, id_col, vec_col, k=k, round_digits=round_digits
+    ).select("query_id", "neighbor_id", "score")
+    merged = old_topk.select("query_id", "neighbor_id", "score").unionByName(
+        batch_topk
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-random-projection LSH
 # ---------------------------------------------------------------------------

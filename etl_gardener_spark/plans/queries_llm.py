@@ -2547,3 +2547,96 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id"
     )
     return out.select("doc_id", "source")
+
+
+@query(
+    "stream_scrub_split",
+    f"""
+    WITH raw AS (SELECT doc_id, {_SYNTH_PII_SQL} AS t FROM documents)
+    SELECT doc_id,
+           md5({SC.oracle_redact_sql('t')}) AS scrub_md5,
+           {SC.oracle_count_sql('t', 'url')} AS n_url,
+           {SC.oracle_count_sql('t', 'email')} AS n_email,
+           {SC.oracle_count_sql('t', 'ip')} AS n_ip,
+           {SC.oracle_count_sql('t', 'phone')} AS n_phone,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000 < 960000 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000 < 980000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM raw
+    """,
+    tags=("llm", "streaming", "scrub", "split"),
+)
+def stream_scrub_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion with scrub + split (streaming/ingest.py): the
+    documents stream is PII-redacted and split-assigned map-side, then
+    lands in a split=-partitioned parquet directory via the NATIVE file
+    sink (exactly-once via the sink manifest; no state store, no
+    shuffle). The verified result is the directory READ BACK — sink
+    layout, partition pruning column, and the round trip — against the
+    identical batch expression as the oracle."""
+    import shutil as _shutil
+    import tempfile as _tf
+
+    from etl_gardener_spark.streaming.ingest import (
+        read_documents_stream,
+        scrub_split_to_parquet,
+    )
+
+    root = _tf.mkdtemp(prefix="etl_gardener_spark_scrubsplit_")
+    ckpt = _tf.mkdtemp(prefix="etl_gardener_spark_scrubsplit_ckpt_")
+    try:
+        docs = read_documents_stream(spark, sf_dir).select(
+            "doc_id", _synth_pii_spark().alias("text")
+        )
+        q = scrub_split_to_parquet(docs, root, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(root).select(
+            "doc_id",
+            F.md5("text").alias("scrub_md5"),
+            "n_url",
+            "n_email",
+            "n_ip",
+            "n_phone",
+            "split",
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@query(
+    "emb_incremental_ann_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "ann", "incremental"),
+)
+def emb_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact top-k maintenance (similarity.incremental_topk):
+    vectors with id < 400 hold a materialized per-query top-5; the rest
+    arrive as a batch and fold in by scoring ONLY the batch and
+    merge-ranking against the store. The oracle is the full-corpus brute
+    top-5 — green hash proves batch-fold ≡ full recompute, the append
+    loop that avoids corpus rescans at scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    cut = F.col("vec_id") < 400
+    old = e.filter(cut)
+    new = e.filter(~cut)
+    old_topk = SIM.cosine_topk(old, queries, k=5)
+    out = SIM.incremental_topk(old_topk, queries, new, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))

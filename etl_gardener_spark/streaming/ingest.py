@@ -1,0 +1,80 @@
+"""Streaming corpus ingestion: scrub + split on the way in.
+
+The map-only front of the training-data pipeline (PII redaction,
+deterministic split assignment) belongs at INGESTION time — applied once
+as documents arrive, not re-run over the corpus later. Both operators
+are pure narrow column expressions (functions/scrub.py,
+operators/sampling.hash_split), so they attach to a readStream exactly
+as to a batch frame, and the NATIVE parquet file sink gives exactly-once
+delivery (per-batch file manifest in the checkpoint — no foreachBatch
+needed for a map-only stream; compare streaming/sink.py, which needs
+foreachBatch only because its rollup must OVERWRITE day partitions).
+
+At scale: zero state stores, zero shuffles — each micro-batch is a
+partition-local scan→project→write; the `split=` partitioning on the
+output directory means downstream trainers prune to their split at the
+source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_gardener_spark.functions import scrub as SC
+from etl_gardener_spark.operators.sampling import hash_split
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over ``<sf_dir>/documents.parquet`` (directory source +
+    glob filter, same pattern as events.read_events_stream)."""
+    return (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def scrub_split_transform(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The ingestion projection: redact PII (counts preserved as columns),
+    assign the deterministic split. Works identically on a stream or a
+    batch frame — the batch application IS the oracle for the streamed
+    one."""
+    weights = weights or {"train": 0.96, "val": 0.02, "test": 0.02}
+    scrubbed = docs.select(
+        id_col,
+        SC.redact(text_col).alias(text_col),
+        *SC.pii_counts(text_col),
+    )
+    return hash_split(scrubbed, id_col, weights)
+
+
+def scrub_split_to_parquet(docs: DataFrame, path: str, checkpoint: str):
+    """Start the ingestion stream into a ``split=``-partitioned parquet
+    directory via the native file sink (exactly-once: committed files are
+    recorded in the sink manifest; a replayed micro-batch is skipped)."""
+    cleaned = scrub_split_transform(docs)
+    return (
+        cleaned.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("split")
+        .outputMode("append")
+        .start()
+    )
