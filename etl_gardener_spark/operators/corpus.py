@@ -299,7 +299,9 @@ def drop_duplicate_lines(
     filter): a line whose normalized form appears in more than
     ``max_docs`` distinct documents is boilerplate (nav bars, cookie
     banners, license headers) and is dropped from EVERY document; each
-    survivor document is reassembled in original line order.
+    survivor document is reassembled in original line order. Blank lines
+    (paragraph separators) are never dedup-eligible — they are structure,
+    present in every real document.
 
     Output: (id, text, n_lines_kept, n_lines_dropped) with ``text``
     rebuilt from the kept lines.
@@ -329,8 +331,11 @@ def drop_duplicate_lines(
     verdict = lines.groupBy("__h").agg(
         F.countDistinct("__id").alias("__n_docs")
     )
+    # Blank lines (paragraph separators) are structure, not content: they
+    # appear in every real document and must never be dedup-eligible.
     tagged = lines.join(verdict, "__h").withColumn(
-        "__keep", F.col("__n_docs") <= max_docs
+        "__keep",
+        (F.col("__n_docs") <= max_docs) | (F.trim(F.col("__line")) == ""),
     )
     return (
         tagged.groupBy("__id")

@@ -2291,7 +2291,7 @@ def _line_dedup_oracle() -> str:
     hashed AS (SELECT doc_id, pos, line, {h} AS h FROM lines),
     verdict AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h),
     tagged AS (
-      SELECT doc_id, pos, line, nd <= 1 AS keep
+      SELECT doc_id, pos, line, (nd <= 1 OR trim(line) = '') AS keep
       FROM hashed JOIN verdict USING (h))
     SELECT doc_id,
            md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
@@ -2428,7 +2428,8 @@ def _training_ready_oracle() -> str:
     verdictl AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM hashed GROUP BY h),
     rebuilt AS (
       SELECT doc_id,
-             COALESCE(string_agg(CASE WHEN nd <= 1 THEN line END,
+             COALESCE(string_agg(CASE WHEN nd <= 1 OR trim(line) = ''
+                                      THEN line END,
                                  chr(10) ORDER BY pos), '') AS text2
       FROM hashed JOIN verdictl USING (h) GROUP BY doc_id),
     fp AS (
