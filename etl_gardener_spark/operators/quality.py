@@ -286,3 +286,58 @@ def promote_with_quarantine(
         }
     finally:
         ann.unpersist()
+
+
+def profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Dataset profile (the ANALYZE-TABLE / dbt-style column summary):
+    one row per column with row count, null count, distinct count, and
+    min/max rendered as strings (uniform schema across types).
+
+    One aggregation job for the whole profile: every column's statistics
+    are expressions in a single global agg, then `stack` unpivots the
+    one-row wide result to long form — the table is scanned ONCE however
+    many columns are profiled.
+
+    ``exact_distinct=False`` (default) uses approx_count_distinct (HLL,
+    rsd 1%): distinct counts stay one-pass mergeable at any scale.
+    ``exact_distinct=True`` is the audit mode — Spark plans k distinct
+    aggregates via Expand (input multiplied by k before the shuffle), so
+    reserve it for dimension-sized tables or single columns.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+        )
+        aggs.append(
+            (
+                F.countDistinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col, rsd=0.01)
+            ).alias(f"__dist_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__min_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __null_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_null, n_distinct, min_value, max_value)",
+        "__n AS n_rows",
+    ).select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

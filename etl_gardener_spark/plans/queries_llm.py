@@ -2641,3 +2641,42 @@ def emb_incremental_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_topk = SIM.cosine_topk(old, queries, k=5)
     out = SIM.incremental_topk(old_topk, queries, new, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _profile_oracle() -> str:
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    parts = [
+        f"""
+    SELECT '{c}' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders
+    """
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("profile_orders", _profile_oracle(), tags=("quality", "profile"))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile (operators/quality.profile, the ANALYZE-TABLE
+    summary): per column, rows / nulls / exact distincts / min / max in
+    ONE aggregation job (stack-unpivot of a single wide agg — one table
+    scan for the whole profile). exact_distinct=True here because the
+    oracle needs exact counts; the default approx mode is the 100 TB
+    path (HLL, no Expand multiplication)."""
+    from etl_gardener_spark.operators.quality import profile
+
+    o = load_table(spark, sf_dir, "orders")
+    return profile(o, exact_distinct=True)

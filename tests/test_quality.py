@@ -165,3 +165,30 @@ def test_promote_with_quarantine_counts(spark, df, tmp_path):
     assert not wh.partition_exists(
         spark, "quarantine", "exp", "t", batch.select("date").first()["date"]
     )
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    from etl_gardener_spark.operators.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], ["x", "s"]
+    )
+    got = {r["column"]: r.asDict() for r in profile(df, exact_distinct=True).collect()}
+    assert got["x"]["n_rows"] == 4 and got["x"]["n_null"] == 1
+    assert got["x"]["n_distinct"] == 2  # nulls excluded from distinct
+    assert got["x"]["min_value"] == "1" and got["x"]["max_value"] == "2"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_value"] == "a" and got["s"]["max_value"] == "b"
+
+
+def test_profile_single_scan_and_approx_mode(spark):
+    from etl_gardener_spark.operators.quality import profile
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "x")
+    out = profile(df, ["x"])  # approx mode
+    row = out.collect()[0]
+    assert row["n_rows"] == 1000 and row["n_null"] == 0
+    assert abs(row["n_distinct"] - 1000) <= 30  # rsd 1%
+    # approx mode must not plan an Expand (the exact-distinct multiplier)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
