@@ -268,6 +268,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.5,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline, fused: shingle-hash once, MinHash+LSH
     candidates, exact Jaccard verification — (id_a, id_b, jaccard).
@@ -276,8 +277,18 @@ def minhash_lsh_pairs(
     signature derives from it with pure arithmetic, and the verification
     join reads the same materialized sets. Running ``minhash_signature``
     and ``jaccard_pairs`` separately would shingle the corpus twice.
+
+    ``hashes``: pass an already-materialized `shingle_hash_sets` output
+    to share one shingling pass across pipelines (e.g. the LSH recall
+    report runs this AND the exact PPJoin over the same corpus).
     """
-    sh = shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = (
+        hashes
+        if hashes is not None
+        else shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(
+            eager=True
+        )
+    )
     staged = sh.select(
         F.col(id_col),
         F.transform(F.col("sh"), lambda h: h % F.lit(_H32_MOD)).alias("h32"),
@@ -466,6 +477,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with word-n-gram Jaccard >= threshold: (id_a, id_b, jaccard).
 
@@ -489,8 +501,15 @@ def jaccard_pairs(
     so LSH only affects recall, never precision.
     """
     # The shingle relation feeds multiple plan branches; materialize once
-    # instead of recomputing the shingling pipeline per branch.
-    sh = shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(eager=True)
+    # instead of recomputing the shingling pipeline per branch (callers
+    # running several pipelines over one corpus pass it in via `hashes`).
+    sh = (
+        hashes
+        if hashes is not None
+        else shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(
+            eager=True
+        )
+    )
 
     if candidates is not None:
         sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

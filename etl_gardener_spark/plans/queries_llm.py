@@ -2070,9 +2070,14 @@ def doc_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is what matters (recall near 1.0 in high deciles, dropping
     toward the threshold decile is the expected banded-LSH signature)."""
     d = load_table(spark, sf_dir, "documents")
-    exact = ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3)
+    # one shingling pass feeds BOTH pipelines (shared materialized hashes)
+    sh = ND.shingle_hash_sets(d, "text", "doc_id", n=3).localCheckpoint(
+        eager=True
+    )
+    exact = ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.3, hashes=sh)
     lsh = ND.minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=12, bands=4, n=3, threshold=0.3
+        d, "text", "doc_id", num_hashes=12, bands=4, n=3, threshold=0.3,
+        hashes=sh,
     )
     bucket = lambda c: F.floor(F.col(c) * 10).cast("long")  # noqa: E731
     e = exact.groupBy(bucket("jaccard").alias("bucket")).agg(
