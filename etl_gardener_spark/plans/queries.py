@@ -303,6 +303,35 @@ def delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "forget_users",
+    "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+    "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' "
+    "AND user_id % 37 <> 0",
+    tags=("parity", "warehouse", "maintenance", "gdpr"),
+)
+def forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten exercised for real (warehouse.forget_keys):
+    write a 5-day slice of events day-partitioned, physically remove
+    every row of a deterministic user set (user_id % 37 == 0) via
+    targeted staged-swap partition rewrites — only partitions containing
+    those users are touched — then return the read-back survivors. The
+    key-set deletion the reference's partition-grain DML cannot express
+    row-wise. (5 days keeps the serial per-partition rewrite loop
+    bench-sized; the mechanism is day-count-independent.)"""
+    wh = Warehouse(_scratch("forget"))
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("date", F.to_date("ts"))
+        .filter(F.col("date").between("2024-01-10", "2024-01-14"))
+    )
+    wh.append(events, "tmp", "exp", "events")
+    keys = events.filter(F.col("user_id") % 37 == 0).select("user_id")
+    stats = wh.forget_keys(spark, "tmp", "exp", "events", keys, "user_id")
+    assert stats["rows_removed"] > 0, stats
+    return wh.read(spark, "tmp", "exp", "events").select(*_EVENTS_COLS)
+
+
+@query(
     "compact_partition",
     "SELECT event_id, ts, user_id, event_type, value, props FROM events "
     "WHERE CAST(ts AS DATE) = DATE '2024-01-15'",

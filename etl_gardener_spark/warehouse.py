@@ -543,6 +543,86 @@ class Warehouse:
         writer.saveAsTable(name)
         return name
 
+    def forget_keys(
+        self,
+        spark: SparkSession,
+        tier: str,
+        experiment: str,
+        datatype: str,
+        keys: DataFrame,
+        key_col: str,
+    ) -> dict:
+        """Right-to-be-forgotten: remove every row whose ``key_col`` is in
+        ``keys`` (a one-column key set), rewriting ONLY the day partitions
+        that actually contain those keys.
+
+        Two passes, both broadcast-joined against the (small) key set:
+
+        1. **Locate** — one scan left-SEMI-joined to the keys finds the
+           distinct affected dates (a days-sized driver list). Partitions
+           without any target key are never rewritten — on a
+           100k-partition table the deletion cost is O(partitions touched
+           by the user), not O(table).
+        2. **Rewrite** — exactly those partitions are re-read
+           (partition-pruned ``isin`` on the partition column), LEFT
+           ANTI-joined to the keys, and dynamic-partition-overwritten.
+           A partition whose every row is forgotten produces NO rows for
+           its date — dynamic overwrite would silently leave the stale
+           directory, so those dates are explicitly deleted (the same
+           empty-result hazard promote_with_quarantine handles).
+
+        Returns {"dates": [...], "rows_removed": N}. Idempotent: a rerun
+        finds no affected dates. Deletion is physical (partition rewrite
+        via the staged-write + atomic-swap discipline shared with
+        compact/upsert — readers never observe a partial partition, and
+        there is no self-overwrite read/write conflict), matching this
+        warehouse's plain-parquet posture — no tombstone layer to leak
+        the key.
+        """
+        key_df = keys.select(F.col(key_col)).distinct().localCheckpoint(
+            eager=True
+        )
+        full = self.read(spark, tier, experiment, datatype)
+        # One locate scan yields per-day totals AND per-day hit counts
+        # (left join against the deduped key set cannot fan out), so the
+        # rewrite loop below runs zero count jobs.
+        marked = full.join(
+            F.broadcast(key_df.withColumn("__hit", F.lit(1))), key_col, "left"
+        )
+        per_day = {
+            r[0]: (r[1], r[2] or 0)
+            for r in marked.groupBy(DATE_COL)
+            .agg(F.count(F.lit(1)), F.sum("__hit"))
+            .collect()
+        }
+        affected = sorted(d for d, (_, hits) in per_day.items() if hits > 0)
+        if not affected:
+            return {"dates": [], "rows_removed": 0}
+        removed = 0
+        for day in affected:
+            total, hits = per_day[day]
+            removed += hits
+            path = self.partition_path(tier, experiment, datatype, day)
+            fs = _hadoop_fs(spark, path)
+            p = _hadoop_path(spark, path)
+            if hits == total:
+                # every row forgotten: drop the partition outright (an
+                # empty staged write would leave a rowless directory)
+                fs.delete(p, True)
+                continue
+            kept = spark.read.parquet(path).join(
+                F.broadcast(key_df), key_col, "left_anti"
+            )
+            staged = path + ".__forgetting__"
+            fs.delete(_hadoop_path(spark, staged), True)
+            kept.write.mode("overwrite").parquet(staged)
+            fs.delete(p, True)
+            fs.rename(_hadoop_path(spark, staged), p)
+        return {
+            "dates": [str(d) for d in affected],
+            "rows_removed": int(removed),
+        }
+
     def path_exists(self, spark: SparkSession, path: str) -> bool:
         fs = _hadoop_fs(spark, path)
         return bool(fs.exists(_hadoop_path(spark, path)))
@@ -557,8 +637,8 @@ class Warehouse:
 
 def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) -> list[str]:
     """Remove orphaned staging directories (``*.__clustering__``,
-    ``*.__compacting__``, ``*.__upserting__``) left behind when a staged
-    write crashed between write and atomic swap.
+    ``*.__compacting__``, ``*.__upserting__``, ``*.__forgetting__``) left
+    behind when a staged write crashed between write and atomic swap.
 
     Crash-safety of the staged-swap discipline means orphans are
     harmless — the live partition was never touched, and the next run of
@@ -575,7 +655,12 @@ def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) 
     """
     import time as _time
 
-    suffixes = (".__clustering__", ".__compacting__", ".__upserting__")
+    suffixes = (
+        ".__clustering__",
+        ".__compacting__",
+        ".__upserting__",
+        ".__forgetting__",
+    )
     removed: list[str] = []
     now_ms = _time.time() * 1000.0
     fs = _hadoop_fs(spark, root)

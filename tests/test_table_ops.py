@@ -494,3 +494,65 @@ def test_read_jsonl_observed_single_pass_counts(spark, tmp_path):
     assert (st.output_rows, st.corrupt_rows, st.input_files) == (5, 1, 2)
     assert st.input_bytes > 0
     assert spark.read.parquet(str(out)).count() == 5
+
+
+def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: targeted partition rewrites, full-partition
+    drop when every row is forgotten, untouched partitions keep their
+    files, and reruns are no-ops."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    # 3 days: day1 has users 1,2; day2 has users 2,3; day3 has only user 9
+    rows = [
+        (1, "2024-03-01"), (2, "2024-03-01"),
+        (2, "2024-03-02"), (3, "2024-03-02"),
+        (9, "2024-03-03"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "d"]).select(
+        "user_id", F.col("d").cast("date").alias("date")
+    )
+    wh.append(df, "raw", "exp", "t")
+    p3 = wh.partition_path("raw", "exp", "t", date(2024, 3, 3))
+    mtime_before = max(
+        os.path.getmtime(os.path.join(p3, f)) for f in os.listdir(p3)
+    )
+
+    keys = spark.createDataFrame([(2,), (9,)], ["user_id"])
+    stats = wh.forget_keys(spark, "raw", "exp", "t", keys, "user_id")
+    assert stats == {
+        "dates": ["2024-03-01", "2024-03-02", "2024-03-03"],
+        "rows_removed": 3,
+    }
+    left = {
+        (r["user_id"], str(r["date"]))
+        for r in wh.read(spark, "raw", "exp", "t").collect()
+    }
+    assert left == {(1, "2024-03-01"), (3, "2024-03-02")}
+    # day3 (all rows forgotten) is gone entirely
+    assert not os.path.exists(p3)
+    # rerun: nothing to do
+    assert wh.forget_keys(spark, "raw", "exp", "t", keys, "user_id") == {
+        "dates": [],
+        "rows_removed": 0,
+    }
+
+
+def test_forget_keys_untouched_partition_not_rewritten(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    rows = [(1, "2024-03-01"), (5, "2024-03-02")]
+    df = spark.createDataFrame(rows, ["user_id", "d"]).select(
+        "user_id", F.col("d").cast("date").alias("date")
+    )
+    wh.append(df, "raw", "exp", "t")
+    p2 = wh.partition_path("raw", "exp", "t", date(2024, 3, 2))
+    files_before = sorted(os.listdir(p2))
+    stats = wh.forget_keys(
+        spark, "raw", "exp", "t",
+        spark.createDataFrame([(1,)], ["user_id"]), "user_id",
+    )
+    assert stats["dates"] == ["2024-03-01"] and stats["rows_removed"] == 1
+    # the unaffected day's files are bit-identical (never rewritten)
+    assert sorted(os.listdir(p2)) == files_before
