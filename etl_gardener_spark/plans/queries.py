@@ -259,6 +259,27 @@ _EVENTS_SCHEMA = T.StructType(
 
 
 def _scratch(prefix: str) -> str:
+    """Scratch warehouse dir for the exercised-for-real parity queries.
+
+    The returned DataFrames lazily read from this dir, so it cannot be
+    removed inside the query — instead each call sweeps SAME-PREFIX dirs
+    from PRIOR runs (age-gated 1 h, like warehouse.vacuum_staging, so a
+    concurrently-running sweep's dir is never yanked). Repeated bench /
+    compare runs therefore don't accrete /tmp copies of the tables.
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - 3600.0
+    for old in glob.glob(
+        os.path.join(tempfile.gettempdir(), f"etl_gardener_spark_{prefix}_*")
+    ):
+        try:
+            if os.path.getmtime(old) < cutoff:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=f"etl_gardener_spark_{prefix}_")
 
 
