@@ -149,9 +149,45 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Dry-run for any registered query (the reference's BigQuery dryRun
+    made user-facing): build the plan against the real table schemas and
+    print it WITHOUT executing — analysis success == query validity, and
+    the formatted mode shows pushed filters, scan schemas, and join
+    strategies. (Exercised-for-real queries — scratch-warehouse and
+    streaming entries — materialize their scratch state while being
+    built; the RETURNED plan is still not executed.)"""
+    from etl_gardener_spark.plans import queries as Q
+    from etl_gardener_spark.plans.explain import explain_str
+
+    reg = Q.REGISTRY
+    if args.query == "list":
+        for name in reg:
+            print(name)
+        return 0
+    if args.query not in reg:
+        print(f"unknown query {args.query!r}; try 'explain list'")
+        return 2
+    df = reg[args.query].fn(_spark(), args.sf_dir)
+    print(explain_str(df, args.mode))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_gardener_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser(
+        "explain", help="print a registered query's plan without executing"
+    )
+    pe.add_argument("query", help="query name from the registry, or 'list'")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pe.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    pe.set_defaults(fn=cmd_explain)
 
     pl = sub.add_parser("load", help="T1: load a JSONL day prefix into tmp")
     pl.add_argument("--source", required=True, help="JSONL prefix directory")

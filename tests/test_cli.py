@@ -189,3 +189,17 @@ sources:
         ]
     )
     assert rc == 2
+
+
+def test_cli_explain_prints_plan_and_lists(capsys):
+    from etl_gardener_spark.cli import main
+
+    assert main(["explain", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "dedup_keep_best" in out
+
+    assert main(["explain", "q1_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+    assert main(["explain", "no_such_query"]) == 2
