@@ -341,3 +341,37 @@ def profile(
         "min_value",
         "max_value",
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: str | None = None,
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations whose group is smaller
+    than ``k`` (re-identifiable under k-anonymity) — the check a dataset
+    runs before release, completing the privacy surface next to PII
+    scrubbing (functions/scrub.py) and key deletion (warehouse.forget_keys).
+
+    Output: one row per violating combination with its count, plus (when
+    ``sensitive_col`` is given) the group's distinct sensitive-value count
+    — groups with ``n_sensitive == 1`` also fail l-diversity (the
+    homogeneity attack: membership alone reveals the sensitive value).
+
+    One map-side-combined groupBy on the quasi key; the violating set is
+    the output, so nothing but the (small) offender list leaves the
+    aggregate. At 100 TB this is a single keyed pass like any rollup.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.countDistinct(F.col(sensitive_col)).cast("long").alias("n_sensitive")
+        )
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(*aggs)
+        .filter(F.col("n") < k)
+    )

@@ -2685,3 +2685,31 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return profile(o, exact_distinct=True)
+
+
+@query(
+    "dq_k_anonymity",
+    """
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT CAST(value AS VARCHAR)) AS BIGINT)
+             AS n_sensitive
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) < 5
+    """,
+    tags=("quality", "privacy"),
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (quality.k_anonymity_violations): quasi-identifier
+    groups (user_id, event_type) smaller than k=5, with the distinct
+    sensitive-value count for the l-diversity homogeneity check. One
+    keyed aggregate; only the offender list leaves the shuffle."""
+    from etl_gardener_spark.operators.quality import k_anonymity_violations
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("string")
+    )
+    return k_anonymity_violations(
+        e, ["user_id", "event_type"], k=5, sensitive_col="value"
+    )

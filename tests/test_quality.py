@@ -192,3 +192,23 @@ def test_profile_single_scan_and_approx_mode(spark):
     # approx mode must not plan an Expand (the exact-distinct multiplier)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_k_anonymity_violations(spark):
+    from etl_gardener_spark.operators.quality import k_anonymity_violations
+
+    rows = (
+        [("a", "x", i) for i in range(5)]     # group of 5: safe at k=5
+        + [("a", "y", 1), ("a", "y", 1)]       # group of 2: violation, homogeneous
+        + [("b", "x", 1), ("b", "x", 2), ("b", "x", 3)]  # group of 3: violation
+    )
+    df = spark.createDataFrame(rows, ["q1", "q2", "s"])
+    got = {
+        (r["q1"], r["q2"]): (r["n"], r["n_sensitive"])
+        for r in k_anonymity_violations(df, ["q1", "q2"], 5, "s").collect()
+    }
+    assert got == {("a", "y"): (2, 1), ("b", "x"): (3, 3)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity_violations(df, ["q1"], 1)
