@@ -2713,3 +2713,82 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_violations(
         e, ["user_id", "event_type"], k=5, sensitive_col="value"
     )
+
+
+@query(
+    "scd2_point_in_time_join",
+    """
+    WITH obs AS (
+      SELECT user_id, ts, event_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type = 'click'),
+    flagged AS (
+      SELECT user_id, ts, event_id, k,
+             CASE WHEN k IS DISTINCT FROM LAG(k) OVER w THEN 1 ELSE 0 END
+               AS changed
+      FROM obs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, k,
+             SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    periods AS (
+      SELECT user_id, MIN(k) AS attr_value, MIN(ts) AS valid_from
+      FROM runs GROUP BY user_id, run_id),
+    p AS (SELECT event_id, ts, user_id, value FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           d.attr_value, d.valid_from
+    FROM p ASOF LEFT JOIN periods d
+      ON p.user_id = d.user_id AND p.ts >= d.valid_from
+    """,
+    tags=("analytics", "scd2", "asof", "feature-store"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup (the feature-store
+    correctness join): the SCD2 dimension is run-length encoded from
+    CLICK observations (operators/scd2.scd2_encode), then every PURCHASE
+    reads the attribute version valid AT ITS TIMESTAMP via the backward
+    as-of join (operators/asof.py) — never a future version (no feature
+    leakage), never a stale one. Both stages share the user_id shuffle;
+    the oracle is DuckDB's native ASOF JOIN over the same encoded
+    periods."""
+    from etl_gardener_spark.operators.asof import asof_join
+    from etl_gardener_spark.operators.scd2 import scd2_encode
+
+    e = load_table(spark, sf_dir, "events")
+    obs = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    # payload wrapped in ONE struct for row-atomicity: a NULL attr_value
+    # inside a matched period must read as NULL, not as the previous
+    # period's value (asof_join carries payload columns independently
+    # with last(ignorenulls) — the struct is never NULL, so the whole
+    # row travels together).
+    dim = scd2_encode(obs, "user_id", "k", "ts", "event_id").select(
+        "user_id",
+        F.struct("attr_value", "valid_from").alias("__pit"),
+        "valid_from",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    out = asof_join(
+        purchases,
+        dim.select("user_id", "valid_from", "__pit"),
+        on="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        payload=["__pit"],
+    )
+    return out.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "value",
+        F.col("__pit.attr_value").alias("attr_value"),
+        F.col("__pit.valid_from").alias("valid_from"),
+    )
