@@ -91,6 +91,57 @@ def cosine_topk(
     )
 
 
+def negative_samples(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neg: int = 5,
+    exclude_topm: int = 5,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for each
+    query, ``k_neg`` corpus items that are NOT among its ``exclude_topm``
+    nearest neighbors (nor itself), chosen by md5 rank over the
+    (query, candidate) pair — uniform, reproducible, engine-portable.
+
+    Returns (query_id, neg_id, rank). Excluding the true top-m prevents
+    false negatives (the standard in-batch-negative correction); the
+    md5-of-pair rank gives every query an independent sample without RNG,
+    so reruns and backfills produce the same training pairs.
+
+    Plan: the candidate space is an id-only cross join (|corpus| x
+    |queries| NARROW rows — vectors never replicate), the exclusion is a
+    broadcast anti-join against the top-m pairs, and rank<=k lets
+    WindowGroupLimit keep a bounded per-query heap below the shuffle.
+    Only the top-m computation touches vector data.
+    """
+    topm = cosine_topk(corpus, queries, id_col, vec_col, k=exclude_topm).select(
+        F.col("query_id").alias("__q"), F.col("neighbor_id").alias("__n")
+    )
+    cand = (
+        corpus.select(F.col(id_col).alias("neg_id"))
+        .crossJoin(F.broadcast(queries.select(F.col(id_col).alias("query_id"))))
+        .filter(F.col("neg_id") != F.col("query_id"))
+        .join(
+            F.broadcast(topm),
+            (F.col("query_id") == F.col("__q"))
+            & (F.col("neg_id") == F.col("__n")),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat_ws("_", F.col("query_id").cast("string"),
+                        F.col("neg_id").cast("string"))
+        ),
+        F.col("neg_id"),
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neg)
+    )
+
+
 def incremental_topk(
     old_topk: DataFrame,
     queries: DataFrame,

@@ -2792,3 +2792,47 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__pit.attr_value").alias("attr_value"),
         F.col("__pit.valid_from").alias("valid_from"),
     )
+
+
+@query(
+    "emb_negative_samples",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    topm AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id ASC) AS rk FROM scored) t
+      WHERE rk <= 5),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS neg_id
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id
+        AND NOT EXISTS (SELECT 1 FROM topm t
+                        WHERE t.query_id = q.query_id
+                          AND t.neighbor_id = c.vec_id))
+    SELECT query_id, neg_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY md5(CAST(query_id AS VARCHAR) || '_'
+                          || CAST(neg_id AS VARCHAR)), neg_id) AS BIGINT)
+             AS rank
+    FROM cand QUALIFY rank <= 8
+    """,
+    tags=("llm", "ann", "sampling", "training"),
+)
+def emb_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (similarity.negative_samples): 8 uniform negatives per query, chosen
+    by md5-of-pair rank, excluding the query's true top-5 neighbors
+    (false-negative correction) and itself. No RNG — reruns and engine
+    swaps produce identical training pairs; only the top-m exclusion
+    touches vector data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.negative_samples(
+        e, e.filter(F.col("vec_id") < 10), k_neg=8, exclude_topm=5
+    )

@@ -52,3 +52,29 @@ def test_repeated_folds_converge(corpus):
     acc = SIM.incremental_topk(acc, queries, c3, k=4)
     full = SIM.cosine_topk(corpus, queries, k=4)
     assert _key(acc.collect()) == _key(full.collect())
+
+
+def test_negative_samples_excludes_neighbors_and_self(corpus):
+    from pyspark.sql import functions as F
+
+    queries = corpus.filter(F.col("vec_id") < 2)
+    topm = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(corpus, queries, k=5).collect()
+    }
+    negs = SIM.negative_samples(corpus, queries, k_neg=7, exclude_topm=5).collect()
+    per_q: dict[int, int] = {}
+    for r in negs:
+        assert (r["query_id"], r["neg_id"]) not in topm
+        assert r["neg_id"] != r["query_id"]
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q == {0: 7, 1: 7}
+
+
+def test_negative_samples_deterministic(corpus):
+    from pyspark.sql import functions as F
+
+    queries = corpus.filter(F.col("vec_id") < 2)
+    a = {(r["query_id"], r["neg_id"], r["rank"]) for r in SIM.negative_samples(corpus, queries).collect()}
+    b = {(r["query_id"], r["neg_id"], r["rank"]) for r in SIM.negative_samples(corpus.repartition(9), queries).collect()}
+    assert a == b
