@@ -3,6 +3,7 @@ daily-batch only, SURVEY.md §2.2 'Streaming-only operators: absent')."""
 
 from etl_gardener_spark.streaming.events import stream_hourly_rollup
 from etl_gardener_spark.streaming.ingest import (
+    jsonl_ingest_with_dlq,
     read_documents_stream,
     scrub_split_to_parquet,
     scrub_split_transform,
@@ -15,4 +16,5 @@ __all__ = [
     "read_documents_stream",
     "scrub_split_transform",
     "scrub_split_to_parquet",
+    "jsonl_ingest_with_dlq",
 ]

@@ -19,6 +19,7 @@ source.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_gardener_spark.functions import scrub as SC
@@ -76,5 +77,57 @@ def scrub_split_to_parquet(docs: DataFrame, path: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .partitionBy("split")
         .outputMode("append")
+        .start()
+    )
+
+
+def jsonl_ingest_with_dlq(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: T.StructType,
+    good_path: str,
+    dlq_path: str,
+    checkpoint: str,
+):
+    """Streaming JSONL ingestion with a dead-letter queue: parsed rows
+    land under ``good_path``, malformed lines land as raw text under
+    ``dlq_path`` — nothing is silently dropped (the streaming face of
+    sources/jsonl.py's PERMISSIVE corrupt-record policy).
+
+    Both sinks are written from ``foreachBatch`` into per-batch
+    subdirectories (``batch=<id>``) with overwrite mode: a replayed
+    micro-batch rewrites ITS OWN directory, so delivery is exactly-once
+    without relying on the file-sink manifest (which cannot split one
+    stream across two sinks). Readers just read the directory tree.
+    """
+    corrupt = "_corrupt_record"
+    read_schema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    raw = (
+        spark.readStream.schema(read_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(landing_dir)
+    )
+
+    def _route(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            bad = batch_df.filter(F.col(corrupt).isNotNull()).select(
+                F.col(corrupt).alias("raw_line")
+            )
+            good = batch_df.filter(F.col(corrupt).isNull()).drop(corrupt)
+            good.write.mode("overwrite").parquet(f"{good_path}/batch={batch_id}")
+            if bad.limit(1).count() > 0:
+                bad.write.mode("overwrite").parquet(
+                    f"{dlq_path}/batch={batch_id}"
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        raw.writeStream.foreachBatch(_route)
+        .option("checkpointLocation", checkpoint)
         .start()
     )

@@ -702,3 +702,44 @@ def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) 
 
     _sweep(root_path)
     return removed
+
+
+def partition_report(
+    spark: SparkSession, wh: Warehouse, tier: str, experiment: str, datatype: str
+) -> list[dict]:
+    """Maintenance report: one dict per day partition with file count,
+    total bytes, and newest-file mtime (ms) — the input an orchestrator
+    compaction action thresholds on (``files > N`` -> compact_partition;
+    the reference's analogous signal is its files-per-date histogram,
+    metrics/metrics.go:152-165).
+
+    Pure Hadoop-FS metadata listing — no data read, no Spark job — so it
+    costs O(partitions + files) namenode calls at any data size, and it
+    works on hdfs:// / s3a:// roots like every other warehouse path op.
+    """
+    table = wh.table_path(tier, experiment, datatype)
+    fs = _hadoop_fs(spark, table)
+    tp = _hadoop_path(spark, table)
+    if not fs.exists(tp):
+        return []
+    out: list[dict] = []
+    for part in fs.listStatus(tp):
+        name = part.getPath().getName()
+        if not (part.isDirectory() and name.startswith(f"{DATE_COL}=")):
+            continue
+        files = [
+            s
+            for s in fs.listStatus(part.getPath())
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        ]
+        out.append(
+            {
+                "date": name.split("=", 1)[1],
+                "n_files": len(files),
+                "bytes": int(sum(s.getLen() for s in files)),
+                "newest_mtime_ms": int(
+                    max((s.getModificationTime() for s in files), default=0)
+                ),
+            }
+        )
+    return sorted(out, key=lambda r: r["date"])

@@ -54,3 +54,40 @@ def test_restart_is_exactly_once(spark, dirs):
     # same checkpoint, same input: the restarted stream must not re-emit
     _run(spark, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_jsonl_dlq_routes_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_gardener_spark.streaming.ingest import jsonl_ingest_with_dlq
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.jsonl").write_text(
+        '{"id": 1, "v": "x"}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "y"}\n'
+        '{"id": broken\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    good, dlq, ckpt = str(tmp_path / "good"), str(tmp_path / "dlq"), str(tmp_path / "ck")
+    q = jsonl_ingest_with_dlq(spark, str(landing), schema, good, dlq, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(good).collect()}
+    assert got == {(1, "x"), (2, "y")}
+    bad = {r["raw_line"] for r in spark.read.parquet(dlq).collect()}
+    assert bad == {"this is not json", '{"id": broken'}
+
+    # restart with same checkpoint: no re-emission, batch dirs unchanged
+    q2 = jsonl_ingest_with_dlq(spark, str(landing), schema, good, dlq, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(good).count() == 2
+    assert spark.read.parquet(dlq).count() == 2

@@ -556,3 +556,21 @@ def test_forget_keys_untouched_partition_not_rewritten(spark, tmp_path):
     assert stats["dates"] == ["2024-03-01"] and stats["rows_removed"] == 1
     # the unaffected day's files are bit-identical (never rewritten)
     assert sorted(os.listdir(p2)) == files_before
+
+
+def test_partition_report_lists_metadata_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.warehouse import partition_report
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "2024-03-01"), (2, "2024-03-01"), (3, "2024-03-02")],
+        ["user_id", "d"],
+    ).select("user_id", F.col("d").cast("date").alias("date"))
+    wh.append(df.repartition(4), "raw", "exp", "t")
+    rep = partition_report(spark, wh, "raw", "exp", "t")
+    assert [r["date"] for r in rep] == ["2024-03-01", "2024-03-02"]
+    for r in rep:
+        assert r["n_files"] >= 1 and r["bytes"] > 0 and r["newest_mtime_ms"] > 0
+    assert partition_report(spark, wh, "raw", "exp", "missing") == []
