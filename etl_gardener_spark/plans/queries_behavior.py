@@ -1244,3 +1244,129 @@ def session_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "user_id", "session_id", "session_start", "session_end"
     ).agg(F.count("err_id").cast("long").alias("n_errors"))
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id),
+    cohorts AS (
+      SELECT user_id, date_trunc('week', first_day) AS cohort_week
+      FROM first_seen),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS week
+      FROM events),
+    joined AS (
+      SELECT c.cohort_week,
+             CAST(datediff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+               AS weeks_since,
+             a.user_id
+      FROM cohorts c JOIN activity a USING (user_id)),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohorts GROUP BY cohort_week)
+    SELECT CAST(j.cohort_week AS DATE) AS cohort_week, j.weeks_since,
+           CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           s.cohort_size,
+           ROUND(CAST(COUNT(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size, 4)
+             AS retention
+    FROM joined j JOIN sizes s USING (cohort_week)
+    GROUP BY j.cohort_week, j.weeks_since, s.cohort_size
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic retention matrix: users cohorted by first-seen ISO
+    week; each cell = share of the cohort active N weeks later. Three
+    keyed aggregates (first-seen, weekly activity, cell counts) — the
+    cohort dimension joins broadcast (|cohorts| rows), the fact never
+    shuffles twice on the same key. Retention is an exact integer ratio
+    rounded at 4 dp on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        e.select("user_id", F.to_date("ts").alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("first_day"))
+    )
+    cohorts = first_seen.select(
+        "user_id", F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    joined = cohorts.join(activity, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("weeks_since"),
+        "user_id",
+    )
+    return (
+        joined.groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "dau_mau_stickiness",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    mau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau
+      FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 29 DAY AND days.d
+      GROUP BY days.d)
+    SELECT dau.d AS date, dau.dau, mau.mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 4) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+    tags=("analytics", "retention"),
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day. The 30-day rolling distinct uses the
+    contribution-explode shape (each (user, day) contributes to the next
+    30 days, then one countDistinct per day) — linear in daily actives,
+    no 30-way range self-join; the oracle mirrors with an interval join.
+    Exact integer ratio, rounded at 4 dp."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    days = du.select("d").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 29))).alias(
+            "w_day"
+        ),
+        "user_id",
+    )
+    mau = (
+        contrib.join(F.broadcast(days), contrib.w_day == days.d)
+        .groupBy("w_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, dau.d == mau.w_day)
+        .select(
+            F.col("d").alias("date"),
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 4).alias(
+                "stickiness"
+            ),
+        )
+    )
