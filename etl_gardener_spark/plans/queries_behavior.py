@@ -1370,3 +1370,101 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dq_referential_integrity",
+    """
+    SELECT 'lineitem_orphans' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_childless',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'orders_unknown_customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    """,
+    tags=("quality", "integrity"),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphaned facts (lineitem
+    rows whose order is missing), childless orders, and orders pointing
+    at unknown customers — each an ANTI join projected to its key before
+    the join, so only keys cross the wire (the decorrelated NOT EXISTS
+    shape the TPC-H queries pin). Small sides broadcast; output is the
+    3-row violation report a DQ gate thresholds on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def count_anti(left, lkey, right, rkey):
+        return (
+            left.select(F.col(lkey))
+            .join(
+                F.broadcast(right.select(F.col(rkey)).distinct()),
+                F.col(lkey) == F.col(rkey),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        )
+
+    checks = [
+        ("lineitem_orphans", count_anti(li, "l_orderkey", o, "o_orderkey")),
+        ("orders_childless", count_anti(o, "o_orderkey", li, "l_orderkey")),
+        ("orders_unknown_customer", count_anti(o, "o_custkey", c, "c_custkey")),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("check_name"), "n_violations")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "props_key_census",
+    """
+    WITH keys AS (
+      SELECT unnest(json_keys(props)) AS key FROM events
+      WHERE props IS NOT NULL)
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM events WHERE props IS NOT NULL), 4)
+             AS presence
+    FROM keys GROUP BY key
+    """,
+    tags=("quality", "schema-drift", "json"),
+)
+def props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift census for the semi-structured column: which JSON keys
+    appear in events.props and how often — the report that catches a
+    producer silently adding/renaming fields. One explode of parsed keys
+    + one keyed aggregate; the denominator joins as a broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    nn = e.filter(F.col("props").isNotNull())
+    total = nn.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
+    keys = nn.select(
+        F.explode(
+            F.map_keys(
+                F.from_json(F.col("props"), "map<string,string>")
+            )
+        ).alias("key")
+    )
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__tot"), 4).alias("presence"),
+        )
+    )
