@@ -598,10 +598,8 @@ class Warehouse:
         affected = sorted(d for d, (_, hits) in per_day.items() if hits > 0)
         if not affected:
             return {"dates": [], "rows_removed": 0}
-        removed = 0
-        for day in affected:
+        def _rewrite(day) -> None:
             total, hits = per_day[day]
-            removed += hits
             path = self.partition_path(tier, experiment, datatype, day)
             fs = _hadoop_fs(spark, path)
             p = _hadoop_path(spark, path)
@@ -609,7 +607,7 @@ class Warehouse:
                 # every row forgotten: drop the partition outright (an
                 # empty staged write would leave a rowless directory)
                 fs.delete(p, True)
-                continue
+                return
             kept = spark.read.parquet(path).join(
                 F.broadcast(key_df), key_col, "left_anti"
             )
@@ -618,9 +616,18 @@ class Warehouse:
             kept.write.mode("overwrite").parquet(staged)
             fs.delete(p, True)
             fs.rename(_hadoop_path(spark, staged), p)
+
+        # Days are independent partitions; rewrite several concurrently
+        # (Spark job submission is thread-safe — same discipline as the
+        # orchestrator's concurrent backfill days). Bounded pool: each
+        # rewrite is one small job, and FS swaps touch disjoint paths.
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=min(4, len(affected))) as ex:
+            list(ex.map(_rewrite, affected))
         return {
             "dates": [str(d) for d in affected],
-            "rows_removed": int(removed),
+            "rows_removed": int(sum(per_day[d][1] for d in affected)),
         }
 
     def path_exists(self, spark: SparkSession, path: str) -> bool:
@@ -743,3 +750,49 @@ def partition_report(
             }
         )
     return sorted(out, key=lambda r: r["date"])
+
+
+def export_partition(
+    spark: SparkSession,
+    wh: Warehouse,
+    tier: str,
+    experiment: str,
+    datatype: str,
+    day: Date,
+    out_path: str,
+    fmt: str = "jsonl",
+    single_file: bool = False,
+) -> int:
+    """Export one day partition to an interchange format (``jsonl`` /
+    ``csv`` / ``orc`` / ``parquet``) — the outbound twin of the T1
+    loaders, for handing data to systems that don't read the warehouse
+    layout. Returns the exported row count (observed on the write job
+    itself — no second scan).
+
+    ``single_file=True`` coalesces to one output file (the common ask for
+    a downstream consumer); leave False at scale so the export
+    parallelizes like any other write.
+    """
+    from pyspark.sql.observation import Observation
+
+    from etl_gardener_spark.sources.jsonl import TIMESTAMP_FORMAT
+
+    df = wh.read_partition(spark, tier, experiment, datatype, day).drop(DATE_COL)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    if single_file:
+        df = df.coalesce(1)
+    writer = df.write.mode("overwrite")
+    if fmt == "jsonl":
+        writer.option("timestampFormat", TIMESTAMP_FORMAT).json(out_path)
+    elif fmt == "csv":
+        writer.option("header", "true").option(
+            "timestampFormat", TIMESTAMP_FORMAT
+        ).csv(out_path)
+    elif fmt == "orc":
+        writer.orc(out_path)
+    elif fmt == "parquet":
+        writer.parquet(out_path)
+    else:
+        raise ValueError(f"unsupported export format {fmt!r}")
+    return int(obs.get["n"])

@@ -574,3 +574,41 @@ def test_partition_report_lists_metadata_only(spark, tmp_path):
     for r in rep:
         assert r["n_files"] >= 1 and r["bytes"] > 0 and r["newest_mtime_ms"] > 0
     assert partition_report(spark, wh, "raw", "exp", "missing") == []
+
+
+def test_export_partition_roundtrips(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.warehouse import export_partition
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = date(2024, 3, 1)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], ["id", "s", "v"]
+    ).withColumn("date", F.lit("2024-03-01").cast("date"))
+    wh.append(df, "raw", "exp", "t")
+
+    for fmt, reader in [
+        ("jsonl", lambda p: spark.read.json(p)),
+        ("csv", lambda p: spark.read.option("header", "true")
+                                 .option("inferSchema", "true").csv(p)),
+        ("orc", lambda p: spark.read.orc(p)),
+        ("parquet", lambda p: spark.read.parquet(p)),
+    ]:
+        out = str(tmp_path / f"out_{fmt}")
+        n = export_partition(spark, wh, "raw", "exp", "t", day, out, fmt=fmt)
+        assert n == 2
+        back = {(r["id"], r["s"], r["v"]) for r in reader(out).collect()}
+        assert back == {(1, "a", 1.5), (2, "b", 2.5)}, fmt
+
+    out1 = str(tmp_path / "single")
+    export_partition(
+        spark, wh, "raw", "exp", "t", day, out1, fmt="csv", single_file=True
+    )
+    data_files = [f for f in os.listdir(out1) if f.startswith("part-")]
+    assert len(data_files) == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_partition(spark, wh, "raw", "exp", "t", day, out1, fmt="avro")
