@@ -1468,3 +1468,47 @@ def props_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") / F.col("__tot"), 4).alias("presence"),
         )
     )
+
+
+@query(
+    "top_event_paths",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS BIGINT)
+             AS rank
+    FROM paths GROUP BY path QUALIFY rank <= 20
+    """,
+    tags=("analytics", "paths", "sequence"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-journey path analysis: each user's complete ordered
+    event-type sequence rendered as a path string, then the 20 most
+    common journeys. Order inside the path is pinned by the explicit
+    (ts, event_id) sort key inside array_sort — never by partition
+    arrival. One user-keyed aggregate plus a tiny distinct-path top-k."""
+    e = load_table(spark, sf_dir, "events")
+    paths = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    w = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
