@@ -328,3 +328,64 @@ def test_scd2_single_exchange(spark):
     # all ride ONE key exchange (formatted output names each node twice)
     assert p.count("Exchange") == 2, p.count("Exchange")
     assert p.count("Window") >= 6  # three window nodes, tree + details
+
+
+def test_retention_cohort_size_broadcast(spark):
+    df = Q.REGISTRY["retention_cohorts"].fn(spark, SF)
+    p = plan(df)
+    # the cohort-size dimension joins broadcast; the fact is never
+    # sort-merge joined
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_referential_integrity_anti_joins_broadcast(spark):
+    df = Q.REGISTRY["dq_referential_integrity"].fn(spark, SF)
+    p = plan(df)
+    # three key-projected LEFT ANTI joins, each against a broadcast
+    # distinct-key side; no shuffle join anywhere
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_negative_samples_bounded_heap_and_broadcasts(spark):
+    from etl_gardener_spark.operators.similarity import negative_samples
+    from etl_gardener_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF, "embeddings")
+    df = negative_samples(e, e.filter(F.col("vec_id") < 3), k_neg=4)
+    p = plan(df)
+    # rank<=k pushes a bounded per-query heap below the shuffle; the
+    # top-m exclusion and query set are broadcast
+    assert "WindowGroupLimit" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "LeftAnti" in p
+
+
+def test_line_dedup_two_hash_shuffles_plus_rebuild(spark):
+    from etl_gardener_spark.operators.corpus import drop_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], ["doc_id", "text"]
+    )
+    p = plan(drop_duplicate_lines(docs, "text", "doc_id"))
+    # verdict aggregate + verdict join-back + per-doc rebuild: the line
+    # stream is hash-partitioned at most 3 times (formatted plan names
+    # each Exchange twice: tree + details)
+    assert p.count("Exchange hashpartitioning") <= 6
+
+
+def test_mixture_sample_no_driver_collect_shape(spark):
+    from etl_gardener_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(20)], ["doc_id", "source"]
+    )
+    out = mixture_sample(df, "source", {"a": 0.5, "b": 0.5}, "doc_id")
+    p = plan(out)
+    # quotas and the binding constraint ride broadcasts around ONE window
+    # shuffle on the stratum key
+    assert "WindowGroupLimit" not in p  # quota is data-dependent: full rank
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
