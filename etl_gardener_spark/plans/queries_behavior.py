@@ -1512,3 +1512,59 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 20)
     )
+
+
+@query(
+    "debounce_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value FROM (
+      SELECT event_id, ts, user_id, event_type, value,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events) t
+    WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 300000000
+    """,
+    tags=("analytics", "dedup", "debounce"),
+)
+def debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: drop events repeated by the same (user, type)
+    within 5 minutes of the previous KEPT-OR-DROPPED occurrence (simple
+    lag-gap form — the stateless one-window variant; the stateful
+    anchor-based variant is the streaming sessionizer's job). Gap math in
+    integer microseconds on both engines (the sessionize lesson). One
+    key exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    return (
+        e.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") > 300_000_000))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@query(
+    "top_orders_with_ties",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 0) AS o_totalprice,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                               ORDER BY ROUND(o_totalprice, 0) DESC) AS BIGINT)
+               AS rk
+      FROM orders) t WHERE rk <= 2
+    """,
+    tags=("analytics", "window", "rank"),
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK()-with-ties top-k (vs topk_per_group's ROW_NUMBER): price
+    rounded to whole units so ties actually occur, and tied orders are
+    ALL kept — the gap-rank semantics. rank<=k still qualifies for
+    WindowGroupLimit's bounded per-key heap."""
+    o = load_table(spark, sf_dir, "orders")
+    rounded = F.round(F.col("o_totalprice"), 0)
+    w = Window.partitionBy("o_custkey").orderBy(rounded.desc())
+    return (
+        o.select("o_custkey", "o_orderkey", rounded.alias("o_totalprice"))
+        .withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+    )
