@@ -1568,3 +1568,60 @@ def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.rank().over(w).cast("long"))
         .filter(F.col("rk") <= 2)
     )
+
+
+@query(
+    "hourly_seasonal_anomalies",
+    """
+    WITH hourly AS (
+      SELECT CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS hod, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2, 3),
+    season AS (
+      SELECT hod, event_type, AVG(n) AS mu, STDDEV_POP(n) AS sigma,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM hourly GROUP BY hod, event_type)
+    SELECT h.d AS date, CAST(h.hod AS BIGINT) AS hour, h.event_type, h.n,
+           ROUND((h.n - s.mu) / s.sigma, 4) AS z
+    FROM hourly h JOIN season s USING (hod, event_type)
+    WHERE s.n_days >= 7 AND s.sigma > 0 AND ABS((h.n - s.mu) / s.sigma) > 3
+    """,
+    tags=("analytics", "anomaly", "seasonal"),
+)
+def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly gate: each (day, hour, type) count scored against
+    the baseline of ITS OWN hour-of-day x type bucket (mean ± 3 sigma) —
+    the seasonality-aware refinement of the global z-score gate
+    (value_outliers_by_type). The seasonal profile is a tiny aggregate
+    (24 x |types| rows) broadcast back onto the hourly counts; buckets
+    with under a week of history or zero variance are excluded rather
+    than scored against a meaningless baseline."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("hod"),
+            "event_type",
+        )
+        .groupBy("d", "hod", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    season = hourly.groupBy("hod", "event_type").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(season), ["hod", "event_type"])
+        .filter(
+            (F.col("n_days") >= 7) & (F.col("sigma") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            F.col("d").alias("date"),
+            F.col("hod").cast("long").alias("hour"),
+            "event_type",
+            "n",
+            F.round(z, 4).alias("z"),
+        )
+    )

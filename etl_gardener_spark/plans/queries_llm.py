@@ -2836,3 +2836,71 @@ def emb_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.negative_samples(
         e, e.filter(F.col("vec_id") < 10), k_neg=8, exclude_topm=5
     )
+
+
+@query(
+    "emb_knn_label_agreement",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS nid, c.label AS nlabel,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    topk AS (
+      SELECT query_id, nlabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, nid ASC) AS rk FROM scored) t
+      WHERE rk <= 5),
+    votes AS (
+      SELECT query_id, nlabel, COUNT(*) AS c FROM topk GROUP BY 1, 2),
+    winner AS (
+      SELECT query_id, nlabel AS knn_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, nlabel ASC) AS r FROM votes) t
+      WHERE r = 1)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS own_label,
+           CAST(w.knn_label AS BIGINT) AS knn_label,
+           e.label = w.knn_label AS agree
+    FROM embeddings e JOIN winner w ON w.query_id = e.vec_id
+    """,
+    tags=("llm", "ann", "eval"),
+)
+def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation: per vector, the majority label of
+    its 5 nearest neighbors (ties -> smallest label) vs its own label —
+    the kNN label-agreement probe that tells you whether the embedding
+    space separates the classes before you trust it for semantic dedup
+    or retrieval. Every vector is a query: one broadcast of the id+vec
+    relation against the corpus scan, a WindowGroupLimit top-5, and two
+    tiny keyed aggregates for the vote."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    topk = SIM.cosine_topk(e, e, k=5)
+    labels = e.select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlabel")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), topk.neighbor_id == labels.nid)
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("nlabel").asc()
+    )
+    winner = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("nlabel").alias("knn_label"))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(winner, F.col("vec_id") == F.col("query_id"))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("own_label"),
+            F.col("knn_label").cast("long").alias("knn_label"),
+            (F.col("label") == F.col("knn_label")).alias("agree"),
+        )
+    )
