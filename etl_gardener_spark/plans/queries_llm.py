@@ -2907,3 +2907,44 @@ def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label") == F.col("knn_label")).alias("agree"),
         )
     )
+
+
+def _langid_pred_sql() -> str:
+    g = ("greatest(" + ", ".join(_hits_sql(x) for x in
+         ["de", "en", "es", "fr", "zh"]) + ")")
+    cases = " ".join(
+        f"WHEN {_hits_sql(lg)} = {g} THEN '{lg}'"
+        for lg in ["de", "en", "es", "fr"]
+    )
+    return f"CASE {cases} ELSE 'zh' END"
+
+
+@query(
+    "doc_langid_confusion",
+    f"""
+    {_DOCS_CTE},
+    pred AS (SELECT doc_id, lang, {_langid_pred_sql()} AS lang_pred FROM d)
+    SELECT lang AS actual, lang_pred AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+    tags=("llm", "text", "eval"),
+)
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class query: the language-ID
+    confusion matrix (actual lang column vs stopword-argmax prediction).
+    The diagonal mass is the accuracy the pipeline's language gate
+    actually runs at — the eval that belongs next to the classifier, not
+    in a notebook. One scan + one tiny keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "lang", TX.ws_tokens("text").alias("__toks")
+    )
+    pred = staged.select(
+        "lang", TX.langid_struct_of(F.col("__toks"))[-1]
+    )
+    return (
+        pred.groupBy(F.col("lang").alias("actual"),
+                     F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
