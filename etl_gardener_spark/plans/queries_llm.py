@@ -2948,3 +2948,70 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("lang_pred").alias("predicted"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+_SPAN_N = 8  # tokens per rolling window for the span-overlap gate
+
+
+@query(
+    "doc_span_overlap_stats",
+    f"""
+    {_DOCS_CTE},
+    spans AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               {_shingles_sql(_SPAN_N)},
+               s -> {_h60('s')}))) AS h
+      FROM d WHERE len(toks) >= {_SPAN_N}),
+    owners AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) FILTER (WHERE o.nd > 1) AS BIGINT) AS n_shared,
+           ROUND(CAST(COUNT(*) FILTER (WHERE o.nd > 1) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_frac
+    FROM spans s JOIN owners o USING (h)
+    GROUP BY s.doc_id
+    """,
+    tags=("llm", "dedup", "spans"),
+)
+def doc_span_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-SPAN fraction per document (the RefinedWeb/MassiveText
+    substring-overlap gate, at rolling 8-token grain): share of a doc's
+    distinct token windows that appear in ANY other document — the
+    signal that catches partial plagiarism and templated boilerplate
+    that document- and line-grain dedup both miss. Same two hash-keyed
+    shuffles as line dedup (span ownership aggregate + join-back); spans
+    travel as 60-bit hashes, never strings."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", TX.ws_tokens("text").alias("__toks")
+    ).filter(F.size("__toks") >= _SPAN_N)
+    spans = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    TX.shingles_of(F.col("__toks"), n=_SPAN_N),
+                    lambda s: CP._h60(s),
+                )
+            )
+        ).alias("h"),
+    )
+    owners = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+    return (
+        spans.join(owners, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_spans"), 4
+            ).alias("dup_frac"),
+        )
+    )
