@@ -3015,3 +3015,92 @@ def doc_span_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def _emb_training_ready_oracle(k: int = 8, n_iter: int = 2, threshold: float = 0.4) -> str:
+    ctes, fin = _kmeans_ctes(k, n_iter)
+    return f"""
+    WITH {ctes},
+    av AS (SELECT a.vec_id, a.cid, e.embedding
+           FROM {fin} a JOIN embeddings e USING (vec_id)),
+    dups AS (SELECT DISTINCT x.vec_id
+             FROM av x JOIN av y ON x.cid = y.cid AND y.vec_id < x.vec_id
+             WHERE ROUND({_cosine_sql("x.embedding", "y.embedding")}, 6)
+                   >= {threshold}),
+    verdict AS (
+      SELECT a.vec_id, a.cid AS cluster_id, d.vec_id IS NULL AS keep
+      FROM {fin} a LEFT JOIN dups d USING (vec_id)),
+    prep AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings),
+    spans AS (
+      SELECT vec_id, xd, list_aggregate(xd, 'min') AS vmin,
+             CASE WHEN list_aggregate(xd, 'max') > list_aggregate(xd, 'min')
+                  THEN list_aggregate(xd, 'max') - list_aggregate(xd, 'min')
+                  ELSE 1.0 END AS span
+      FROM prep),
+    q8 AS (
+      SELECT vec_id,
+             CAST(list_aggregate(list_transform(xd,
+                  x -> LEAST(FLOOR(((x - vmin) / span) * 256), 255)),
+                  'sum') AS BIGINT) AS code_sum
+      FROM spans)
+    SELECT v.vec_id, v.cluster_id, v.keep,
+           CASE WHEN ('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 1000000 < 960000 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(v.vec_id AS VARCHAR)), 1, 8))
+                     ::BIGINT % 1000000 < 980000 THEN 'val'
+                ELSE 'test' END AS split,
+           q8.code_sum
+    FROM verdict v JOIN q8 USING (vec_id)
+    """
+
+
+@query(
+    "emb_training_ready",
+    _emb_training_ready_oracle(),
+    tags=("llm", "pipeline", "end-to-end", "embedding"),
+)
+def emb_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings twin of [[corpus_training_ready]]: semantic-dedup
+    verdict (k-means-bounded SemDeDup), int8 quantization summary, and
+    deterministic split assignment composed in ONE plan — per vector:
+    cluster, keep flag, split, and the compressed-code checksum a vector
+    store would persist. Cluster-bounded comparisons (never corpus²),
+    map-only quantization lambdas, narrow split projection."""
+    e = load_table(spark, sf_dir, "embeddings")
+    verdict = SIM.semantic_dedup(
+        e, "vec_id", "embedding", k=8, n_iter=2, threshold=0.4
+    )
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    spans = e.select(
+        "vec_id",
+        xd.alias("xd"),
+        F.array_min(xd).alias("vmin"),
+        F.when(
+            F.array_max(xd) > F.array_min(xd),
+            F.array_max(xd) - F.array_min(xd),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("span"),
+    )
+    vmin, span = F.col("vmin"), F.col("span")
+    code = lambda x: F.least(F.floor(((x - vmin) / span) * 256), F.lit(255))  # noqa: E731
+    q8 = spans.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(F.col("xd"), code), F.lit(0.0), lambda a, x: a + x
+        )
+        .cast("long")
+        .alias("code_sum"),
+    )
+    out = verdict.join(q8, "vec_id")
+    out = SP.hash_split(out, "vec_id", {"train": 0.96, "val": 0.02, "test": 0.02})
+    return out.select(
+        "vec_id",
+        F.col("cluster_id"),
+        "keep",
+        "split",
+        "code_sum",
+    )
