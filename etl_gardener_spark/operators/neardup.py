@@ -692,3 +692,39 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def lsh_tuning(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Choose (bands, rows) for banded MinHash-LSH at a target Jaccard
+    threshold: over all factorizations ``bands * rows == num_hashes``,
+    minimize the S-curve's total error mass around the threshold
+    (integral of the capture probability ``1 - (1 - s^rows)^bands``
+    below t, plus its miss probability above t — the standard
+    Mining-of-Massive-Datasets tuning rule, computed by direct numeric
+    integration; no closed form needed at these sizes).
+
+    Returns the (bands, rows) pair whose candidate-capture curve steps
+    closest to the ideal step function at ``threshold``. Deterministic —
+    a corpus pipeline records the choice next to the signature store so
+    incremental batches probe with the SAME banding forever.
+    """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    n_steps = 1000
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+        err = 0.0
+        for i in range(n_steps):
+            s = (i + 0.5) / n_steps
+            p = 1.0 - (1.0 - s**rows) ** bands
+            err += (p if s < threshold else 1.0 - p) / n_steps
+        key = (err, rows, bands)
+        if best is None or key < best:
+            best = key
+    assert best is not None
+    return best[2], best[1]

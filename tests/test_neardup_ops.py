@@ -353,3 +353,22 @@ def test_property_prefix_filter_is_lossless(spark, texts, threshold):
             if union and inter / union >= threshold:
                 want[(a, b)] = round(inter / union, 6)
     assert got == want
+
+
+def test_lsh_tuning_matches_threshold_intuition():
+    from etl_gardener_spark.operators.neardup import lsh_tuning
+    import pytest as _pytest
+
+    # low threshold -> many bands of few rows (catch low-sim pairs);
+    # high threshold -> few bands of many rows (only near-identical)
+    b_low, r_low = lsh_tuning(24, 0.2)
+    b_high, r_high = lsh_tuning(24, 0.9)
+    assert b_low * r_low == 24 and b_high * r_high == 24
+    assert r_low < r_high and b_low > b_high
+    # the classic rule of thumb: threshold ~ (1/b)^(1/r)
+    approx_t = (1.0 / b_low) ** (1.0 / r_low)
+    assert abs(approx_t - 0.2) < 0.25
+    with _pytest.raises(ValueError):
+        lsh_tuning(0, 0.5)
+    with _pytest.raises(ValueError):
+        lsh_tuning(12, 1.5)
