@@ -1625,3 +1625,157 @@ def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "session_conversion_rate",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_type,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM gaps
+    ), per AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT LEAST(CAST(n_events AS BIGINT), 10) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 4)
+             AS conversion_rate
+    FROM per GROUP BY 1
+    """,
+    tags=("analytics", "sessionize", "funnel"),
+)
+def session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session size: the sessionizer (same
+    microsecond-gap windows as [[sessionize]]) feeds a per-session
+    converted flag, bucketed by event count (capped at 10+) — the
+    engagement-vs-conversion curve every growth team asks for. All
+    windows share one user_id exchange; the bucket aggregate is tiny."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    per = (
+        e.withColumn("__new", new_session)
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return (
+        per.groupBy(
+            F.least(F.col("n_events"), F.lit(10)).cast("long").alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+        )
+        .select(
+            "size_bucket",
+            "n_sessions",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double") / F.col("n_sessions"), 4
+            ).alias("conversion_rate"),
+        )
+    )
+
+
+@query(
+    "weekly_mixture_drift",
+    """
+    WITH weekly AS (
+      SELECT date_trunc('week', CAST(ts AS DATE)) AS week, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT week, CAST(SUM(n) AS BIGINT) AS tot FROM weekly GROUP BY week),
+    dense AS (
+      SELECT t.week, ty.event_type, COALESCE(w.n, 0) AS n, t.tot
+      FROM tot t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+      LEFT JOIN weekly w ON w.week = t.week AND w.event_type = ty.event_type),
+    lagged AS (
+      SELECT week, event_type, n, tot,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+             LAG(tot) OVER (PARTITION BY event_type ORDER BY week)
+               AS prev_tot
+      FROM dense)
+    SELECT CAST(week AS DATE) AS week,
+           ROUND(CAST(SUM(ABS(n * prev_tot - prev_n * tot)) AS DOUBLE)
+                 / (2.0 * ANY_VALUE(tot) * ANY_VALUE(prev_tot)), 6)
+             AS tv_distance,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM lagged WHERE prev_n IS NOT NULL
+    GROUP BY week
+    """,
+    tags=("analytics", "monitoring", "drift"),
+)
+def weekly_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus/mixture drift monitor: week-over-week total-variation
+    distance between event-type share distributions — the alarm that a
+    producer's mix shifted (new bot, dropped source). The (week x type)
+    grid is densified (absent types count 0) so LAG always reads the
+    immediately-previous week, and the half-L1 is computed over a COMMON
+    denominator as an exact integer-numerator sum — fold-order-free, one
+    double division per week (the sessionize representation lesson).
+    Generalizes directly to the documents table's source mix."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = weekly.groupBy("week").agg(F.sum("n").cast("long").alias("tot"))
+    types = e.select("event_type").distinct()
+    dense = (
+        tot.crossJoin(F.broadcast(types))
+        .join(weekly, ["week", "event_type"], "left")
+        .select(
+            "week", "event_type", F.coalesce("n", F.lit(0)).alias("n"), "tot"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    lagged = dense.withColumn("prev_n", F.lag("n").over(w)).withColumn(
+        "prev_tot", F.lag("tot").over(w)
+    )
+    return (
+        lagged.filter(F.col("prev_n").isNotNull())
+        .groupBy("week")
+        .agg(
+            F.round(
+                F.sum(
+                    F.abs(
+                        F.col("n") * F.col("prev_tot")
+                        - F.col("prev_n") * F.col("tot")
+                    )
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.first("tot").cast("double")
+                    * F.first("prev_tot").cast("double")
+                ),
+                6,
+            ).alias("tv_distance"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
