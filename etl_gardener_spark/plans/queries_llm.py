@@ -3104,3 +3104,70 @@ def emb_training_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         "code_sum",
     )
+
+
+def _emb_recall_oracle() -> str:
+    brute = f"""
+      SELECT t.query_id, t.vec_id AS neighbor_id FROM (
+        SELECT q.query_id, c.vec_id,
+               ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6)
+                          DESC, c.vec_id ASC) AS rk
+        FROM embeddings c,
+             (SELECT vec_id AS query_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id < 10) q
+        WHERE c.vec_id <> q.query_id) t(query_id, vec_id, score, rk)
+      WHERE rk <= 5
+    """
+    return f"""
+    WITH brute AS ({brute}),
+    lshr AS (SELECT query_id, neighbor_id FROM ({_srp_oracle()}) t),
+    ivfr AS (SELECT query_id, neighbor_id FROM ({_ivf_oracle()}) t),
+    m AS (
+      SELECT 'lsh' AS method,
+             CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS n_brute,
+             CAST((SELECT COUNT(*) FROM lshr l JOIN brute b
+                   USING (query_id, neighbor_id)) AS BIGINT) AS n_matched
+      UNION ALL
+      SELECT 'ivf',
+             CAST((SELECT COUNT(*) FROM brute) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM ivfr i JOIN brute b
+                   USING (query_id, neighbor_id)) AS BIGINT))
+    SELECT method, n_brute, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_brute, 4) AS recall
+    FROM m
+    """
+
+
+@query(
+    "emb_ann_recall_report",
+    _emb_recall_oracle(),
+    tags=("llm", "ann", "eval", "quality"),
+)
+def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement as a first-class query (the embedding twin
+    of [[doc_lsh_recall_report]]): what fraction of the exact brute-force
+    top-5 does each approximate index (SRP-LSH buckets, IVF probed
+    cells) recover for the probe queries — the number that tells you
+    whether num_planes / nprobe are tuned before trusting the scale
+    path. All three pipelines share the query broadcast; matching is an
+    equi-join on (query, neighbor)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    brute = SIM.cosine_topk(e, probes, k=5).select("query_id", "neighbor_id")
+    lsh = SIM.cosine_topk_lsh(e, probes, k=5, num_planes=4, dim=_DIM).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = SIM.cosine_topk_ivf(
+        e, probes, k=5, n_centroids=16, nprobe=4
+    ).select("query_id", "neighbor_id")
+    n_brute = brute.count()
+    rows = []
+    for method, approx in [("lsh", lsh), ("ivf", ivf)]:
+        matched = approx.join(brute, ["query_id", "neighbor_id"]).count()
+        rows.append((method, n_brute, matched, round(matched / n_brute, 4)))
+    return spark.createDataFrame(
+        rows, "method string, n_brute long, n_matched long, recall double"
+    )
