@@ -1779,3 +1779,38 @@ def weekly_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_types"),
         )
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    """
+    SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("analytics", "seasonality"),
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap — the seasonality profile the
+    anomaly gate's baseline (hourly_seasonal_anomalies) summarizes. One
+    map-side-combined aggregate to a 168-cell grid; AVG over doubles is
+    fold-order-sensitive in the last ulp so it is rounded at 4 dp (well
+    above ulp noise for these magnitudes, the repo-wide float policy).
+    Day numbering is ISO (1=Monday) on BOTH engines — Spark's default
+    dayofweek() is Sunday-1 while DuckDB's is Sunday-0, so the portable
+    pair is weekday()+1 vs isodow()."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.weekday(F.to_date("ts")) + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

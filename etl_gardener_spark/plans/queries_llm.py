@@ -3171,3 +3171,63 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "method string, n_brute long, n_matched long, recall double"
     )
+
+
+@query(
+    "doc_boilerplate_lines",
+    f"""
+    {_DOCS_CTE},
+    chunked AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(toks) / {_LINE_CHUNK}.0)
+                                          AS BIGINT)),
+                            i -> array_to_string(
+                                   list_slice(toks, i*{_LINE_CHUNK}+1,
+                                              i*{_LINE_CHUNK}+{_LINE_CHUNK}),
+                                   ' '))
+               AS lines
+      FROM d),
+    lines AS (SELECT doc_id, unnest(lines) AS line FROM chunked),
+    owned AS (
+      SELECT lower(trim(line)) AS norm,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM lines GROUP BY 1)
+    SELECT norm AS line, n_docs, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_docs DESC, norm ASC) AS BIGINT)
+             AS rank
+    FROM owned WHERE n_docs > 1 QUALIFY rank <= 15
+    """,
+    tags=("llm", "dedup", "lines", "report"),
+)
+def doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inspection view behind the line filter: the 15 most widely
+    shared normalized lines (the ones drop_duplicate_lines would strip),
+    with document reach and raw occurrence counts — what a data curator
+    reads before turning the filter on. Same chunk-line construction as
+    [[doc_line_dedup]]; one keyed aggregate plus a tiny top-k."""
+    c = _LINE_CHUNK
+    d = load_table(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__toks) / {c}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(__toks, i*{c}+1, {c})))"
+    )
+    lines = (
+        d.select("doc_id", TX.ws_tokens("text").alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select("doc_id", F.explode(chunks).alias("line"))
+        .select("doc_id", F.lower(F.trim(F.col("line"))).alias("norm"))
+    )
+    owned = lines.groupBy("norm").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("norm").asc())
+    return (
+        owned.filter(F.col("n_docs") > 1)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 15)
+        .select(F.col("norm").alias("line"), "n_docs", "n_occurrences", "rank")
+    )
