@@ -3231,3 +3231,79 @@ def doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 15)
         .select(F.col("norm").alias("line"), "n_docs", "n_occurrences", "rank")
     )
+
+
+_CONTRACT_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@query(
+    "dq_table_contracts",
+    "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_cols,"
+        f" CAST((SELECT COUNT(*) FROM {t}) AS BIGINT) AS n_rows"
+        f" FROM pragma_table_info('{t}')"
+        for t in _CONTRACT_TABLES
+    ),
+    tags=("quality", "contract"),
+)
+def dq_table_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema contract check across the whole warehouse surface: per
+    table, the column count and row count the consumer contract pins —
+    the cheap tripwire that catches a producer dropping a column or
+    shipping an empty partition. Column counts come from the schemas
+    (metadata only); row counts are one count job per table."""
+    rows = []
+    for t in _CONTRACT_TABLES:
+        df = load_table(spark, sf_dir, t)
+        rows.append((t, len(df.columns), df.count()))
+    return spark.createDataFrame(
+        rows, "tbl string, n_cols long, n_rows long"
+    )
+
+
+@query(
+    "emb_cluster_balance",
+    f"""
+    WITH {_kmeans_ctes(8, 2)[0]},
+    sizes AS (
+      SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {_kmeans_ctes(8, 2)[1]} GROUP BY cid),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(MAX(n) AS BIGINT) AS max_n FROM sizes)
+    SELECT s.cluster_id, s.n,
+           ROUND(CAST(s.n AS DOUBLE) / t.total, 4) AS share,
+           ROUND(CAST(t.max_n * t.k AS DOUBLE) / t.total, 4)
+             AS imbalance
+    FROM sizes s CROSS JOIN tot t
+    """,
+    tags=("llm", "clustering", "eval"),
+)
+def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance report for the k-means partitioner behind IVF and
+    SemDeDup: per-cluster sizes/shares plus the imbalance coefficient
+    (max cluster / ideal uniform size). An imbalanced clustering makes
+    IVF probes and cluster-bounded dedup degenerate toward corpus scans
+    — this is the gate that says the routing structure is usable. One
+    keyed count over the fitted assignment; totals broadcast back."""
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = SIM.kmeans(e, "vec_id", "embedding", k=8, n_iter=2)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = sizes.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return sizes.crossJoin(F.broadcast(tot)).select(
+        "cluster_id",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 4).alias("share"),
+        F.round(
+            (F.col("max_n") * F.col("k")).cast("double") / F.col("total"), 4
+        ).alias("imbalance"),
+    )
