@@ -3307,3 +3307,57 @@ def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_n") * F.col("k")).cast("double") / F.col("total"), 4
         ).alias("imbalance"),
     )
+
+
+@query(
+    "doc_perplexity_filter",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    v AS (SELECT t, count(*) AS c FROM t GROUP BY t),
+    tot AS (SELECT sum(c) AS tot FROM v),
+    s AS (SELECT t, log2(c / tot) AS lp FROM v, tot),
+    lm AS (
+      SELECT doc_id, ROUND(-avg(lp), 4) AS bits_per_token
+      FROM t JOIN s USING (t) GROUP BY doc_id),
+    ranked AS (
+      SELECT l.doc_id, doc.lang, l.bits_per_token,
+             ROW_NUMBER() OVER (PARTITION BY doc.lang
+                                ORDER BY l.bits_per_token ASC, l.doc_id ASC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY doc.lang) AS n
+      FROM lm l JOIN documents doc USING (doc_id))
+    SELECT doc_id, lang, bits_per_token,
+           rn <= FLOOR(0.9 * n) AS keep
+    FROM ranked
+    """,
+    tags=("llm", "text", "quality", "perplexity"),
+)
+def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucket filter: per language, drop the worst
+    10% of documents by corpus-unigram bits-per-token ([[doc_lm_score]]).
+    The cut is an EXACT deterministic rank (rn <= floor(0.9n), tie-break
+    doc_id) — not an approximate percentile whose boundary docs would
+    flip between engines. One vocabulary broadcast + one lang-keyed
+    window."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    lm = CP.unigram_logprob(d, "text", "doc_id").select(
+        "doc_id", "bits_per_token"
+    )
+    joined = lm.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("bits_per_token").asc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id",
+            "lang",
+            "bits_per_token",
+            (F.col("rn") <= F.floor(0.9 * F.col("n"))).alias("keep"),
+        )
+    )
