@@ -3361,3 +3361,45 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rn") <= F.floor(0.9 * F.col("n"))).alias("keep"),
         )
     )
+
+
+def _lsh_cost_oracle() -> str:
+    # reuse the minhash CTE chain up through bands(doc_id, band, band_key)
+    full = _minhash_ctes()
+    upto_bands = full.split(",\n    cand AS")[0]
+    return f"""
+    WITH {upto_bands},
+    buckets AS (
+      SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bands GROUP BY band, band_key)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS est_pairs
+    FROM buckets GROUP BY band
+    """
+
+
+@query("doc_lsh_cost_estimate", _lsh_cost_oracle(), tags=("llm", "dedup", "lsh", "cost"))
+def doc_lsh_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight cost estimate for the LSH candidate join: per band, the
+    bucket count, the largest bucket, and the exact candidate-pair count
+    the self-join would generate (sum of C(c,2) over buckets) — the
+    number an operator checks BEFORE launching the join at corpus scale
+    (a hot bucket means the banding needs more rows per band, see
+    neardup.lsh_tuning). Costs come from the band-key aggregate alone;
+    no pair is ever materialized."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = ND.minhash_signature(d, "text", "doc_id", num_hashes=12, n=3)
+    bands = ND.exploded_bands(sig, "doc_id", num_hashes=12, bands=4)
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        buckets.groupBy(F.col("band").cast("long").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("est_pairs"),
+        )
+    )
