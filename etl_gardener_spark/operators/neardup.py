@@ -728,3 +728,81 @@ def lsh_tuning(num_hashes: int, threshold: float) -> tuple[int, int]:
             best = key
     assert best is not None
     return best[2], best[1]
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): over the document's n-gram hash sequence, keep the MINIMUM
+    hash of every sliding window of ``window`` consecutive hashes, then
+    distinct — a guaranteed-coverage SAMPLE of the span hashes (any match
+    of length >= n + window - 1 tokens is always detected, while storing
+    only ~2/(window+1) of the spans). The sampled fingerprint set is what
+    a plagiarism/overlap index stores at corpus scale instead of every
+    span.
+
+    Output: (id, fp) with fp = array of distinct winnowed 60-bit hashes.
+    Everything is array higher-order functions over the POSITIONAL hash
+    sequence (order matters — shingle_hash_sets' distinct sets cannot be
+    used here); ties inside a window resolve to the minimum value, which
+    is position-independent and therefore engine-portable.
+    """
+    t1 = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    seq = F.transform(shingles_of(F.col("__toks"), n), h)
+    # localCheckpoint barrier: Catalyst's CollapseProject would otherwise
+    # inline the md5 hash pipeline into EVERY sliding-window reference
+    # below (measured ~100x at sf0.01); materializing the narrow
+    # (id, hash-sequence) relation pins it to one hash pass.
+    staged = (
+        t1.filter(F.size("__toks") >= n + window - 1)
+        .select(F.col(id_col), seq.alias("__h"))
+        .localCheckpoint(eager=False)
+    )
+    # windowed min via a chained shifted-pair reduction — O(len) slices
+    # total instead of one slice per window position.
+    expr = "__h"
+    span = 1
+    while span < window:
+        step = min(span, window - span)
+        expr = (
+            f"zip_with(slice({expr}, 1, size({expr}) - {step}),"
+            f" slice({expr}, {step + 1}, size({expr}) - {step}),"
+            " (x, y) -> least(x, y))"
+        )
+        span += step
+    return staged.select(
+        F.col(id_col), F.array_distinct(F.expr(expr)).alias("fp")
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints —
+    the sampled-index overlap detector. Same inverted-index shape as the
+    exact span join (explode fingerprints, self-equi-join on the hash,
+    count per pair) but over the winnowed sample, so index size and join
+    fan-in shrink by ~(window+1)/2 while any sufficiently long overlap
+    still surfaces."""
+    fp = winnow_fingerprints(df, text_col, id_col, n, window)
+    ex = fp.select(F.col(id_col), F.explode("fp").alias("h"))
+    a = ex.select(F.col(id_col).alias("id_a"), "h")
+    b = ex.select(F.col(id_col).alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

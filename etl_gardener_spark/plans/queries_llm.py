@@ -3403,3 +3403,37 @@ def doc_lsh_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("est_pairs"),
         )
     )
+
+
+def _winnow_oracle(n: int = 4, window: int = 4, min_shared: int = 2) -> str:
+    return f"""
+    {_DOCS_CTE},
+    seq AS (
+      SELECT doc_id,
+             list_transform({_shingles_sql(n)},
+                            s -> {_h60('s')}) AS h
+      FROM d WHERE len(toks) >= {n + window - 1}),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(h) - {window - 2}),
+               i -> list_aggregate(list_slice(h, i, i + {window - 1}),
+                                   'min'))) AS fps
+      FROM seq),
+    ex AS (SELECT doc_id, unnest(fps) AS h FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+    """
+
+
+@query("doc_winnow_pairs", _winnow_oracle(), tags=("llm", "dedup", "winnowing"))
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap pairs (the MOSS fingerprint sample,
+    neardup.winnow_fingerprints): documents sharing >= 2 winnowed span
+    fingerprints. The sampled index stores ~2/(w+1) of the spans with a
+    guaranteed detection floor (any overlap of n+w-1 tokens surfaces) —
+    the storage/recall trade the exact span index can't make."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.winnow_pairs(d, "text", "doc_id", n=4, window=4, min_shared=2)

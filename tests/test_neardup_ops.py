@@ -372,3 +372,45 @@ def test_lsh_tuning_matches_threshold_intuition():
         lsh_tuning(0, 0.5)
     with _pytest.raises(ValueError):
         lsh_tuning(12, 1.5)
+
+
+def test_winnow_detection_guarantee(spark):
+    """Any shared run of >= n + window - 1 tokens must produce at least
+    one shared winnowed fingerprint (the winnowing guarantee)."""
+    from etl_gardener_spark.operators.neardup import winnow_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = n+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} seven eight nine ten eleven"),
+            (3, "totally different words with no common runs at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_pairs(
+            docs, "text", "doc_id", n=4, window=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_winnow_fingerprints_sample_span_hashes(spark):
+    """Winnowed fingerprints are a subset of the full span-hash set and a
+    genuine sample (strictly smaller on long docs)."""
+    from etl_gardener_spark.operators.neardup import (
+        shingle_hash_sets,
+        winnow_fingerprints,
+    )
+
+    text = " ".join(f"w{i % 17}" for i in range(60))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    fp = set(winnow_fingerprints(docs, "text", "doc_id", n=4, window=4)
+             .collect()[0]["fp"])
+    full = set(shingle_hash_sets(docs, "text", "doc_id", n=4)
+               .collect()[0]["sh"])
+    assert fp <= full
+    assert 0 < len(fp) < len(full)
