@@ -17,7 +17,10 @@ from etl_gardener_spark.operators.intervals import (
 from etl_gardener_spark.operators.join import join_annotate
 from etl_gardener_spark.operators.neardup import (
     incremental_minhash_dedup,
+    lsh_tuning,
     minhash_store,
+    winnow_fingerprints,
+    winnow_pairs,
 )
 from etl_gardener_spark.operators.corpus import drop_duplicate_lines
 from etl_gardener_spark.operators.pca import pca_fit, pca_project
@@ -45,6 +48,9 @@ __all__ = [
     "interval_overlap_join",
     "minhash_store",
     "incremental_minhash_dedup",
+    "lsh_tuning",
+    "winnow_fingerprints",
+    "winnow_pairs",
     "kmeans_fit",
     "incremental_semantic_dedup",
     "incremental_topk",

@@ -389,3 +389,17 @@ def test_mixture_sample_no_driver_collect_shape(spark):
     # shuffle on the stratum key
     assert "WindowGroupLimit" not in p  # quota is data-dependent: full rank
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_winnow_hash_pipeline_behind_barrier(spark):
+    """The winnowed-window expressions must read the hash sequence from a
+    materialization barrier, not recompute the md5 pipeline per window
+    (Catalyst's CollapseProject would inline it ~30x otherwise)."""
+    from etl_gardener_spark.operators.neardup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], ["doc_id", "text"]
+    )
+    p = plan(winnow_fingerprints(docs, "text", "doc_id"))
+    assert "ExistingRDD" in p or "LogicalRDD" in p  # checkpoint scan
+    assert p.count("md5") == 0  # hashing happened before the barrier
