@@ -41,6 +41,23 @@ from pyspark.sql import functions as F
 DATE_COL = "date"
 
 
+def _staged_path(partition_path: str, op: str) -> str:
+    """Staging directory for a staged-write + atomic-swap, placed OUTSIDE
+    the table tree (``<root>/_staging/<tier_exp>/<datatype>/...``): a
+    crashed op's orphan must never break full-table reads while it waits
+    for vacuum_staging. In-table placement is unsafe in two ways — the
+    raw ``date=X.__op__`` name is scanned as data, and even an
+    underscore-prefixed variant still feeds Spark's partition INFERENCE
+    (its name contains ``=``), raising CONFLICTING_PARTITION_COLUMN_NAMES
+    on the next table read. The final commit is still one same-FS rename.
+    """
+    head, date_part = partition_path.rsplit("/", 1)
+    base, datatype = head.rsplit("/", 1)
+    root, tierexp = base.rsplit("/", 1)
+    return f"{root}/_staging/{tierexp}/{datatype}/{date_part}.__{op}__"
+
+
+
 def _hadoop_path(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     return jvm.org.apache.hadoop.fs.Path(path)
@@ -350,7 +367,7 @@ class Warehouse:
             clustered = df.repartitionByRange(
                 int(n_files), *sort_cols
             ).sortWithinPartitions(*sort_cols)
-        staged = path + ".__clustering__"
+        staged = _staged_path(path, "clustering")
         fs.delete(_hadoop_path(spark, staged), True)
         # Range boundaries come from reservoir sampling; the default 100
         # samples/partition leaves visible jitter in file bounding boxes.
@@ -424,7 +441,7 @@ class Warehouse:
         total_bytes = sum(s.getLen() for s in statuses)
         n_out = max(1, -(-total_bytes // int(target_file_bytes)))
         df = spark.read.parquet(path)
-        staged = path + ".__compacting__"
+        staged = _staged_path(path, "compacting")
         fs.delete(_hadoop_path(spark, staged), True)
         # coalesce, not repartition: narrowing file count needs no shuffle
         df.coalesce(int(n_out)).write.mode("overwrite").parquet(staged)
@@ -490,7 +507,7 @@ class Warehouse:
         merged = survivors.select(*cur.columns).unionByName(
             upd.select(*cur.columns)
         )
-        staged = path + ".__upserting__"
+        staged = _staged_path(path, "upserting")
         fs.delete(_hadoop_path(spark, staged), True)
         merged.write.mode("overwrite").parquet(staged)
         rows_before = cur.count()
@@ -611,7 +628,7 @@ class Warehouse:
             kept = spark.read.parquet(path).join(
                 F.broadcast(key_df), key_col, "left_anti"
             )
-            staged = path + ".__forgetting__"
+            staged = _staged_path(path, "forgetting")
             fs.delete(_hadoop_path(spark, staged), True)
             kept.write.mode("overwrite").parquet(staged)
             fs.delete(p, True)
