@@ -3437,3 +3437,30 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the storage/recall trade the exact span index can't make."""
     d = load_table(spark, sf_dir, "documents")
     return ND.winnow_pairs(d, "text", "doc_id", n=4, window=4, min_shared=2)
+
+
+@query(
+    "doc_group_split",
+    """
+    SELECT doc_id, source,
+           CASE WHEN b < 960000 THEN 'train'
+                WHEN b < 980000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(source), 1, 8))::BIGINT % 1000000 AS b
+          FROM documents)
+    """,
+    tags=("llm", "sampling", "split", "leakage"),
+)
+def doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level split assignment (operators/sampling.hash_split keyed
+    on the group column): every document of a source lands in the SAME
+    split, so near-duplicates and templated siblings within a domain can
+    never straddle train/test — the leakage-prevention variant of
+    [[doc_hash_split]] (row-level splitting leaks whenever intra-group
+    correlation exists). Same zero-shuffle narrow projection; the split
+    is a pure function of the group key."""
+    d = load_table(spark, sf_dir, "documents")
+    return SP.hash_split(
+        d, "source", {"train": 0.96, "val": 0.02, "test": 0.02}
+    ).select("doc_id", "source", "split")
