@@ -292,3 +292,16 @@ def test_drop_duplicate_lines_normalized_matching(spark):
     out = {r["doc_id"]: r for r in CP.drop_duplicate_lines(docs, "text", "doc_id").collect()}
     assert out[1]["text"] == "mine"
     assert out[2]["text"] == "yours"
+
+
+def test_hash_split_on_group_key_is_group_atomic(spark):
+    """Splitting on a GROUP column keeps every group member in one split
+    (the leakage-prevention variant): the split is a pure function of
+    the group key, so intra-group rows can never straddle train/test."""
+    rows = [(i, f"g{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = SP.hash_split(df, "grp", {"train": 0.8, "test": 0.2})
+    per_group = (
+        out.groupBy("grp").agg(F.countDistinct("split").alias("k")).collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
