@@ -3464,3 +3464,62 @@ def doc_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.hash_split(
         d, "source", {"train": 0.96, "val": 0.02, "test": 0.02}
     ).select("doc_id", "source", "split")
+
+
+@query(
+    "emb_split_leakage",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_cosine_sql("a.embedding", "b.embedding")} >= 0.4),
+    s AS (
+      SELECT vec_id,
+             CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 1000000 < 960000 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 1000000 < 980000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE sa.split <> sb.split) AS BIGINT)
+             AS n_cross_split,
+           ROUND(CAST(COUNT(*) FILTER (WHERE sa.split <> sb.split) AS DOUBLE)
+                 / COUNT(*), 4) AS leak_frac
+    FROM pairs p
+    JOIN s sa ON sa.vec_id = p.id_a
+    JOIN s sb ON sb.vec_id = p.id_b
+    """,
+    tags=("llm", "dedup", "split", "leakage", "eval"),
+)
+def emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage MEASUREMENT: of the exact near-duplicate pairs
+    (cosine >= 0.4, distributed blocked GEMM), how many straddle
+    train/test under the row-level hash split — the number that
+    motivates group-level splitting ([[doc_group_split]]) or dedup-
+    before-split: every cross-split near-dup pair is an eval example the
+    model effectively saw in training. Pairs come from the scale-safe
+    block join; split labels are the standard narrow projection joined
+    twice (broadcast)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = SIM.embedding_near_dup_pairs(e, threshold=0.4, method="blocked")
+    s = SP.hash_split(
+        e.select("vec_id"), "vec_id",
+        {"train": 0.96, "val": 0.02, "test": 0.02},
+    )
+    sa = s.select(F.col("vec_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("vec_id").alias("id_b"), F.col("split").alias("split_b"))
+    tagged = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    cross = F.sum(
+        F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    ).cast("long")
+    return tagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        cross.alias("n_cross_split"),
+    ).select(
+        "n_pairs",
+        "n_cross_split",
+        F.round(
+            F.col("n_cross_split").cast("double") / F.col("n_pairs"), 4
+        ).alias("leak_frac"),
+    )
