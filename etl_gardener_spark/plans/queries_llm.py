@@ -3523,3 +3523,67 @@ def emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cross_split").cast("double") / F.col("n_pairs"), 4
         ).alias("leak_frac"),
     )
+
+
+@query(
+    "bench_contamination_report",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, source, unnest({_DECON_HASHES}) AS g FROM d),
+    bg AS (SELECT doc_id AS bench_id, g FROM g WHERE source = 'src0'),
+    tg AS (SELECT doc_id AS train_id, g FROM g WHERE source <> 'src0'),
+    hits AS (
+      SELECT b.bench_id, t.train_id, COUNT(*) AS shared
+      FROM bg b JOIN tg t USING (g) GROUP BY 1, 2)
+    SELECT b.bench_id,
+           CAST(COUNT(DISTINCT h.train_id) AS BIGINT) AS n_train_docs,
+           CAST(COALESCE(MAX(h.shared), 0) AS BIGINT) AS max_shared_grams
+    FROM (SELECT DISTINCT bench_id FROM bg) b
+    LEFT JOIN hits h USING (bench_id)
+    GROUP BY b.bench_id
+    """,
+    tags=("llm", "decontamination", "eval"),
+)
+def bench_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-side contamination view ([[doc_decontaminate]] reversed):
+    per benchmark item, how many TRAINING documents share at least one
+    5-gram with it, and the deepest single-doc overlap — the list an
+    eval owner reads to decide which items are compromised and must be
+    retired. Same hashed-shingle equi-join; the aggregation flips to the
+    bench key (tiny), so the report is |bench| rows however large the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    # stage the token array as an attribute first (shingles_of indexes it
+    # per shingle position — inlining the split would recompute it 35x)
+    toked = d.select("doc_id", "source", TX.ws_tokens("text").alias("__toks"))
+    staged = toked.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(
+                TX.shingles_of(F.col("__toks"), n=_DECON_N),
+                lambda s: CP._h60(s),
+            )
+        ).alias("gs"),
+    )
+    g = staged.select("doc_id", "source", F.explode("gs").alias("g"))
+    bg = g.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    tg = g.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_id"), "g"
+    )
+    hits = bg.join(tg, "g").groupBy("bench_id", "train_id").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    bench_ids = bg.select("bench_id").distinct()
+    return (
+        bench_ids.join(hits, "bench_id", "left")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("train_id").cast("long").alias("n_train_docs"),
+            F.coalesce(F.max("shared"), F.lit(0))
+            .cast("long")
+            .alias("max_shared_grams"),
+        )
+    )
