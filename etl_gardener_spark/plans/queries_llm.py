@@ -3531,59 +3531,50 @@ def emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
     g AS (SELECT doc_id, source, unnest({_DECON_HASHES}) AS g FROM d),
     bg AS (SELECT doc_id AS bench_id, g FROM g WHERE source = 'src0'),
-    tg AS (SELECT doc_id AS train_id, g FROM g WHERE source <> 'src0'),
-    hits AS (
-      SELECT b.bench_id, t.train_id, COUNT(*) AS shared
-      FROM bg b JOIN tg t USING (g) GROUP BY 1, 2)
+    spread AS (
+      SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM g WHERE source <> 'src0' GROUP BY g)
     SELECT b.bench_id,
-           CAST(COUNT(DISTINCT h.train_id) AS BIGINT) AS n_train_docs,
-           CAST(COALESCE(MAX(h.shared), 0) AS BIGINT) AS max_shared_grams
-    FROM (SELECT DISTINCT bench_id FROM bg) b
-    LEFT JOIN hits h USING (bench_id)
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(s.g) AS BIGINT) AS n_hit_grams,
+           CAST(COALESCE(MAX(s.nd), 0) AS BIGINT) AS max_gram_spread,
+           CAST(COALESCE(SUM(s.nd), 0) AS BIGINT) AS exposure
+    FROM bg b LEFT JOIN spread s USING (g)
     GROUP BY b.bench_id
     """,
     tags=("llm", "decontamination", "eval"),
 )
 def bench_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The eval-side contamination view ([[doc_decontaminate]] reversed):
-    per benchmark item, how many TRAINING documents share at least one
-    5-gram with it, and the deepest single-doc overlap — the list an
-    eval owner reads to decide which items are compromised and must be
-    retired. Same hashed-shingle equi-join; the aggregation flips to the
-    bench key (tiny), so the report is |bench| rows however large the
-    corpus."""
+    per benchmark item, how many of its 5-grams occur in training, the
+    widest single gram's training spread, and the total exposure mass —
+    the list an eval owner reads to decide which items are compromised.
+    The train side collapses to a per-gram spread aggregate BEFORE
+    joining bench grams: a raw (bench x train) pair join would be
+    quadratic on heavy-hitter grams (measured 19 s vs 3 s at sf0.1),
+    while the per-gram aggregate is one keyed pass at any corpus size."""
     d = load_table(spark, sf_dir, "documents")
-    # stage the token array as an attribute first (shingles_of indexes it
-    # per shingle position — inlining the split would recompute it 35x)
-    toked = d.select("doc_id", "source", TX.ws_tokens("text").alias("__toks"))
-    staged = toked.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.transform(
-                TX.shingles_of(F.col("__toks"), n=_DECON_N),
-                lambda s: CP._h60(s),
-            )
-        ).alias("gs"),
-    )
-    g = staged.select("doc_id", "source", F.explode("gs").alias("g"))
-    bg = g.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("bench_id"), "g"
-    )
-    tg = g.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("train_id"), "g"
-    )
-    hits = bg.join(tg, "g").groupBy("bench_id", "train_id").agg(
-        F.count(F.lit(1)).alias("shared")
-    )
-    bench_ids = bg.select("bench_id").distinct()
-    return (
-        bench_ids.join(hits, "bench_id", "left")
-        .groupBy("bench_id")
-        .agg(
-            F.countDistinct("train_id").cast("long").alias("n_train_docs"),
-            F.coalesce(F.max("shared"), F.lit(0))
-            .cast("long")
-            .alias("max_shared_grams"),
+    # explode_outer via shingle_hash_sets, exactly like CP.decontaminate:
+    # plain explode makes Catalyst infer size(sh) > 0 and push it below
+    # the shingle projection, evaluating the whole tokenize+shingle+md5
+    # tree twice per row.
+    bg = ND.shingle_hash_sets(
+        d.filter(F.col("source") == "src0"), "text", "doc_id", n=_DECON_N
+    ).select(F.col("doc_id").alias("bench_id"), F.explode_outer("sh").alias("g"))
+    # per-gram train spread FIRST (one keyed aggregate) — joining raw
+    # (bench x train) pairs would explode on heavy-hitter grams
+    spread = (
+        ND.shingle_hash_sets(
+            d.filter(F.col("source") != "src0"), "text", "doc_id", n=_DECON_N
         )
+        .select("doc_id", F.explode_outer("sh").alias("g"))
+        .groupBy("g")
+        .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
+    )
+    joined = bg.join(spread, "g", "left")
+    return joined.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count("nd").cast("long").alias("n_hit_grams"),
+        F.coalesce(F.max("nd"), F.lit(0)).cast("long").alias("max_gram_spread"),
+        F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("exposure"),
     )
