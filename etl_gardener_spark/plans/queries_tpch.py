@@ -1025,3 +1025,60 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "supplier_league_table",
+    """
+    WITH rev AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_e4
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT s_suppkey, s_name, nation,
+           CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue,
+           CAST(RANK() OVER (ORDER BY rev_e4 DESC) AS BIGINT) AS global_rank,
+           CAST(RANK() OVER (PARTITION BY nation ORDER BY rev_e4 DESC)
+                AS BIGINT) AS nation_rank
+    FROM rev
+    """,
+    tags=("analytics", "window", "rank", "league"),
+)
+def supplier_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue league table: exact DECIMAL revenue per supplier
+    with BOTH a global rank and a within-nation rank (two window
+    partitionings over the one small per-supplier aggregate — the fact
+    table shuffles once for the groupBy, never for the windows). Revenue
+    rounding uses the integer half-up kernel shared with brand_revenue
+    (the only double-rounding portable across engines); ranks order by
+    the EXACT integer revenue, so ties are principled, not
+    float-accidental."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,4))) * 10000 as bigint)"
+            ).alias("rev_e4")
+        )
+    )
+    wg = Window.orderBy(F.col("rev_e4").desc())
+    wn = Window.partitionBy("nation").orderBy(F.col("rev_e4").desc())
+    return rev.select(
+        "s_suppkey",
+        "s_name",
+        "nation",
+        (F.expr("(2 * rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+            "revenue"
+        ),
+        F.rank().over(wg).cast("long").alias("global_rank"),
+        F.rank().over(wn).cast("long").alias("nation_rank"),
+    )
