@@ -1082,3 +1082,49 @@ def supplier_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(wg).cast("long").alias("global_rank"),
         F.rank().over(wn).cast("long").alias("nation_rank"),
     )
+
+
+@query(
+    "order_gap_percentiles_by_segment",
+    """
+    WITH gaps AS (
+      SELECT c.c_mktsegment AS segment,
+             datediff('day',
+                      LAG(o.o_orderdate) OVER (
+                        PARTITION BY o.o_custkey
+                        ORDER BY o.o_orderdate, o.o_orderkey),
+                      o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+    SELECT segment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_days, 0.5), 4) AS p50,
+           ROUND(quantile_cont(gap_days, 0.9), 4) AS p90
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY segment
+    """,
+    tags=("analytics", "window", "percentile", "recency"),
+)
+def order_gap_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence by market segment: exact interpolated
+    p50/p90 of the days between a customer's consecutive orders. The lag
+    window shuffles on custkey once; the per-segment exact percentile
+    runs over the small gap set (percentile_approx is the declared swap
+    at 100 TB, same policy as ship_lag_percentiles)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(gap_days, 0.9)"), 4).alias("p90"),
+    )
