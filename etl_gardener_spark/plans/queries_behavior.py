@@ -1814,3 +1814,59 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "error_streaks",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             CASE WHEN (event_type = 'error')
+                       <> COALESCE(LAG(event_type = 'error') OVER w, FALSE)
+                  THEN 1 ELSE 0 END AS flip
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, is_err,
+             SUM(flip) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged),
+    streaks AS (
+      SELECT user_id, run_id, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(ts) AS started
+      FROM runs WHERE is_err = 1 GROUP BY user_id, run_id)
+    SELECT user_id, len, started
+    FROM streaks WHERE len >= 3
+    """,
+    tags=("analytics", "window", "streaks", "anomaly"),
+)
+def error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-error streak detection per user (run-length encoding
+    of the error flag: flip-flag LAG -> run-id cumsum -> run aggregate,
+    the same one-exchange window discipline as SCD2): streaks of 3+ are
+    the client-on-fire signal a reliability alert keys on. The flip
+    comparison COALESCEs the first row so both engines agree a leading
+    run starts a flip."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_err = (F.col("event_type") == "error").cast("int")
+    prev = F.lag(F.col("event_type") == "error").over(w)
+    flip = F.when(
+        (F.col("event_type") == "error") != F.coalesce(prev, F.lit(False)), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    runs = (
+        e.withColumn("is_err", is_err)
+        .withColumn("flip", flip)
+        .withColumn("run_id", F.sum("flip").over(run))
+    )
+    return (
+        runs.filter(F.col("is_err") == 1)
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("len"),
+            F.min("ts").alias("started"),
+        )
+        .filter(F.col("len") >= 3)
+        .select("user_id", "len", "started")
+    )
