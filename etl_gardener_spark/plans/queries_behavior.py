@@ -1870,3 +1870,56 @@ def error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("len") >= 3)
         .select("user_id", "len", "started")
     )
+
+
+@query(
+    "dq_benford_value",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM events WHERE value >= 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits)
+    SELECT d.digit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.total), 4)
+             AS obs_share,
+           ROUND(log10(1.0 + 1.0 / d.digit), 4) AS benford_share
+    FROM digits d CROSS JOIN tot t
+    GROUP BY d.digit
+    """,
+    tags=("quality", "benford", "fraud"),
+)
+def dq_benford_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the value column: observed first-significant-
+    digit shares next to the Benford expectation log10(1 + 1/d) — the
+    classic organic-vs-fabricated screen for numeric columns (a synthetic
+    uniform distribution fails it loudly, which is itself the point: the
+    report SHOWS the generator's signature). Restricted to value >= 1 so
+    the leading character IS the first significant digit on both engines'
+    double-to-string renderings. One map-side-combined 9-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    digits = (
+        e.filter(F.col("value") >= 1)
+        .select(
+            F.substring(F.col("value").cast("double").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 4).alias(
+                "obs_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias(
+                "benford_share"
+            ),
+        )
+    )
