@@ -3578,3 +3578,45 @@ def bench_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("nd"), F.lit(0)).cast("long").alias("max_gram_spread"),
         F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("exposure"),
     )
+
+
+@query(
+    "doc_zipf_profile",
+    f"""
+    {_DOCS_CTE},
+    tok AS (SELECT unnest(toks) AS t FROM d),
+    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY t)
+    SELECT t AS token, f,
+           CAST(ROW_NUMBER() OVER (ORDER BY f DESC, t ASC) AS BIGINT)
+             AS rank,
+           ROUND(log10(CAST(f AS DOUBLE)), 4) AS log_freq
+    FROM freq QUALIFY rank <= 30
+    """,
+    tags=("llm", "text", "zipf", "profile"),
+)
+def doc_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency (Zipf) profile of the corpus vocabulary: the top-30
+    tokens with exact counts and log-frequency — plotted against log-rank
+    this is the straight-line sanity check that a text corpus is natural
+    (synthetic or template-dominated corpora bend it, which is the
+    screen). One map-side-combined vocabulary aggregate; the top-k runs
+    over distinct tokens only."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    freq = (
+        d.select(F.explode(TX.ws_tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), F.col("t").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select(
+            F.col("t").alias("token"),
+            "f",
+            "rank",
+            F.round(F.log10(F.col("f").cast("double")), 4).alias("log_freq"),
+        )
+    )
