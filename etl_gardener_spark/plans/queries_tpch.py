@@ -1128,3 +1128,46 @@ def order_gap_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(gap_days, 0.9)"), 4).alias("p90"),
     )
+
+
+@query(
+    "discount_band_effectiveness",
+    """
+    SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST((2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("analytics", "agg", "pricing"),
+)
+def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and volume by discount tier (whole-percent bands): the
+    price-ladder readout behind markdown decisions. Quantities sum as
+    integers and revenue accumulates in DECIMAL with the shared integer
+    half-up rounding kernel, so every cell is exact and engine-portable;
+    the band key uses FLOOR(x*100 + 0.5), identical IEEE ops on both
+    engines, never a double ROUND. One map-side-combined aggregate to
+    ~11 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_discount") * 100 + 0.5)
+            .cast("long")
+            .alias("discount_pct")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+            (
+                F.expr(
+                    "(2 * cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                    " as decimal(18,4))) * 10000 as bigint) + 100) div 200"
+                ).cast("double")
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
