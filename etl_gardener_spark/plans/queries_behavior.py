@@ -1923,3 +1923,66 @@ def dq_benford_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ab_variant_conversion",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 2 = 0 THEN 'control' ELSE 'treatment' END
+               AS variant
+      FROM (SELECT DISTINCT user_id FROM events)),
+    outcome AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT a.variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(o.converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(o.converted) AS DOUBLE) / COUNT(*), 4)
+             AS conversion_rate,
+           CAST(SUM(o.n_events) AS BIGINT) AS total_events
+    FROM assign a JOIN outcome o USING (user_id)
+    GROUP BY a.variant
+    """,
+    tags=("analytics", "experiment", "ab-test"),
+)
+def ab_variant_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically bucketed into
+    control/treatment by the same md5 hash the split machinery uses
+    (stable assignment across sessions and reruns — the property an
+    experiment platform cannot live without), then per-variant conversion
+    and exposure. Assignment is a narrow projection over the distinct-user
+    set; outcomes are one user-keyed aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 2
+    )
+    assign = users.select(
+        "user_id",
+        F.when(bucket == 0, "control").otherwise("treatment").alias("variant"),
+    )
+    outcome = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        assign.join(outcome, "user_id")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(
+                F.sum("converted").cast("double") / F.count(F.lit(1)), 4
+            ).alias("conversion_rate"),
+            F.sum("n_events").cast("long").alias("total_events"),
+        )
+    )
