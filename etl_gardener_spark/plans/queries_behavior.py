@@ -1986,3 +1986,62 @@ def ab_variant_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("long").alias("total_events"),
         )
     )
+
+
+@query(
+    "user_hour_entropy",
+    """
+    WITH hourly AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS nh
+      FROM events GROUP BY 1, 2),
+    per AS (
+      SELECT user_id,
+             CAST(SUM(nh) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(nh * ln(CAST(nh AS DOUBLE)) * 1000000.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS s_e6
+      FROM hourly GROUP BY user_id)
+    SELECT user_id, n,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - (CAST(s_e6 AS DOUBLE) / 1000000.0) / n, 4)
+             AS hour_entropy,
+           (ln(CAST(n AS DOUBLE))
+            - (CAST(s_e6 AS DOUBLE) / 1000000.0) / n) > 3.0 AS too_uniform
+    FROM per WHERE n >= 48
+    """,
+    tags=("analytics", "anomaly", "bot", "entropy"),
+)
+def user_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot screen via activity-hour entropy: humans are diurnal (entropy
+    well below the uniform bound ln 24 ~ 3.18), schedulers and bots are
+    flat. Entropy decomposes as ln(n) - (1/n) * sum(n_h * ln(n_h)) so the
+    only order-sensitive sum is over per-hour terms — each term is
+    fixed-point-scaled to integer micros and summed EXACTLY (the repo's
+    fold-order discipline), leaving one double expression per user.
+    Users need >= 48 events for the estimate to mean anything; flagged =
+    entropy above 3.0 nats."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("user_id", F.hour("ts").alias("h"))
+        .groupBy("user_id", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("nh"))
+    )
+    term_e6 = F.floor(
+        F.col("nh") * F.log(F.col("nh").cast("double")) * 1e6 + 0.5
+    ).cast("long")
+    per = hourly.groupBy("user_id").agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.sum(term_e6).cast("long").alias("s_e6"),
+    )
+    ent = F.log(F.col("n").cast("double")) - (
+        F.col("s_e6").cast("double") / 1e6
+    ) / F.col("n")
+    return (
+        per.filter(F.col("n") >= 48)
+        .select(
+            "user_id",
+            "n",
+            F.round(ent, 4).alias("hour_entropy"),
+            (ent > 3.0).alias("too_uniform"),
+        )
+    )
