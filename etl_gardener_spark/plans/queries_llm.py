@@ -3620,3 +3620,53 @@ def doc_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(F.col("f").cast("double")), 4).alias("log_freq"),
         )
     )
+
+
+@query(
+    "emb_norm_outliers",
+    f"""
+    WITH norms AS (
+      SELECT vec_id,
+             SQRT({_dot_sql("embedding", "embedding")}) AS nrm
+      FROM embeddings),
+    stats AS (
+      SELECT AVG(nrm) AS mu, STDDEV_POP(nrm) AS sigma FROM norms)
+    SELECT n.vec_id, ROUND(n.nrm, 4) AS norm,
+           ROUND((n.nrm - s.mu) / s.sigma, 4) AS z
+    FROM norms n CROSS JOIN stats s
+    WHERE ABS((n.nrm - s.mu) / s.sigma) > 2
+    """,
+    tags=("llm", "embedding", "quality", "outlier"),
+)
+def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-embedding screen: vectors whose L2 norm sits more than
+    2 sigma from the corpus mean — the cheap detector for zeroed, NaN-fed,
+    or unnormalized rows before they poison cosine math downstream. Norms
+    are one narrow array-lambda projection; the two-number stats broadcast
+    back (same shape as the z-score gates on events)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("embedding").cast("array<double>"),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norms = e.select("vec_id", nrm.alias("nrm"))
+    stats = norms.agg(
+        F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
+    )
+    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter(F.abs(z) > 2)
+        .select(
+            "vec_id",
+            F.round(F.col("nrm"), 4).alias("norm"),
+            F.round(z, 4).alias("z"),
+        )
+    )

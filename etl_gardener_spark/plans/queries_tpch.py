@@ -1171,3 +1171,39 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "order_basket_size_distribution",
+    """
+    WITH per AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM per), 4) AS share
+    FROM per GROUP BY n_lines
+    """,
+    tags=("analytics", "distribution", "basket"),
+)
+def order_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: how many line items orders carry — the
+    shape retail capacity planning reads. Two keyed aggregates (per-order
+    count, then the tiny size histogram) with the denominator broadcast
+    as a one-row aggregate; every cell is an exact integer ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    tot = per.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        per.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round(F.col("n_orders") / F.col("t"), 4).alias("share"),
+        )
+    )
