@@ -2244,3 +2244,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: qd.oracle for name, qd in _ordered().items() if qd.oracle}
+
+
+@query(
+    "warehouse_health_summary",
+    """
+    SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_entities,
+           CAST(MIN(ts) AS VARCHAR) AS min_key,
+           CAST(MAX(ts) AS VARCHAR) AS max_key
+    FROM events
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(doc_id) AS VARCHAR), CAST(MAX(doc_id) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT label) AS BIGINT),
+           CAST(MIN(vec_id) AS VARCHAR), CAST(MAX(vec_id) AS VARCHAR)
+    FROM embeddings
+    """,
+    tags=("quality", "health", "dashboard"),
+)
+def warehouse_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pane warehouse health row set: per fact table, row
+    count, entity cardinality, and key range — the first thing an
+    on-call engineer reads when a pipeline alarm fires. Four independent
+    one-pass aggregates unioned; min/max render as strings for a uniform
+    schema (the profile-query discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def summarize(df, name, entity, key):
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(entity).cast("long").alias("n_entities"),
+            F.min(key).cast("string").alias("min_key"),
+            F.max(key).cast("string").alias("max_key"),
+        ).select("tbl", "n_rows", "n_entities", "min_key", "max_key")
+
+    return (
+        summarize(e, "events", "user_id", "ts")
+        .unionByName(summarize(o, "orders", "o_custkey", "o_orderdate"))
+        .unionByName(summarize(d, "documents", "source", "doc_id"))
+        .unionByName(summarize(emb, "embeddings", "label", "vec_id"))
+    )
