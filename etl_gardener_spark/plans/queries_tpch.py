@@ -1207,3 +1207,74 @@ def order_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("n_orders") / F.col("t"), 4).alias("share"),
         )
     )
+
+
+@query(
+    "revenue_cohorts",
+    """
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey),
+    monthly AS (
+      SELECT o.o_custkey, f.cohort_month,
+             date_trunc('month', o.o_orderdate) AS month,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 10000
+                  AS BIGINT) AS rev_e4
+      FROM orders o JOIN first_order f USING (o_custkey)
+      GROUP BY 1, 2, 3)
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST((EXTRACT(year FROM month) - EXTRACT(year FROM cohort_month))
+                * 12
+                + (EXTRACT(month FROM month)
+                   - EXTRACT(month FROM cohort_month)) AS BIGINT)
+             AS months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST((2 * SUM(rev_e4) + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+    FROM monthly
+    GROUP BY cohort_month, months_since
+    """,
+    tags=("analytics", "cohort", "revenue", "finance"),
+)
+def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cohort matrix (the finance twin of the user retention
+    matrix): customers cohorted by first-order month; each cell is the
+    cohort's DECIMAL-exact revenue N months later — the table an NDR /
+    LTV model is read off. The first-order dimension broadcasts; revenue
+    sums stay integer-e4 until the final shared half-up rounding kernel;
+    month arithmetic is exact integer year*12+month on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    monthly = (
+        o.join(F.broadcast(first), "o_custkey")
+        .groupBy(
+            "o_custkey",
+            "cohort_month",
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(o_totalprice as decimal(18,4))) * 10000"
+                " as bigint)"
+            ).alias("rev_e4")
+        )
+    )
+    months_since = (
+        (F.year("month") - F.year("cohort_month")) * 12
+        + (F.month("month") - F.month("cohort_month"))
+    ).cast("long")
+    return (
+        monthly.groupBy(
+            F.col("cohort_month").cast("date").alias("cohort_month"),
+            months_since.alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            (
+                F.expr("(2 * sum(rev_e4) + 100) div 200").cast("double")
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
