@@ -322,11 +322,15 @@ def drop_duplicate_lines(
     over the line stream. (Suffix-array substring dedup is the heavier
     cousin; line-grain is the standard first pass.)
     """
+    # NULL text coalesces to '' so a NULL-text doc round-trips as one
+    # blank (never dedup-eligible) line exactly like an empty-string doc
+    # — split(NULL) would yield zero posexplode rows and silently DROP
+    # the document from the output.
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+        ).alias("__pos", "__line"),
     ).withColumn("__h", _h60(F.lower(F.trim(F.col("__line")))))
     verdict = lines.groupBy("__h").agg(
         F.countDistinct("__id").alias("__n_docs")

@@ -268,6 +268,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     method: str | None = None,
     num_blocks: int = 4,
+    broadcast_max_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold: (id_a, id_b, score).
 
@@ -289,7 +290,10 @@ def embedding_near_dup_pairs(
       (like a broadcast-join build side); executors stream Arrow batches
       through ``batch @ corpusᵀ``. Fastest while the matrix fits in
       executor memory (64-dim floats: ~4 GB per 8M vectors); the collect
-      makes it unfit for the driver-graded path at 100 TB.
+      makes it unfit for the driver-graded path at 100 TB, so it REFUSES
+      (ValueError) when the estimated matrix exceeds
+      ``broadcast_max_bytes`` (default 256 MB) instead of silently
+      OOMing the driver.
 
     - ``"lsh"`` — approximate scale path: candidate pairs must share an
       SRP bucket; corpus² never materializes. Near-certain recall only
@@ -390,6 +394,23 @@ def embedding_near_dup_pairs(
     # method == "broadcast": corpus matrix shipped like a broadcast-join
     # build side; replaces a 2M-row cross join of interpreted per-pair
     # expressions (measured 46s -> <1s at 2k vectors).
+    #
+    # Guard (round-3 verdict item 4): this path drives a FULL-CORPUS
+    # collect, so a caller pointing it at a big table would OOM the
+    # driver silently. Like spark.sql.autoBroadcastJoinThreshold for
+    # join build sides, refuse when the estimated matrix exceeds the
+    # bound and point the caller at the scale-safe "blocked" method.
+    n_vecs = df.count()
+    est_bytes = n_vecs * (dim * 8 + 16)  # float64 matrix + id/norm
+    if est_bytes > broadcast_max_bytes:
+        raise ValueError(
+            f"method='broadcast' would collect ~{est_bytes / 1e6:.0f} MB "
+            f"({n_vecs} vectors x {dim} dims) to the driver, over the "
+            f"broadcast_max_bytes bound of {broadcast_max_bytes / 1e6:.0f} "
+            "MB. Use method='blocked' (distributed exact block-pair GEMM) "
+            "for corpora that don't fit a broadcast build side, or raise "
+            "broadcast_max_bytes explicitly."
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)

@@ -264,19 +264,39 @@ def _scratch(prefix: str) -> str:
     The returned DataFrames lazily read from this dir, so it cannot be
     removed inside the query — instead each call sweeps SAME-PREFIX dirs
     from PRIOR runs (age-gated 1 h, like warehouse.vacuum_staging, so a
-    concurrently-running sweep's dir is never yanked). Repeated bench /
-    compare runs therefore don't accrete /tmp copies of the tables.
+    concurrently-running sweep's dir is never yanked). The age gate uses
+    the NEWEST mtime anywhere under the candidate tree, not the top-level
+    dir's own mtime: writes land deep inside the scratch warehouse
+    (tier/experiment/datatype/part files) without refreshing the root
+    stat, so a root-only check could yank a >1 h-old dir a concurrent
+    compare/bench process is still reading. Repeated runs therefore
+    don't accrete /tmp copies of the tables.
     """
     import glob
     import shutil
     import time as _time
+
+    def _newest_mtime(path: str) -> float:
+        try:
+            newest = os.path.getmtime(path)
+            for root, dirs, files in os.walk(path):
+                for nm in dirs + files:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, nm))
+                        )
+                    except OSError:
+                        pass  # entry vanished mid-walk
+            return newest
+        except OSError:
+            return float("inf")  # dir vanished: never eligible
 
     cutoff = _time.time() - 3600.0
     for old in glob.glob(
         os.path.join(tempfile.gettempdir(), f"etl_gardener_spark_{prefix}_*")
     ):
         try:
-            if os.path.getmtime(old) < cutoff:
+            if _newest_mtime(old) < cutoff:
                 shutil.rmtree(old, ignore_errors=True)
         except OSError:
             pass
@@ -2154,24 +2174,27 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 
 
 # The driver's correctness gate oracle-checks the FIRST 50 registry
-# entries, so the emission order is part of the verification contract:
-# this window covers every SURVEY.md §2 family (T1-T5 parity queries
-# stay, per the round-2 verdict) plus one-or-more representatives of each
-# extension family — text analysis, corpus ops, exact/MinHash/Jaccard/
-# SimHash dedup (incl. incremental batch-vs-store), graph clustering,
-# ANN + semantic dedup, CDC, multimodal, streaming, SCD2 and TPC-H — so
-# the families added since round 1 get driver-verified rows instead of
-# self-certified local sweeps. Queries with two rounds of green driver
-# rows (topk_per_group, range_count_errors_before_purchase,
-# refresh_rollup_days, q1_pricing_summary, asof_purchase_last_click,
-# load_orc) rotate out for never-driver-checked newcomers — round 3 adds
-# doc_scrub_pii, doc_line_dedup, doc_bm25_search for the new scrub /
-# line-dedup / search families;
-# everything outside the window still runs in tools/compare.py's and
-# tools/compare_strict.py's full local sweeps.
+# entries, so the emission order is part of the verification contract.
+# Rotation policy (round-3 verdict item 1): the 12 SURVEY.md §2 parity
+# rows (T1-T5 + schema evolution) are PERMANENT — they are the
+# reference-parity evidence every round — and the other 38 slots rotate
+# each round toward queries that have never had a driver-certified
+# CORRECTNESS row, so driver-grade evidence accumulates across the whole
+# 201-query registry instead of re-certifying the same window. Round 4's
+# 38 rotating slots are ALL first-time rows (76% of the window > the
+# verdict's 70% bar), spanning every extension family: splits/sampling,
+# corpus ops, text profiling, winnowing/LSH-cost/SimHash dedup,
+# embeddings (PCA invariants, incremental ANN, negatives, int8, norms,
+# cluster balance), multimodal (frames, audio), streaming (scrub+split,
+# rollup, session window, store-backed dedup), data quality
+# (profile, k-anonymity, contracts, referential integrity), warehouse
+# (GDPR forget, SCD2 as-of, bucketed join) and TPC-H (Q3/Q8/Q14 +
+# grouping-id rollup). The 38 round-3 window rows keep their r03 driver
+# rows and remain covered by the tools/compare_strict.py full sweep.
 # tests/test_plans.py::test_driver_window_contract pins |window| == 50.
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
+    # — permanent, never rotates
     "dedup_keep_best",
     "dedup_delete_set",
     "dedup_legacy_regex_key",
@@ -2184,51 +2207,55 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # analytics core (formerly-red rows stay visible, fixed this round)
-    "sessionize",
-    "brand_revenue",
-    "snapshot_diff_events",
-    "daily_approx_users",
-    "weekly_users_sketch_rollup",
-    # TPC-H decision-support shapes
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q18_large_volume_customers",
-    # text analysis + corpus ops (+ round-3 scrub/line-dedup/search)
-    "doc_token_stats",
-    "doc_langid",
-    "doc_quality_score",
-    "doc_fingerprint",
-    "corpus_clean",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "doc_scrub_pii",
-    "doc_line_dedup",
-    "doc_bm25_search",
-    # dedup family (exact / MinHash-LSH / Jaccard / SimHash / graph)
-    "doc_exact_dup_groups",
-    "doc_minhash_lsh_pairs",
-    "doc_jaccard_pairs",
-    "doc_incremental_dedup",
-    "doc_simhash_pairs",
-    "doc_pagerank",
-    "doc_dup_clusters",
-    # embeddings (ANN, clustering, semantic + exact near-dup)
-    "emb_kmeans",
-    "emb_semantic_dedup",
-    "emb_incremental_semantic_dedup",
-    "emb_ann_topk",
-    "emb_ann_topk_lsh",
-    "emb_ann_topk_ivf",
-    "emb_near_dup_pairs",
+    # splits / sampling (deterministic md5 discipline)
+    "doc_hash_split",
+    "doc_group_split",
+    "doc_stratified_sample",
+    "doc_mixture_sample",
+    # corpus ops (composed pipeline + boilerplate + shards + packing)
+    "corpus_training_ready",
+    "doc_boilerplate_lines",
+    "doc_chunk_sequences",
+    "doc_shuffle_shards",
+    # text profiling
+    "doc_tfidf_top_terms",
+    "doc_top_bigrams",
+    "doc_zipf_profile",
+    "doc_repetition",
+    # dedup extensions (winnowing, LSH pre-flight, raw SimHash)
+    "doc_winnow_pairs",
+    "doc_lsh_cost_estimate",
+    "doc_simhash",
+    # embeddings (PCA invariant, incremental ANN, negatives, int8,
+    # norms, cluster balance)
+    "emb_pca_variance_check",
+    "emb_incremental_ann_topk",
+    "emb_negative_samples",
+    "emb_quantize_int8",
+    "emb_vector_norms",
+    "emb_cluster_balance",
     # multimodal
-    "mm_image_features",
-    "mm_phash_near_pairs",
-    # streaming + SCD2
-    "stream_sessionize",
-    "stream_dedup",
-    "scd2_incremental_apply",
+    "mm_frame_hashes",
+    "mm_audio_features",
+    # streaming
+    "stream_scrub_split",
+    "stream_hourly_rollup",
+    "stream_session_window",
+    "stream_dedup_vs_store",
+    # data quality
+    "profile_orders",
+    "dq_k_anonymity",
+    "dq_table_contracts",
+    "dq_referential_integrity",
+    # warehouse lifecycle + feature-store
+    "forget_users",
+    "scd2_point_in_time_join",
+    "bucketed_cohort_join",
+    # TPC-H decision-support shapes
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q14_promo_revenue_pct",
+    "rollup_grouping_id",
 ]
 
 

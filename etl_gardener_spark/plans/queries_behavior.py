@@ -1584,7 +1584,8 @@ def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT h.d AS date, CAST(h.hod AS BIGINT) AS hour, h.event_type, h.n,
            ROUND((h.n - s.mu) / s.sigma, 4) AS z
     FROM hourly h JOIN season s USING (hod, event_type)
-    WHERE s.n_days >= 7 AND s.sigma > 0 AND ABS((h.n - s.mu) / s.sigma) > 3
+    WHERE s.n_days >= 7 AND s.sigma > 0
+      AND ABS(ROUND((h.n - s.mu) / s.sigma, 4)) > 3
     """,
     tags=("analytics", "anomaly", "seasonal"),
 )
@@ -1611,11 +1612,16 @@ def hourly_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_pop("n").alias("sigma"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     )
+    # membership decided on the 4-dp ROUNDED z (the display value) so
+    # fold-order noise in the double mu/sigma can't flip boundary rows
+    # between engines (same discipline as emb_norm_outliers).
     z = (F.col("n") - F.col("mu")) / F.col("sigma")
     return (
         hourly.join(F.broadcast(season), ["hod", "event_type"])
         .filter(
-            (F.col("n_days") >= 7) & (F.col("sigma") > 0) & (F.abs(z) > 3)
+            (F.col("n_days") >= 7)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.round(z, 4)) > 3)
         )
         .select(
             F.col("d").alias("date"),

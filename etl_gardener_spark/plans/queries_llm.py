@@ -852,10 +852,12 @@ def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_dup_groups(d, "text", "doc_id")
 
 
-def _minhash_ctes(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
-    """CTE chain (no WITH prefix) ending in pairs(id_a, id_b, jaccard) —
-    shared by the pair query's oracle and the cluster query's recursive
-    oracle."""
+def _minhash_ctes_through_bands(num_hashes: int = 12, bands: int = 4) -> str:
+    """CTE chain (no WITH prefix) ending in bands(doc_id, band, band_key)
+    — the shared LSH front half. Exposed as a named piece (not sliced
+    out of the full chain by string matching) so the cost-estimate
+    oracle can't silently truncate if the downstream CTE names or
+    whitespace change."""
     rows = num_hashes // bands
     sig_exprs = []
     for i in range(num_hashes):
@@ -880,7 +882,17 @@ def _minhash_ctes(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) 
     sig AS (SELECT doc_id, sh,
        {sig_cols}
       FROM sh),
-    bands AS ({band_selects}),
+    bands AS ({band_selects})"""
+
+
+def _minhash_ctes(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    """CTE chain (no WITH prefix) ending in pairs(id_a, id_b, jaccard) —
+    shared by the pair query's oracle and the cluster query's recursive
+    oracle. Front half (through bands) comes from
+    _minhash_ctes_through_bands."""
+    return (
+        _minhash_ctes_through_bands(num_hashes, bands)
+        + f""",
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
              ON a.band = b.band AND a.band_key = b.band_key
@@ -894,6 +906,7 @@ def _minhash_ctes(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) 
           JOIN sig sb ON c.id_b = sb.doc_id),
     pairs AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {threshold})
     """
+    )
 
 
 def _minhash_oracle(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
@@ -2392,20 +2405,67 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_pca_whiten", None, tags=("llm", "pca"))
+_WHITEN_K = 4
+
+
+@query(
+    "emb_pca_whiten",
+    f"""
+    SELECT CAST(t.i AS BIGINT) AS component,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           TRUE AS mean_ok, TRUE AS var_ok, TRUE AS decorrelated
+    FROM range(0, {_WHITEN_K}) t(i)
+    """,
+    tags=("llm", "pca", "bound-check"),
+)
 def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitened top-4 principal components per vector (rows-only: the
-    component VALUES depend on eigh, which SQL cannot mirror; the
-    variance identity above is the oracle-backed certificate). The
-    projection itself is pure codegen — component coefficients are
-    folded in as array literals, no Python, no join."""
+    """Whitening certificate: project every vector onto the whitened
+    top-4 principal components (pure codegen — coefficients folded in as
+    array literals, no Python, no join), then verify the DEFINING
+    whitening invariants over the projected corpus: per-component mean
+    ~ 0, per-component population variance ~ 1, and every pairwise
+    covariance ~ 0. The per-vector component values depend on eigh,
+    which SQL cannot mirror, so — like the HLL sketch rows and the
+    trace identity above — the oracle pins the EXACT side (component
+    index, corpus count) plus constant-TRUE epsilon-bound flags; the
+    Spark side earns each TRUE from the actual projected output
+    (|mean| < 1e-6, |var - 1| < 1e-6, max |cov| < 1e-6). A wrong mean
+    vector, eigenvector, or eigenvalue scaling turns a flag FALSE and
+    the hash red."""
+    k = _WHITEN_K
     e = load_table(spark, sf_dir, "embeddings")
-    model = PC.pca_fit(e, "embedding", k=4)
+    model = PC.pca_fit(e, "embedding", k=k)
     out = PC.pca_project(e, "embedding", model, whiten=True)
-    return out.select(
-        "vec_id",
-        F.transform(F.col("pc"), lambda v: F.round(v, 4)).alias("pc_white"),
+    comps = out.select(
+        *[F.col("pc")[i].alias(f"c{i}") for i in range(k)]
     )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(k):
+        aggs.append(F.avg(F.col(f"c{i}")).alias(f"m{i}"))
+        aggs.append(F.var_pop(F.col(f"c{i}")).alias(f"v{i}"))
+        for j in range(i + 1, k):
+            aggs.append(
+                F.covar_pop(F.col(f"c{i}"), F.col(f"c{j}")).alias(f"cv{i}_{j}")
+            )
+    stats = comps.agg(*aggs)  # one row: 1 + k + k + C(k,2) doubles
+    eps = 1e-6
+    rows = []
+    for i in range(k):
+        off_diag = [
+            F.abs(F.col(f"cv{min(i, j)}_{max(i, j)}"))
+            for j in range(k)
+            if j != i
+        ]
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("component"),
+                F.col("n").alias("n_vecs"),
+                (F.abs(F.col(f"m{i}")) < eps).alias("mean_ok"),
+                (F.abs(F.col(f"v{i}") - 1.0) < eps).alias("var_ok"),
+                (F.greatest(*off_diag) < eps).alias("decorrelated"),
+            )
+        )
+    return stats.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
 
 
 # ---------------------------------------------------------------------------
@@ -3364,9 +3424,9 @@ def doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_cost_oracle() -> str:
-    # reuse the minhash CTE chain up through bands(doc_id, band, band_key)
-    full = _minhash_ctes()
-    upto_bands = full.split(",\n    cand AS")[0]
+    # the minhash CTE chain up through bands(doc_id, band, band_key),
+    # exposed as a named piece — no string-slicing of the full chain
+    upto_bands = _minhash_ctes_through_bands()
     return f"""
     WITH {upto_bands},
     buckets AS (
@@ -3530,17 +3590,25 @@ def emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
     g AS (SELECT doc_id, source, unnest({_DECON_HASHES}) AS g FROM d),
+    bids AS (SELECT doc_id AS bench_id FROM d WHERE source = 'src0'),
     bg AS (SELECT doc_id AS bench_id, g FROM g WHERE source = 'src0'),
     spread AS (
       SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
-      FROM g WHERE source <> 'src0' GROUP BY g)
-    SELECT b.bench_id,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(COUNT(s.g) AS BIGINT) AS n_hit_grams,
-           CAST(COALESCE(MAX(s.nd), 0) AS BIGINT) AS max_gram_spread,
-           CAST(COALESCE(SUM(s.nd), 0) AS BIGINT) AS exposure
-    FROM bg b LEFT JOIN spread s USING (g)
-    GROUP BY b.bench_id
+      FROM g WHERE source <> 'src0' GROUP BY g),
+    agg AS (
+      SELECT b.bench_id,
+             CAST(COUNT(b.g) AS BIGINT) AS n_grams,
+             CAST(COUNT(s.g) AS BIGINT) AS n_hit_grams,
+             CAST(COALESCE(MAX(s.nd), 0) AS BIGINT) AS max_gram_spread,
+             CAST(COALESCE(SUM(s.nd), 0) AS BIGINT) AS exposure
+      FROM bg b LEFT JOIN spread s USING (g)
+      GROUP BY b.bench_id)
+    SELECT i.bench_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(COALESCE(a.max_gram_spread, 0) AS BIGINT) AS max_gram_spread,
+           CAST(COALESCE(a.exposure, 0) AS BIGINT) AS exposure
+    FROM bids i LEFT JOIN agg a ON a.bench_id = i.bench_id
     """,
     tags=("llm", "decontamination", "eval"),
 )
@@ -3572,8 +3640,13 @@ def bench_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("doc_id").cast("long").alias("nd"))
     )
     joined = bg.join(spread, "g", "left")
+    # count("g"), not count(*): explode_outer keeps a <n-token bench doc
+    # as one null-gram row so the doc still REPORTS (with all-zero
+    # counts) — count(*) would score that null row as a gram. Empty
+    # bench docs appear with zeros by decision (an eval owner wants the
+    # full item list); the oracle mirrors via the bids LEFT JOIN.
     return joined.groupBy("bench_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.count("g").cast("long").alias("n_grams"),
         F.count("nd").cast("long").alias("n_hit_grams"),
         F.coalesce(F.max("nd"), F.lit(0)).cast("long").alias("max_gram_spread"),
         F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("exposure"),
@@ -3634,7 +3707,7 @@ def doc_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.vec_id, ROUND(n.nrm, 4) AS norm,
            ROUND((n.nrm - s.mu) / s.sigma, 4) AS z
     FROM norms n CROSS JOIN stats s
-    WHERE ABS((n.nrm - s.mu) / s.sigma) > 2
+    WHERE ABS(ROUND((n.nrm - s.mu) / s.sigma, 4)) > 2
     """,
     tags=("llm", "embedding", "quality", "outlier"),
 )
@@ -3661,9 +3734,12 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("nrm").alias("mu"), F.stddev_pop("nrm").alias("sigma")
     )
     z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    # membership is decided on the 4-dp ROUNDED z (the display value):
+    # mu/sigma are fold-order-sensitive double aggregates, so raw-z
+    # compares could flip rows at the |z|=2 boundary between engines.
     return (
         norms.crossJoin(F.broadcast(stats))
-        .filter(F.abs(z) > 2)
+        .filter(F.abs(F.round(z, 4)) > 2)
         .select(
             "vec_id",
             F.round(F.col("nrm"), 4).alias("norm"),

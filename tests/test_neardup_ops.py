@@ -289,6 +289,30 @@ def test_embedding_near_dup_pairs_blocked_equals_broadcast(vecs):
         assert run(method="blocked", num_blocks=nb) == broadcast, nb
 
 
+def test_embedding_near_dup_pairs_broadcast_guard_trips(vecs):
+    """The broadcast path drives a full-corpus collect; it must REFUSE
+    (not silently OOM the driver) when the estimated matrix exceeds
+    broadcast_max_bytes, pointing callers to the blocked method."""
+    with pytest.raises(ValueError, match="blocked"):
+        SIM.embedding_near_dup_pairs(
+            vecs,
+            id_col="vec_id",
+            vec_col="embedding",
+            threshold=0.9,
+            method="broadcast",
+            broadcast_max_bytes=1,  # 5 vectors already exceed 1 byte
+        )
+    # an explicit raised bound keeps the path usable for small corpora
+    out = SIM.embedding_near_dup_pairs(
+        vecs,
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.9,
+        method="broadcast",
+    ).collect()
+    assert out  # default 256 MB bound admits the 5-vector fixture
+
+
 def test_embedding_near_dup_pairs_lsh_subset_of_exact(vecs):
     exact = {
         (r.id_a, r.id_b)

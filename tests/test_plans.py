@@ -159,18 +159,71 @@ def test_weekly_sketch_rollup_error_bound(spark):
         assert r["sketch_ok"], (r["week"], r["exact_users"])
 
 
+PARITY_ROWS = [
+    "dedup_keep_best",
+    "dedup_delete_set",
+    "dedup_legacy_regex_key",
+    "dedup_legacy_concat_key",
+    "join_annotate",
+    "join_annotation_window",
+    "copy_partition",
+    "delete_partition",
+    "upsert_partition",
+    "load_jsonl",
+    "load_csv",
+    "read_schema_evolved",
+]
+
+
 def test_driver_window_contract():
     """The driver oracle-checks the first 50 emitted queries: the window
-    list must be exactly 50 known, distinct, oracle-backed names, and
+    list must be exactly 50 known, distinct, oracle-backed names, the 12
+    SURVEY.md §2 parity rows must lead (they never rotate), and
     queries()/oracle_sql() must emit them first."""
     assert len(Q.DRIVER_WINDOW) == 50
     assert len(set(Q.DRIVER_WINDOW)) == 50
+    assert Q.DRIVER_WINDOW[:12] == PARITY_ROWS
     missing = [n for n in Q.DRIVER_WINDOW if n not in Q.REGISTRY]
     assert not missing, missing
     no_oracle = [n for n in Q.DRIVER_WINDOW if not Q.REGISTRY[n].oracle]
     assert not no_oracle, no_oracle
     assert list(Q.queries())[:50] == Q.DRIVER_WINDOW
     assert list(Q.oracle_sql())[:50] == Q.DRIVER_WINDOW
+
+
+def test_driver_window_rotates_toward_uncertified():
+    """Rotation policy (round-3 verdict): the 38 non-parity slots must be
+    mostly (>= 70%) queries WITHOUT a prior driver-certified
+    CORRECTNESS_r*.json row, so driver-grade evidence accumulates across
+    the registry instead of re-certifying the same window — enforced
+    only while enough never-certified names remain to fill the quota."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    certified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match"):
+                    certified.add(name)
+    if not certified:  # fresh clone without driver artifacts
+        return
+    rotating = [n for n in Q.DRIVER_WINDOW if n not in PARITY_ROWS]
+    quota = int(0.7 * len(rotating))
+    pool = [
+        n for n in Q.REGISTRY
+        if n not in certified and n not in PARITY_ROWS and Q.REGISTRY[n].oracle
+    ]
+    if len(pool) < quota:  # registry nearly exhausted: rotation optional
+        return
+    fresh = [n for n in rotating if n not in certified]
+    assert len(fresh) >= quota, (
+        f"only {len(fresh)}/{len(rotating)} window slots are "
+        f"never-driver-certified (need >= {quota}); stale: "
+        f"{[n for n in rotating if n in certified]}"
+    )
 
 
 def test_emb_near_dup_pairs_is_distributed_blocked_gemm(spark):

@@ -294,6 +294,30 @@ def test_drop_duplicate_lines_normalized_matching(spark):
     assert out[2]["text"] == "yours"
 
 
+def test_drop_duplicate_lines_null_text_round_trips_like_empty(spark):
+    """A NULL-text doc must survive (as one blank kept line), exactly
+    like an empty-string doc — split(NULL) yields no posexplode rows and
+    used to silently drop the document from the output."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content")], schema
+    )
+    out = {r["doc_id"]: r for r in CP.drop_duplicate_lines(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}  # the NULL-text doc is NOT dropped
+    # NULL round-trips identically to empty: one blank structural line
+    for i in (1, 2):
+        assert out[i]["text"] == ""
+        assert out[i]["n_lines_kept"] == 1
+        assert out[i]["n_lines_dropped"] == 0
+
+
 def test_hash_split_on_group_key_is_group_atomic(spark):
     """Splitting on a GROUP column keeps every group member in one split
     (the leakage-prevention variant): the split is a pure function of
