@@ -8,6 +8,13 @@ Each query executes end-to-end into the ``noop`` sink (full plan runs on
 executors; no driver-side collect skewing the measurement). Best of two runs
 per query — the first run at process start pays JVM/codegen warmup that a
 long-lived service never sees.
+
+The same payload is also written to ``BENCH_FULL_latest.json`` next to
+this script (override with $SPARK_GRAFT_BENCH_OUT; empty disables): the
+driver's per-round ``BENCH_r*.json`` artifact truncates to a tail of the
+stdout line, so only that file carries the complete per-query timings —
+each round a copy is committed as ``BENCH_FULL_r{N}.json`` so every
+query stays cross-round comparable (see SCALE.md trend table).
 """
 
 from __future__ import annotations
@@ -46,17 +53,25 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_latest.json",
+        ),
     )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ from etl_gardener_spark.orchestrator.job_service import JobService
 from etl_gardener_spark.orchestrator.monitor import Monitor
 from etl_gardener_spark.orchestrator.tracker import Tracker
 from etl_gardener_spark.sources.listing import has_files
-from etl_gardener_spark.warehouse import Warehouse
+from etl_gardener_spark.warehouse import Warehouse, recover_staging
 
 
 class Gardener:
@@ -83,6 +83,7 @@ class Gardener:
             daily, historical, full_history=full_history, has_files=probe
         )
         self.monitor = Monitor(self.tracker, retry_delay_sec=retry_delay_sec)
+        self.warehouse_root = warehouse_root
         StandardActions(
             spark,
             Warehouse(warehouse_root),
@@ -102,6 +103,12 @@ class Gardener:
     def start(
         self, api_port: int | None = None, cleanup_period_sec: float = 300.0
     ) -> None:
+        # Crash recovery BEFORE any reads or job claims: complete staged
+        # swaps interrupted in the delete-to-rename window and abort
+        # half-written staging dirs (warehouse.recover_staging). No
+        # other op can be in flight yet, so the un-age-gated sweep is
+        # safe here (and only here).
+        recover_staging(self.spark, self.warehouse_root)
         self._threads.append(self.monitor.watch(self._stop, self._poll_period))
         self._threads.append(self.tracker.save_every(60.0, self._stop))
         self._threads.append(self._cleanup_every(cleanup_period_sec))

@@ -728,6 +728,70 @@ def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) 
     return removed
 
 
+def recover_staging(spark: SparkSession, root: str) -> dict:
+    """Complete or abort interrupted staged swaps after a crash — run at
+    service startup, BEFORE serving reads or claiming jobs.
+
+    The staged-swap protocol (stage under ``<root>/_staging``, then
+    ``delete(target); rename(staged, target)``) has one vulnerable
+    window: a crash between the delete and the rename leaves the
+    partition's ONLY copy in the staging dir — the table is missing a
+    day, and a naive job retry reads the table, sees no rows for the
+    day, and cannot restore it. This routine closes that window using
+    the commit marker Spark's committer already writes:
+
+    * staged dir has ``_SUCCESS`` and the target partition is MISSING —
+      the crash hit the delete-to-rename window; the staged data is the
+      complete committed result, so finish the swap (rename into place).
+    * staged dir has ``_SUCCESS`` but the target still EXISTS — the
+      crash hit after staging but before the delete; the pre-op
+      partition is intact, so ABORT (delete the staged dir) and let the
+      op-level retry redo the work against live data.
+    * no ``_SUCCESS`` — a mid-write crash; the staged dir is garbage
+      regardless of the target's state: abort.
+
+    Idempotent and safe to run concurrently with vacuum_staging (which
+    only touches age-expired dirs). Returns
+    ``{"completed": [target...], "aborted": [staged...]}``. Driver-side
+    FS metadata ops only — no data is read or copied; the ``rename`` is
+    the same single same-FS move the op itself would have done.
+    """
+    completed: list[str] = []
+    aborted: list[str] = []
+    fs = _hadoop_fs(spark, root)
+    staging_root = _hadoop_path(spark, f"{root}/_staging")
+    if not fs.exists(staging_root):
+        return {"completed": [], "aborted": []}
+    for tierexp in fs.listStatus(staging_root):
+        if not tierexp.isDirectory():
+            continue
+        for datatype in fs.listStatus(tierexp.getPath()):
+            if not datatype.isDirectory():
+                continue
+            for staged in fs.listStatus(datatype.getPath()):
+                name = staged.getPath().getName()
+                if ".__" not in name or not name.endswith("__"):
+                    continue
+                date_part = name.split(".__", 1)[0]
+                target = _hadoop_path(
+                    spark,
+                    f"{root}/{tierexp.getPath().getName()}/"
+                    f"{datatype.getPath().getName()}/{date_part}",
+                )
+                has_marker = fs.exists(
+                    _hadoop_path(
+                        spark, staged.getPath().toUri().getPath() + "/_SUCCESS"
+                    )
+                )
+                if has_marker and not fs.exists(target):
+                    fs.rename(staged.getPath(), target)
+                    completed.append(target.toUri().getPath())
+                else:
+                    fs.delete(staged.getPath(), True)
+                    aborted.append(staged.getPath().toUri().getPath())
+    return {"completed": completed, "aborted": aborted}
+
+
 def partition_report(
     spark: SparkSession, wh: Warehouse, tier: str, experiment: str, datatype: str
 ) -> list[dict]:

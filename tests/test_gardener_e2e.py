@@ -265,3 +265,159 @@ def test_pipeline_records_query_cost_metrics(gardener):
     assert 'gardener_bytes_count{experiment="ndt",datatype="ndt7"}' in text
     # task time accumulated: the sum is positive once real work ran
     assert M.spark_task_seconds(g.spark) > 0
+
+
+# ---------------------------------------------------------------------------
+# Failure injection: staged-swap crash windows (round-3 verdict item 7)
+# ---------------------------------------------------------------------------
+
+
+def _seed_partition(spark, wh, day, rows):
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.createDataFrame(rows, "id string, value double")
+        .withColumn("date", F.lit(day.isoformat()).cast("date"))
+    )
+    wh.overwrite_partitions(df, "raw", "ndt", "ndt7")
+
+
+def test_forget_keys_swap_crash_window_recovery(spark, tmp_path, monkeypatch):
+    """Injected failure in forget_keys' most dangerous instant: AFTER the
+    staged survivors committed and the live partition was deleted, but
+    BEFORE the rename swapped staging into place. At that point the
+    day's only copy lives under _staging/ — a naive retry cannot restore
+    it. recover_staging (run by Gardener.start on boot) must complete
+    the swap from the _SUCCESS-marked staging dir, leaving the table
+    readable with exactly the post-op rows and the job retryable
+    (idempotent no-op)."""
+    from datetime import date as D
+
+    from etl_gardener_spark import warehouse as W
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = D(2024, 3, 5)
+    _seed_partition(
+        spark, wh, day, [("keep1", 1.0), ("gone", 2.0), ("keep2", 3.0)]
+    )
+
+    real_fs = W._hadoop_fs
+
+    class _CrashOnRename:
+        """FS proxy that dies at the swap rename, like a driver crash."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if "__forgetting__" in src.toUri().getPath():
+                raise RuntimeError("injected crash before swap rename")
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    monkeypatch.setattr(
+        W, "_hadoop_fs", lambda s, p: _CrashOnRename(real_fs(s, p))
+    )
+    keys = spark.createDataFrame([("gone",)], "id string")
+    with pytest.raises(Exception, match="injected crash"):
+        wh.forget_keys(spark, "raw", "ndt", "ndt7", keys, "id")
+    monkeypatch.setattr(W, "_hadoop_fs", real_fs)
+
+    # crash state: partition gone from the table, survivors only in staging
+    assert not wh.partition_exists(spark, "raw", "ndt", "ndt7", day)
+    staged = W._staged_path(
+        wh.partition_path("raw", "ndt", "ndt7", day), "forgetting"
+    )
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+
+    # boot-time recovery completes the swap
+    out = W.recover_staging(spark, wh.root)
+    assert out["completed"] == [wh.partition_path("raw", "ndt", "ndt7", day)]
+    got = {
+        (r.id, r.value)
+        for r in wh.read_partition(spark, "raw", "ndt", "ndt7", day).collect()
+    }
+    assert got == {("keep1", 1.0), ("keep2", 3.0)}  # post-op rows, key gone
+    # the job is retryable: rerun finds nothing to forget
+    again = wh.forget_keys(spark, "raw", "ndt", "ndt7", keys, "id")
+    assert again == {"dates": [], "rows_removed": 0}
+    # and a full-table read never trips partition inference on leftovers
+    assert wh.read(spark, "raw", "ndt", "ndt7").count() == 2
+
+
+def test_forget_keys_mid_write_crash_aborts_staging(spark, tmp_path):
+    """A half-written staging dir (executor died mid staged write: no
+    _SUCCESS marker) with the live partition intact: the table keeps
+    serving the PRE-op rows, recover_staging aborts the garbage, and the
+    op retry completes the deletion."""
+    from datetime import date as D
+
+    from etl_gardener_spark import warehouse as W
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = D(2024, 3, 6)
+    _seed_partition(spark, wh, day, [("keep", 1.0), ("gone", 2.0)])
+
+    staged = W._staged_path(
+        wh.partition_path("raw", "ndt", "ndt7", day), "forgetting"
+    )
+    os.makedirs(os.path.join(staged, "_temporary", "0"), exist_ok=True)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00partial")  # torn file, no _SUCCESS
+
+    assert wh.read(spark, "raw", "ndt", "ndt7").count() == 2  # still readable
+    out = W.recover_staging(spark, wh.root)
+    assert out["completed"] == [] and out["aborted"] == [staged]
+    assert not os.path.exists(staged)
+
+    keys = spark.createDataFrame([("gone",)], "id string")
+    res = wh.forget_keys(spark, "raw", "ndt", "ndt7", keys, "id")
+    assert res["rows_removed"] == 1
+    got = {
+        (r.id, r.value)
+        for r in wh.read_partition(spark, "raw", "ndt", "ndt7", day).collect()
+    }
+    assert got == {("keep", 1.0)}
+
+
+def test_dedup_overwrite_executor_failure_leaves_table_intact(spark, tmp_path):
+    """REAL executor-level failure inside the dedup rewrite's write job
+    (a mapInPandas batch raises on the executor): the dynamic partition
+    overwrite must roll back — the original partition stays fully
+    readable, Spark's committer droppings don't break reads or partition
+    inference — and the retry with a healthy plan succeeds."""
+    from datetime import date as D
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = D(2024, 3, 7)
+    _seed_partition(
+        spark, wh, day, [("a", 1.0), ("a", 9.0), ("b", 3.0)]
+    )
+    survivors = wh.read_partition(spark, "raw", "ndt", "ndt7", day).filter(
+        F.col("value") != 1.0
+    ).withColumn("date", F.lit(day.isoformat()).cast("date"))
+
+    def _bomb(batches):
+        for pdf in batches:
+            raise RuntimeError("injected executor failure")
+            yield pdf  # pragma: no cover
+
+    poisoned = survivors.mapInPandas(_bomb, schema=survivors.schema)
+    with pytest.raises(Exception, match="injected executor failure"):
+        wh.overwrite_partitions(poisoned, "raw", "ndt", "ndt7")
+
+    # rollback: original three rows intact, table + partition readable
+    assert wh.read_partition(spark, "raw", "ndt", "ndt7", day).count() == 3
+    assert wh.read(spark, "raw", "ndt", "ndt7").count() == 3
+
+    # retry with the healthy plan lands the dedup result
+    wh.overwrite_partitions(survivors, "raw", "ndt", "ndt7")
+    got = {
+        (r.id, r.value)
+        for r in wh.read_partition(spark, "raw", "ndt", "ndt7", day).collect()
+    }
+    assert got == {("a", 9.0), ("b", 3.0)}

@@ -1,0 +1,320 @@
+"""Adversarial representation-boundary fixtures (round-3 verdict item 5).
+
+The repo's fixed-point / integer-micros / rounded-threshold discipline
+(see plans/queries.py module docstring) is what keeps ~30 statistical
+queries bit-identical between Spark and the DuckDB oracle. These tests
+pin that discipline AT ITS BOUNDARIES, where a careless edit would
+silently reintroduce engine divergence:
+
+  * session gaps at exactly 1800.000000 s vs 1800.000001 s (the
+    microsecond compare that a seconds-truncating `cast(ts as long)`
+    would mis-split);
+  * money/average sums landing exactly on half-up rounding midpoints
+    (where Spark's HALF_UP and DuckDB's half-even decimal casts answer
+    differently unless the integer `(2x + d) div 2d` kernel is used);
+  * approximate-distinct error ratios exactly AT the 5% sketch bound
+    (the flag arithmetic that turns sketch queries oracle-checkable).
+
+Each fixture is written as real parquet shaped like the driver testdata
+tables, then the REAL registered query and its REAL oracle SQL run
+through the strict (type + bit-exact) comparator from
+tools/compare_strict.py — exactly the certification path, on data the
+generator would never produce.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from datetime import datetime, timedelta
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_gardener_spark.plans import queries as Q
+from tools.compare_strict import compare_frames
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write(dirpath: str, name: str, schema: pa.Schema, cols: dict) -> None:
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema),
+        os.path.join(dirpath, f"{name}.parquet"),
+    )
+
+
+def _events(dirpath: str, rows: list[tuple[int, datetime, int, str, float]]):
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    _write(
+        dirpath,
+        "events",
+        schema,
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}" for _ in rows],
+        },
+    )
+
+
+def _duck(dirpath: str, tables: list[str]) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dirpath}/{t}.parquet'"
+        )
+    return con
+
+
+def _run_strict(spark, name: str, dirpath: str, tables: list[str]):
+    """Run registered query `name` on the fixture dir against its real
+    oracle with the strict comparator; return the Spark rows."""
+    qd = Q.REGISTRY[name]
+    sdf = qd.fn(spark, dirpath)
+    con = _duck(dirpath, tables)
+    try:
+        problems, _ = compare_frames(sdf, con, qd.oracle)
+    finally:
+        con.close()
+    assert not problems, f"{name} on boundary fixture: {problems}"
+    return sdf.collect()
+
+
+def test_sessionize_gap_exactly_1800s_boundary(spark, tmp_path):
+    """Gap == 1800.000000 s continues the session (strictly-greater
+    compare); gap == 1800.000001 s starts a new one; a 1800.5 s gap
+    splits too (a seconds-truncated compare would see 1800 and not
+    split); equal timestamps tie-break on event_id."""
+    us = timedelta(microseconds=1)
+    e0 = T0
+    e1 = e0 + timedelta(seconds=1800)            # exactly 1800 s: same
+    e2 = e1 + timedelta(seconds=1800) + us       # 1800.000001 s: new
+    e3 = e2 + timedelta(seconds=1799, microseconds=999_999)  # same
+    e4 = e3 + timedelta(seconds=1800, microseconds=500_000)  # 1800.5: new
+    e5 = e4                                       # equal ts: same session
+    rows = [
+        (i, t, 1, "click", 1.0)
+        for i, t in enumerate((e0, e1, e2, e3, e4, e5))
+    ]
+    d = str(tmp_path)
+    _events(d, rows)
+    out = _run_strict(spark, "sessionize", d, ["events"])
+    sessions = {
+        r["session_id"]: (r["n_events"], r["session_start"], r["session_end"])
+        for r in out
+    }
+    assert sessions == {
+        1: (2, e0, e1),
+        2: (2, e2, e3),
+        3: (2, e4, e5),
+    }
+
+
+def test_brand_revenue_half_up_midpoints(spark, tmp_path):
+    """Group sums crafted to land EXACTLY on rounding midpoints: revenue
+    3.0050 must round to 3.01 (half-up; half-even would say 3.00) and
+    avg retail 1.00005 must round to 1.0001 (half-even would say
+    1.0000). Per-row inputs keep <= 4 decimal digits so the row-level
+    decimal casts are unambiguous in both engines; only the SUM sits on
+    the midpoint, which the integer `(2x + d) div 2d` kernel decides."""
+    d = str(tmp_path)
+    _write(
+        d,
+        "lineitem",
+        pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()),
+                ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+                ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us")),
+            ]
+        ),
+        {
+            "l_orderkey": [1, 1],
+            "l_partkey": [1, 2],
+            "l_suppkey": [1, 1],
+            "l_linenumber": [1, 2],
+            "l_quantity": [1.0, 1.0],
+            # 2.01 * (1 - 0.5) = 1.005 and 2.00 * (1 - 0.0) = 2.00:
+            # group revenue = 3.0050, exactly on the cent midpoint
+            "l_extendedprice": [2.01, 2.00],
+            "l_discount": [0.5, 0.0],
+            "l_tax": [0.0, 0.0],
+            "l_returnflag": ["N", "N"],
+            "l_linestatus": ["O", "O"],
+            "l_shipdate": [T0, T0],
+        },
+    )
+    _write(
+        d,
+        "part",
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_name", pa.string()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int32()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ),
+        {
+            "p_partkey": [1, 2],
+            "p_name": ["a", "b"],
+            "p_brand": ["Brand#1", "Brand#1"],
+            "p_type": ["t", "t"],
+            "p_size": [1, 1],
+            # retail avg = (1.0001 + 1.0000) / 2 = 1.00005: exactly on
+            # the 4th-decimal midpoint
+            "p_retailprice": [1.0001, 1.0000],
+        },
+    )
+    _write(
+        d,
+        "supplier",
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("s_name", pa.string()),
+                ("s_nationkey", pa.int32()),
+                ("s_acctbal", pa.float64()),
+            ]
+        ),
+        {
+            "s_suppkey": [1],
+            "s_name": ["s"],
+            "s_nationkey": [1],
+            "s_acctbal": [0.0],
+        },
+    )
+    _write(
+        d,
+        "nation",
+        pa.schema(
+            [
+                ("n_nationkey", pa.int32()),
+                ("n_name", pa.string()),
+                ("n_regionkey", pa.int32()),
+            ]
+        ),
+        {"n_nationkey": [1], "n_name": ["FRANCE"], "n_regionkey": [1]},
+    )
+    out = _run_strict(
+        spark, "brand_revenue", d, ["lineitem", "part", "supplier", "nation"]
+    )
+    (row,) = out
+    assert row["revenue"] == 3.01  # HALF_UP at the 3.0050 midpoint
+    assert row["avg_retail"] == 1.0001  # HALF_UP at the 1.00005 midpoint
+    assert row["n_items"] == 2
+
+
+def test_sketch_bound_flag_at_exactly_five_percent(spark, tmp_path):
+    """The sketch-certification flag |approx - exact| / exact <= 0.05
+    must answer identically in both engines exactly AT the bound. The
+    crafted pairs sit on (5/100), one ulp inside, and one count outside;
+    both engines evaluate the same IEEE expression on the same longs, so
+    the strict hash pins every boundary answer."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pairs = [
+        (1, 105, 100),   # error == 0.05 exactly -> ok
+        (2, 95, 100),    # error == 0.05 exactly from below -> ok
+        (3, 106, 100),   # 0.06 -> not ok
+        (4, 21, 20),     # 0.05 exactly at small count -> ok
+        (5, 1_050_001, 1_000_000),  # 0.050001 -> not ok
+        (6, 1, 1),       # zero error, exact==1 division edge -> ok
+    ]
+    sdf = (
+        spark.createDataFrame(
+            pairs, "grp long, approx_users long, exact_users long"
+        )
+        .select(
+            "grp",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_ok"),
+        )
+    )
+    con = duckdb.connect()
+    try:
+        con.register(
+            "pairs",
+            pd.DataFrame(
+                pairs, columns=["grp", "approx_users", "exact_users"]
+            ).astype("int64"),
+        )
+        problems, _ = compare_frames(
+            sdf,
+            con,
+            """
+            SELECT grp, CAST(exact_users AS BIGINT) AS exact_users,
+                   ABS(approx_users - exact_users)
+                     / CAST(exact_users AS DOUBLE) <= 0.05 AS sketch_ok
+            FROM pairs
+            """,
+        )
+    finally:
+        con.close()
+    assert not problems, problems
+    flags = {r["grp"]: r["sketch_ok"] for r in sdf.collect()}
+    assert flags == {1: True, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_daily_approx_users_on_duplicate_heavy_boundary_days(spark, tmp_path):
+    """daily_approx_users end-to-end on crafted days: a single-user day
+    (exact == 1 division edge), a duplicate-heavy day (3 users x 400
+    events — the sketch sees repeats, the distinct projection collapses
+    them), and a wider day. The strict hash certifies the whole
+    flag-bearing output on data the generator never produces."""
+    rows = []
+    eid = 0
+    # day 1: one user, 5 repeated events
+    for _ in range(5):
+        rows.append((eid, T0, 7, "click", 1.0))
+        eid += 1
+    # day 2: 3 users x 400 duplicate events
+    d2 = T0 + timedelta(days=1)
+    for i in range(1200):
+        rows.append((eid, d2 + timedelta(seconds=i), i % 3, "view", 0.5))
+        eid += 1
+    # day 3: 60 distinct users, one event each
+    d3 = T0 + timedelta(days=2)
+    for u in range(60):
+        rows.append((eid, d3, 100 + u, "click", 2.0))
+        eid += 1
+    d = str(tmp_path)
+    _events(d, rows)
+    out = _run_strict(spark, "daily_approx_users", d, ["events"])
+    by_day = {r["date"].isoformat(): r for r in out}
+    assert by_day["2024-01-01"]["exact_users"] == 1
+    assert by_day["2024-01-02"]["exact_users"] == 3
+    assert by_day["2024-01-03"]["exact_users"] == 60
+    assert all(r["sketch_ok"] for r in out)

@@ -121,6 +121,40 @@ def row_lines(rows, cols):
     return sorted("\x1f".join(strict_canon(r[i]) for i in order) for r in rows)
 
 
+def compare_frames(sdf, con, oracle: str) -> tuple[list[str], int]:
+    """Strict (type + bit-exact value) comparison of a Spark DataFrame
+    against a DuckDB oracle query; returns (problem strings, spark row
+    count) — empty problems = PASS. Reused by the boundary-fixture tests
+    so adversarial fixtures get exactly the certification-grade
+    comparison."""
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = sdf.columns
+    s_kinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
+    tbl = con.execute(oracle).arrow()
+    d_cols = tbl.schema.names
+    d_kinds = {f.name: arrow_kind(f.type) for f in tbl.schema}
+    problems: list[str] = []
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
+    else:
+        for c in s_cols:
+            if s_kinds[c] != d_kinds[c]:
+                problems.append(
+                    f"type[{c}]: spark {s_kinds[c]} vs oracle {d_kinds[c]}"
+                )
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
+    if not problems:
+        sl = row_lines(s_rows, s_cols)
+        dl = row_lines(d_rows, d_cols)
+        if sl != dl:
+            diff_s = [x for x in sl if x not in set(dl)][:2]
+            diff_d = [x for x in dl if x not in set(sl)][:2]
+            problems.append(f"values; spark-only={diff_s} duck-only={diff_d}")
+    return problems, len(s_rows)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
@@ -136,50 +170,24 @@ def main() -> int:
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            s_cols = sdf.columns
-            s_kinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?   {name}: no oracle (rows-only), {len(s_rows)} rows")
+            print(f"ok?   {name}: no oracle (rows-only), {sdf.count()} rows")
             continue
         try:
-            tbl = con.execute(oracles[name]).arrow()
+            problems, n_rows = compare_frames(sdf, con, oracles[name])
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
             continue
-        d_cols = tbl.schema.names
-        d_kinds = {f.name: arrow_kind(f.type) for f in tbl.schema}
-        problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
-        else:
-            for c in s_cols:
-                if s_kinds[c] != d_kinds[c]:
-                    problems.append(
-                        f"type[{c}]: spark {s_kinds[c]} vs oracle {d_kinds[c]}"
-                    )
-        d_rows = [
-            tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
-        ]
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount {len(s_rows)} vs {len(d_rows)}")
-        if not problems:
-            sl = row_lines(s_rows, s_cols)
-            dl = row_lines(d_rows, d_cols)
-            if sl != dl:
-                diff_s = [x for x in sl if x not in set(dl)][:2]
-                diff_d = [x for x in dl if x not in set(sl)][:2]
-                problems.append(f"values; spark-only={diff_s} duck-only={diff_d}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures += 1
         else:
-            print(f"PASS  {name}: {len(s_rows)} rows")
+            print(f"PASS  {name}: {n_rows} rows")
     print(f"{'ALL PASS' if not failures else f'{failures} FAILURES'} "
           f"({len(names)} checked)")
     return 1 if failures else 0
