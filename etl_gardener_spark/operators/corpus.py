@@ -368,3 +368,123 @@ def drop_duplicate_lines(
             "n_lines_dropped",
         )
     )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_len: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Substring-grain duplicate-SPAN removal — the heavier cousin of
+    :func:`drop_duplicate_lines` (suffix-array exact-substring dedup a la
+    "Deduplicating Training Data Makes Language Models Better",
+    approximated at fixed token grain): any ``span_len``-token window
+    whose content appears in more than ``max_docs`` distinct documents is
+    boilerplate, and every token COVERED by such a window is dropped from
+    every document — catching templated passages that cross line
+    boundaries, which line-grain dedup misses entirely.
+
+    Output: (id, text, n_tokens_kept, n_tokens_dropped) with ``text``
+    rebuilt from surviving tokens in original order (whitespace- and
+    case-normalized, the token discipline). Documents shorter than
+    ``span_len`` tokens have no windows and always survive whole.
+
+    Spark shape — the line-dedup plan generalized to sliding windows,
+    all shuffles keyed on the 60-bit window hash or the doc id:
+      1. one projection stages the token array (attribute, not inline —
+         the shingles_of CollapseProject hazard), then posexplode emits
+         one (doc, start, window-hash) row per window;
+      2. groupBy(window-hash) countDistinct(doc) builds the verdict
+         relation — |distinct windows| rows, map-side combined;
+      3. duplicate windows join back (AQE broadcasts the verdict side
+         when few windows repeat) and explode into their span_len
+         covered positions — an L-times blowup of DUPLICATE windows
+         only, not of the corpus;
+      4. tokens left-anti join covered (doc, pos) pairs and one
+         groupBy(doc) rebuilds documents via the explicit pos key.
+
+    At 100 TB: the verdict table is |distinct windows| * 16 bytes and
+    the covered-position stream is L * |duplicate windows| — both
+    corpus-fraction-sized for natural text; no stage holds a document
+    set in memory. A true suffix-array pass also catches VARIABLE-length
+    repeats; fixed-grain windows are the standard distributed
+    approximation (any repeat >= span_len tokens is fully covered by its
+    sliding windows and removed; repeats shorter than span_len survive).
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
+    # one row per sliding window start; slice() is 1-indexed
+    grams = toks.select(
+        "__id",
+        F.col("__toks"),
+        F.explode(
+            F.when(
+                F.size("__toks") >= span_len,
+                F.sequence(F.lit(0), F.size("__toks") - span_len),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__p"),
+    ).select(
+        "__id",
+        "__p",
+        _h60(
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__p") + 1, span_len)
+            )
+        ).alias("__h"),
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__n_docs"))
+        .filter(F.col("__n_docs") > max_docs)
+    )
+    covered = (
+        grams.join(dup, "__h")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + span_len - 1)
+            ).alias("__pos"),
+        )
+        .distinct()
+    )
+    # LEFT join + keep flag (not an anti-join): a fully-covered document
+    # must still emit an output row with empty text, and posexplode_outer
+    # keeps zero-token documents represented too.
+    tokens = toks.select(
+        "__id", F.posexplode_outer("__toks").alias("__pos", "__tok")
+    )
+    tagged = tokens.join(
+        covered.withColumn("__cov", F.lit(1)), ["__id", "__pos"], "left"
+    ).withColumn(
+        "__keep", F.col("__cov").isNull() & F.col("__tok").isNotNull()
+    )
+    return (
+        tagged.groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep"), F.struct("__pos", "__tok"))
+                )
+            ).alias("__kept"),
+            F.sum(
+                F.when(
+                    ~F.col("__keep") & F.col("__tok").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_tokens_dropped"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s: s["__tok"]), " "
+            ).alias(text_col),
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+            "n_tokens_dropped",
+        )
+    )

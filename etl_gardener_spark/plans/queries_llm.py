@@ -2351,6 +2351,72 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPAN_L = 5  # tokens per sliding window for the span-dedup query
+
+
+def _span_dedup_oracle() -> str:
+    L = _SPAN_L
+    h = _h60(f"array_to_string(list_slice(toks, p + 1, p + {L}), ' ')")
+    return f"""
+    {_DOCS_CTE},
+    g AS (
+      SELECT doc_id, toks,
+             unnest(range(0, GREATEST(len(toks) - {L} + 1, 0))) AS p
+      FROM d),
+    hashed AS (SELECT doc_id, p, {h} AS h FROM g),
+    dup AS (SELECT h FROM hashed GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT hashed.doc_id, unnest(range(p, p + {L})) AS pos
+        FROM hashed JOIN dup USING (h)) q),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(range(0, len(toks))) AS pos
+      FROM d),
+    tagged AS (
+      SELECT t.doc_id, t.tok, t.pos, (c.doc_id IS NULL) AS keep
+      FROM tok t LEFT JOIN covered c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos),
+    agg AS (
+      SELECT doc_id,
+             md5(COALESCE(string_agg(CASE WHEN keep THEN tok END,
+                                     ' ' ORDER BY pos), '')) AS text_md5,
+             CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_tokens_kept,
+             CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT)
+               AS n_tokens_dropped
+      FROM tagged GROUP BY doc_id)
+    SELECT i.doc_id,
+           COALESCE(a.text_md5, md5('')) AS text_md5,
+           CAST(COALESCE(a.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(COALESCE(a.n_tokens_dropped, 0) AS BIGINT)
+             AS n_tokens_dropped
+    FROM (SELECT doc_id FROM d) i LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@query("doc_span_dedup", _span_dedup_oracle(), tags=("llm", "dedup", "spans"))
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-grain duplicate-span removal (operators/corpus.py
+    drop_duplicate_spans): every token covered by a 5-token sliding
+    window whose content appears in >1 distinct documents is dropped —
+    the fixed-grain distributed approximation of suffix-array exact-
+    substring dedup, catching templated passages that cross the line
+    boundaries [[doc_line_dedup]] operates on. Shuffles key on the
+    60-bit window hash and the doc id; the covered-position blow-up is
+    span_len x DUPLICATE windows only."""
+    d = load_table(spark, sf_dir, "documents")
+    out = CP.drop_duplicate_spans(
+        d, "text", "doc_id", span_len=_SPAN_L, max_docs=1
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_tokens_kept",
+        "n_tokens_dropped",
+    )
+
+
 # ---------------------------------------------------------------------------
 # PCA / whitening (operators/pca.py)
 # ---------------------------------------------------------------------------

@@ -153,3 +153,111 @@ def test_mixture_report_shares_sum_to_one(spark):
     assert got[("s1", "en")]["token_share"] == 0.5
     assert got[("s2", "fr")]["token_share"] == 0.5
     assert sum(v["token_share"] for v in got.values()) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# drop_duplicate_spans (substring-grain dedup)
+# ---------------------------------------------------------------------------
+
+
+def _spans(spark, rows, span_len=3, max_docs=1):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = CP.drop_duplicate_spans(
+        df, "text", "doc_id", span_len=span_len, max_docs=max_docs
+    )
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_span_dedup_drops_cross_doc_window_everywhere(spark):
+    """A 3-token window shared by two docs removes its covered tokens
+    from BOTH docs; unshared context survives in original order."""
+    out = _spans(
+        spark,
+        [
+            (1, "alpha beta gamma delta unique1 tail1"),
+            (2, "front2 alpha beta gamma delta tail2"),
+            (3, "totally different tokens here"),
+        ],
+    )
+    # windows "alpha beta gamma", "beta gamma delta" are cross-doc dups:
+    # covered tokens alpha..delta vanish from both docs
+    assert out[1]["text"] == "unique1 tail1"
+    assert out[1]["n_tokens_kept"] == 2 and out[1]["n_tokens_dropped"] == 4
+    assert out[2]["text"] == "front2 tail2"
+    assert out[3]["text"] == "totally different tokens here"
+    assert out[3]["n_tokens_dropped"] == 0
+
+
+def test_span_dedup_repeats_shorter_than_window_survive(spark):
+    """A repeat shorter than span_len never forms a duplicate window, so
+    it survives — the documented grain of the approximation."""
+    out = _spans(
+        spark,
+        [(1, "common pair here aaa bbb"), (2, "common pair there ccc ddd")],
+        span_len=3,
+    )
+    # "common pair" (2 tokens) < span_len: no shared 3-window exists
+    assert out[1]["text"] == "common pair here aaa bbb"
+    assert out[2]["text"] == "common pair there ccc ddd"
+
+
+def test_span_dedup_intra_doc_repeat_survives(spark):
+    """A window repeated only WITHIN one doc has countDistinct(doc) == 1
+    and is not boilerplate."""
+    out = _spans(spark, [(1, "x y z x y z"), (2, "p q r s t u")])
+    assert out[1]["text"] == "x y z x y z"
+    assert out[1]["n_tokens_dropped"] == 0
+
+
+def test_span_dedup_fully_covered_doc_emits_empty_row(spark):
+    """A doc whose every token is covered by duplicate windows still
+    emits an output row (empty text), like line dedup does."""
+    out = _spans(
+        spark, [(1, "a b c"), (2, "a b c"), (3, "own words entirely")]
+    )
+    for i in (1, 2):
+        assert out[i]["text"] == ""
+        assert out[i]["n_tokens_kept"] == 0
+        assert out[i]["n_tokens_dropped"] == 3
+    assert out[3]["text"] == "own words entirely"
+
+
+def test_span_dedup_short_and_null_docs_round_trip(spark):
+    """Docs shorter than span_len have no windows and survive whole;
+    NULL text round-trips like empty text (coalesce discipline)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, None), (3, "")], schema
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CP.drop_duplicate_spans(
+            df, "text", "doc_id", span_len=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == "tiny doc" and out[1]["n_tokens_kept"] == 2
+    for i in (2, 3):
+        assert out[i]["text"] == ""
+        assert out[i]["n_tokens_kept"] == 0
+        assert out[i]["n_tokens_dropped"] == 0
+
+
+def test_span_dedup_max_docs_threshold(spark):
+    """max_docs=2 tolerates a window in two docs; three docs trips it."""
+    rows = [
+        (1, "shared run of words plus one"),
+        (2, "shared run of words plus two"),
+        (3, "shared run of words plus three"),
+    ]
+    tolerant = _spans(spark, rows, span_len=4, max_docs=2)
+    assert tolerant[1]["n_tokens_dropped"] > 0  # 3 docs > max_docs=2
+    strict2 = _spans(spark, rows[:2], span_len=4, max_docs=2)
+    assert strict2[1]["text"] == rows[0][1]  # 2 docs <= max_docs=2
