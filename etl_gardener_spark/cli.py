@@ -173,6 +173,28 @@ def cmd_explain(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    """Sweep orphaned staging dirs older than --min-age (warehouse
+    hygiene; safe to run while ops are in flight — age-gated)."""
+    from etl_gardener_spark.warehouse import vacuum_staging
+
+    removed = vacuum_staging(_spark(), args.warehouse, args.min_age)
+    print(json.dumps({"removed": removed}))
+    return 0
+
+
+def cmd_recover(args) -> int:
+    """Complete or abort interrupted staged swaps (crash recovery). Run
+    at startup BEFORE any other op — Gardener's serve path does this
+    automatically; this command is the standalone equivalent for
+    driver-less warehouses."""
+    from etl_gardener_spark.warehouse import recover_staging
+
+    out = recover_staging(_spark(), args.warehouse)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_gardener_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -237,6 +259,23 @@ def main(argv: list[str] | None = None) -> int:
         "-job_cleanup_delay)",
     )
     ps.set_defaults(fn=cmd_serve)
+
+    pv = sub.add_parser(
+        "vacuum", help="sweep orphaned _staging dirs (age-gated)"
+    )
+    pv.add_argument("--warehouse", required=True)
+    pv.add_argument(
+        "--min-age", type=float, default=3600.0,
+        help="only remove staging dirs idle at least this many seconds",
+    )
+    pv.set_defaults(fn=cmd_vacuum)
+
+    pr = sub.add_parser(
+        "recover",
+        help="complete/abort interrupted staged swaps (run at startup)",
+    )
+    pr.add_argument("--warehouse", required=True)
+    pr.set_defaults(fn=cmd_recover)
 
     args = p.parse_args(argv)
     return args.fn(args)

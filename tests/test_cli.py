@@ -203,3 +203,43 @@ def test_cli_explain_prints_plan_and_lists(capsys):
     assert "Physical Plan" in out and "PushedFilters" in out
 
     assert main(["explain", "no_such_query"]) == 2
+
+
+def test_cli_vacuum_and_recover(spark, tmp_path, capsys):
+    """The warehouse-hygiene subcommands: `recover` completes an
+    interrupted staged swap (committed staging dir, missing target);
+    `vacuum --min-age 0` removes a torn staging orphan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.warehouse import Warehouse, _staged_path
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    from datetime import date as D
+
+    day = D(2024, 3, 9)
+    df = spark.createDataFrame([("a", 1.0)], "id string, v double").withColumn(
+        "date", F.lit(day.isoformat()).cast("date")
+    )
+    wh.overwrite_partitions(df, "raw", "ndt", "ndt7")
+    part = wh.partition_path("raw", "ndt", "ndt7", day)
+    staged = _staged_path(part, "forgetting")
+    import shutil
+
+    os.makedirs(os.path.dirname(staged), exist_ok=True)
+    shutil.move(part, staged)
+    open(os.path.join(staged, "_SUCCESS"), "w").close()
+
+    assert main(["recover", "--warehouse", wh.root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["completed"] == [part]
+    assert wh.read_partition(spark, "raw", "ndt", "ndt7", day).count() == 1
+
+    # a torn orphan (no _SUCCESS) is vacuumable once idle
+    orphan = _staged_path(part, "compacting")
+    os.makedirs(orphan, exist_ok=True)
+    assert main(["vacuum", "--warehouse", wh.root, "--min-age", "0"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed"] == [orphan]
+    assert not os.path.exists(orphan)
