@@ -488,3 +488,85 @@ def drop_duplicate_spans(
             "n_tokens_dropped",
         )
     )
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_len: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Measurement companion to :func:`drop_duplicate_spans` — per
+    document, how many tokens WOULD be removed by span dedup: the number
+    an operator reads (aggregated over the corpus) before committing to
+    the rewrite, and the per-doc screen for template-dominated documents
+    (coverage_frac near 1 = the doc is mostly boilerplate even when no
+    single line repeats).
+
+    Output: (id, n_tokens, n_covered, coverage_frac).
+
+    Same two window-hash-keyed shuffles as the rewrite, but it stops at
+    the covered-position COUNT — no token stream is rebuilt, so the
+    profile is strictly cheaper than the rewrite it predicts.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        ws_tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
+    )
+    grams = toks.select(
+        "__id",
+        F.col("__toks"),
+        F.explode(
+            F.when(
+                F.size("__toks") >= span_len,
+                F.sequence(F.lit(0), F.size("__toks") - span_len),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__p"),
+    ).select(
+        "__id",
+        "__p",
+        _h60(
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__p") + 1, span_len)
+            )
+        ).alias("__h"),
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.countDistinct("__id").alias("__n_docs"))
+        .filter(F.col("__n_docs") > max_docs)
+    )
+    covered_counts = (
+        grams.join(dup, "__h")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + span_len - 1)
+            ).alias("__pos"),
+        )
+        .distinct()
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    base = toks.select(
+        "__id", F.size("__toks").cast("long").alias("n_tokens")
+    )
+    return base.join(covered_counts, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_covered"), F.lit(0))
+        .cast("long")
+        .alias("n_covered"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.coalesce(F.col("n_covered"), F.lit(0))
+                / F.col("n_tokens"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coverage_frac"),
+    )

@@ -2395,6 +2395,53 @@ def _span_dedup_oracle() -> str:
     """
 
 
+def _span_coverage_oracle() -> str:
+    L = _SPAN_L
+    h = _h60(f"array_to_string(list_slice(toks, p + 1, p + {L}), ' ')")
+    return f"""
+    {_DOCS_CTE},
+    g AS (
+      SELECT doc_id, toks,
+             unnest(range(0, GREATEST(len(toks) - {L} + 1, 0))) AS p
+      FROM d),
+    hashed AS (SELECT doc_id, p, {h} AS h FROM g),
+    dup AS (SELECT h FROM hashed GROUP BY h
+            HAVING COUNT(DISTINCT doc_id) > 1),
+    covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT hashed.doc_id, unnest(range(p, p + {L})) AS pos
+        FROM hashed JOIN dup USING (h)) q),
+    cc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+           FROM covered GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cc.n_covered, 0) AS BIGINT) AS n_covered,
+           CASE WHEN len(d.toks) > 0
+                THEN ROUND(COALESCE(cc.n_covered, 0)
+                           / CAST(len(d.toks) AS DOUBLE), 4)
+                ELSE 0.0 END AS coverage_frac
+    FROM d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    """
+
+
+@query(
+    "doc_dup_span_coverage",
+    _span_coverage_oracle(),
+    tags=("llm", "dedup", "spans", "profile"),
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight profile for [[doc_span_dedup]]: per document, the token
+    count that cross-document duplicate 5-token windows WOULD remove,
+    and its fraction — the corpus-rollup of this is what decides whether
+    the rewrite is worth running, and coverage_frac near 1 flags
+    template-dominated documents that pass every line-grain screen.
+    Stops at the covered-position count; strictly cheaper than the
+    rewrite it predicts (operators/corpus.duplicate_span_profile)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.duplicate_span_profile(
+        d, "text", "doc_id", span_len=_SPAN_L, max_docs=1
+    )
+
+
 @query("doc_span_dedup", _span_dedup_oracle(), tags=("llm", "dedup", "spans"))
 def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-grain duplicate-span removal (operators/corpus.py

@@ -261,3 +261,37 @@ def test_span_dedup_max_docs_threshold(spark):
     assert tolerant[1]["n_tokens_dropped"] > 0  # 3 docs > max_docs=2
     strict2 = _spans(spark, rows[:2], span_len=4, max_docs=2)
     assert strict2[1]["text"] == rows[0][1]  # 2 docs <= max_docs=2
+
+
+def test_duplicate_span_profile_matches_rewrite(spark):
+    """The profile's n_covered must equal exactly the token count the
+    rewrite would drop, doc by doc — it is the same verdict, stopped
+    before the rebuild."""
+    rows = [
+        (1, "alpha beta gamma delta unique1 tail1"),
+        (2, "front2 alpha beta gamma delta tail2"),
+        (3, "totally different tokens here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    prof = {
+        r["doc_id"]: r
+        for r in CP.duplicate_span_profile(
+            df, "text", "doc_id", span_len=3
+        ).collect()
+    }
+    rewrite = {
+        r["doc_id"]: r
+        for r in CP.drop_duplicate_spans(
+            df, "text", "doc_id", span_len=3
+        ).collect()
+    }
+    assert set(prof) == set(rewrite) == {1, 2, 3, 4}
+    for i in prof:
+        assert prof[i]["n_covered"] == rewrite[i]["n_tokens_dropped"], i
+        assert (
+            prof[i]["n_tokens"]
+            == rewrite[i]["n_tokens_kept"] + rewrite[i]["n_tokens_dropped"]
+        ), i
+    assert prof[1]["coverage_frac"] == pytest.approx(4 / 6, abs=1e-4)
+    assert prof[4]["n_tokens"] == 0 and prof[4]["coverage_frac"] == 0.0
