@@ -322,16 +322,7 @@ def drop_duplicate_lines(
     over the line stream. (Suffix-array substring dedup is the heavier
     cousin; line-grain is the standard first pass.)
     """
-    # NULL text coalesces to '' so a NULL-text doc round-trips as one
-    # blank (never dedup-eligible) line exactly like an empty-string doc
-    # — split(NULL) would yield zero posexplode rows and silently DROP
-    # the document from the output.
-    lines = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
-        ).alias("__pos", "__line"),
-    ).withColumn("__h", _h60(F.lower(F.trim(F.col("__line")))))
+    lines = _line_stream(df, text_col, id_col, line_sep)
     verdict = lines.groupBy("__h").agg(
         F.countDistinct("__id").alias("__n_docs")
     )
@@ -341,6 +332,30 @@ def drop_duplicate_lines(
         "__keep",
         (F.col("__n_docs") <= max_docs) | (F.trim(F.col("__line")) == ""),
     )
+    return _rebuild_lines(tagged, id_col, text_col, line_sep)
+
+
+def _line_stream(
+    df: DataFrame, text_col: str, id_col: str, line_sep: str
+) -> DataFrame:
+    """(__id, __pos, __line, __h) line stream shared by the full and
+    incremental line-dedup passes. NULL text coalesces to '' so a
+    NULL-text doc round-trips as one blank (never dedup-eligible) line
+    exactly like an empty-string doc — split(NULL) would yield zero
+    posexplode rows and silently DROP the document from the output."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), line_sep)
+        ).alias("__pos", "__line"),
+    ).withColumn("__h", _h60(F.lower(F.trim(F.col("__line")))))
+
+
+def _rebuild_lines(
+    tagged: DataFrame, id_col: str, text_col: str, line_sep: str
+) -> DataFrame:
+    """Reassemble documents from a __keep-tagged line stream: order is
+    restored by the explicit __pos key, never by partition luck."""
     return (
         tagged.groupBy("__id")
         .agg(
@@ -368,6 +383,66 @@ def drop_duplicate_lines(
             "n_lines_dropped",
         )
     )
+
+
+def line_hash_store(
+    df: DataFrame, text_col: str, id_col: str, *, line_sep: str = "\n"
+) -> DataFrame:
+    """Persistable line-hash store for incremental line dedup: one row
+    per distinct normalized-line hash in the corpus with its distinct-
+    document count — ``(line_hash, n_docs)``. 16 bytes per distinct
+    line: the compact state a daily ingest keeps instead of rescanning
+    history (same batch-vs-store discipline as the MinHash signature
+    store and the SemDeDup centroid store)."""
+    return (
+        _line_stream(df, text_col, id_col, line_sep)
+        .groupBy(F.col("__h").alias("line_hash"))
+        .agg(F.countDistinct("__id").cast("long").alias("n_docs"))
+    )
+
+
+def drop_duplicate_lines_incremental(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    line_sep: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """Incremental duplicate-line removal: dedup an incoming BATCH
+    against a persisted :func:`line_hash_store` without rescanning the
+    historical corpus. A batch line is dropped when its TOTAL distinct-
+    doc count — store count plus batch count — exceeds ``max_docs``;
+    blank lines stay ineligible. Equivalent, for the batch documents, to
+    running :func:`drop_duplicate_lines` over (history ∪ batch) — the
+    equivalence is property-tested and is what makes daily ingest dedup
+    exact, not approximate.
+
+    Scale shape: the history never rescans — its compact store joins the
+    batch's line stream hash-to-hash (AQE broadcasts the smaller side),
+    and the only other shuffle is the batch-internal verdict aggregate.
+    Store maintenance composes the same way: the next store is the old
+    one outer-merged with ``line_hash_store(batch)``, counts summed.
+    """
+    lines = _line_stream(batch, text_col, id_col, line_sep)
+    batch_verdict = lines.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__bn")
+    )
+    st = store.select(
+        F.col("line_hash").alias("__h"), F.col("n_docs").alias("__sn")
+    )
+    verdict = batch_verdict.join(st, "__h", "left").select(
+        "__h",
+        (F.col("__bn") + F.coalesce(F.col("__sn"), F.lit(0))).alias(
+            "__n_docs"
+        ),
+    )
+    tagged = lines.join(verdict, "__h").withColumn(
+        "__keep",
+        (F.col("__n_docs") <= max_docs) | (F.trim(F.col("__line")) == ""),
+    )
+    return _rebuild_lines(tagged, id_col, text_col, line_sep)
 
 
 def drop_duplicate_spans(

@@ -2325,3 +2325,102 @@ def warehouse_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(d, "documents", "source", "doc_id"))
         .unionByName(summarize(emb, "embeddings", "label", "vec_id"))
     )
+
+
+@query(
+    "weekly_value_histogram_rollup",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(FLOOR(value / 25) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    weekly AS (
+      SELECT CAST(date_trunc('week', d) AS DATE) AS week, bucket,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM daily GROUP BY 1, 2),
+    cum AS (
+      SELECT week, bucket, n,
+             SUM(n) OVER (PARTITION BY week ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             SUM(n) OVER (PARTITION BY week) AS tot
+      FROM weekly),
+    approx AS (
+      SELECT week, CAST(MAX(tot) AS BIGINT) AS n_values,
+             CAST(MIN(CASE WHEN c >= tot / 2.0 THEN bucket END) AS DOUBLE)
+               * 25.0 AS approx_median
+      FROM cum GROUP BY week),
+    exact AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+             ROUND(median(value), 6) AS exact_median
+      FROM events WHERE value IS NOT NULL GROUP BY 1)
+    SELECT a.week, a.n_values, a.approx_median, e.exact_median,
+           (ABS(a.approx_median - e.exact_median) <= 25.0) AS bound_ok
+    FROM approx a JOIN exact e USING (week)
+    """,
+    tags=("analytics", "rollup", "sketch", "histogram"),
+)
+def weekly_value_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable HISTOGRAM rollup — the percentile analogue of the
+    HLL weekly rollup [[weekly_users_sketch_rollup]]: daily equi-width
+    histograms (bucket = floor(value/25), exact integer counts) MERGE to
+    weekly by summing bucket counts, never rescanning raw rows — at
+    100 TB the weekly/monthly/yearly ladder reads |days| x |buckets|
+    rows, not the event stream. The weekly approximate median comes off
+    the merged histogram's cumulative counts, and the certificate is an
+    exact error BOUND: an equi-width histogram's median estimate (lower
+    bucket edge) is within one bucket width of the true median, so
+    ``bound_ok`` must be constantly TRUE next to the exact median the
+    oracle also computes. Integer bucket arithmetic is engine-exact;
+    only the interpolated exact median needs the 6-dp rounding
+    discipline."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        e.select(
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") / 25).cast("long").alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", "d").cast("date").alias("week"), "bucket"
+        )
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    wc = Window.partitionBy("week").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("week")
+    cum = weekly.withColumn("c", F.sum("n").over(wc)).withColumn(
+        "tot", F.sum("n").over(wt)
+    )
+    approx = cum.groupBy("week").agg(
+        F.max("tot").cast("long").alias("n_values"),
+        (
+            F.min(
+                F.when(F.col("c") >= F.col("tot") / 2.0, F.col("bucket"))
+            )
+            * 25.0
+        ).alias("approx_median"),
+    )
+    exact = (
+        e.select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            "value",
+        )
+        .groupBy("week")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_median"))
+    )
+    return approx.join(exact, "week").select(
+        "week",
+        "n_values",
+        "approx_median",
+        "exact_median",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median")) <= 25.0
+        ).alias("bound_ok"),
+    )

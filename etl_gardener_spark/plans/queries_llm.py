@@ -2290,7 +2290,11 @@ def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_CHUNK = 3  # tokens per synthetic "line" for the line-dedup query
 
 
-def _line_dedup_oracle() -> str:
+def _line_dedup_oracle(only: str = "TRUE") -> str:
+    """Full corpus line-dedup oracle; ``only`` filters the OUTPUT docs
+    (the verdict always sees the whole corpus) — the incremental query
+    passes the batch predicate here, since batch-vs-store dedup is by
+    construction the union dedup restricted to batch documents."""
     h = _h60("lower(trim(line))")
     c = _LINE_CHUNK
     return f"""
@@ -2316,8 +2320,27 @@ def _line_dedup_oracle() -> str:
                                    chr(10) ORDER BY pos), '')) AS text_md5,
            CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_lines_kept,
            CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_lines_dropped
-    FROM tagged GROUP BY doc_id
+    FROM tagged WHERE {only} GROUP BY doc_id
     """
+
+
+def _chunked_lines(d: DataFrame) -> DataFrame:
+    """(doc_id, text) with text = newline-joined 3-token chunks — the
+    synthetic corpus has no newlines, so both engines build identical
+    'lines' at this fixed grain."""
+    c = _LINE_CHUNK
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__toks) / {c}.0) as int) - 1),"
+        f" i -> concat_ws(' ', slice(__toks, i*{c}+1, {c})))"
+    )
+    return d.select(
+        "doc_id", TX.ws_tokens("text").alias("__toks")
+    ).select(
+        "doc_id",
+        F.when(F.size("__toks") > 0, F.array_join(chunks, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
 
 
 @query("doc_line_dedup", _line_dedup_oracle(), tags=("llm", "dedup", "lines"))
@@ -2328,21 +2351,39 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are rebuilt in original line order. The synthetic corpus has no
     newlines, so 'lines' are 3-token chunks built identically on both
     engines. Two hash-keyed shuffles regardless of corpus size."""
-    c = _LINE_CHUNK
     d = load_table(spark, sf_dir, "documents")
-    chunks = F.expr(
-        f"transform(sequence(0, cast(ceil(size(__toks) / {c}.0) as int) - 1),"
-        f" i -> concat_ws(' ', slice(__toks, i*{c}+1, {c})))"
-    )
-    lined = d.select(
-        "doc_id", TX.ws_tokens("text").alias("__toks")
-    ).select(
+    out = CP.drop_duplicate_lines(_chunked_lines(d), "text", "doc_id")
+    return out.select(
         "doc_id",
-        F.when(F.size("__toks") > 0, F.array_join(chunks, "\n"))
-        .otherwise(F.lit(""))
-        .alias("text"),
+        F.md5("text").alias("text_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
     )
-    out = CP.drop_duplicate_lines(lined, "text", "doc_id")
+
+
+@query(
+    "doc_incremental_line_dedup",
+    _line_dedup_oracle(only="doc_id % 2 = 1"),
+    tags=("llm", "dedup", "lines", "incremental"),
+)
+def doc_incremental_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-store line dedup (operators/corpus.py
+    drop_duplicate_lines_incremental): even doc_ids play the persisted
+    corpus — collapsed to its compact (line_hash, n_docs) store — and
+    odd doc_ids the incoming batch, deduped against store + batch counts
+    WITHOUT rescanning history. By construction this equals full union
+    dedup restricted to batch docs, which is exactly what the oracle
+    computes; completes the incremental family ([[doc_incremental_dedup]]
+    MinHash, [[emb_incremental_semantic_dedup]], [[emb_incremental_ann_topk]])
+    at line grain."""
+    d = load_table(spark, sf_dir, "documents")
+    lined = _chunked_lines(d)
+    store = CP.line_hash_store(
+        lined.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    )
+    out = CP.drop_duplicate_lines_incremental(
+        lined.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id"
+    )
     return out.select(
         "doc_id",
         F.md5("text").alias("text_md5"),

@@ -65,3 +65,32 @@ def test_line_dedup_is_idempotent(spark, docs):
         (r["doc_id"], r["text"]) for r in twice.collect()
     } == {(r["doc_id"], r["text"]) for r in once.collect()}
     assert twice.filter("n_lines_dropped > 0").count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=corpus_strategy)
+def test_incremental_line_dedup_equals_union_restricted_to_batch(spark, docs):
+    """drop_duplicate_lines_incremental(batch, line_hash_store(history))
+    must equal the FULL union dedup restricted to batch docs — the
+    exactness claim that lets daily ingest skip rescanning history.
+    History = even indices, batch = odd."""
+    from etl_gardener_spark.operators.corpus import (
+        drop_duplicate_lines_incremental,
+        line_hash_store,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    history = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+    store = line_hash_store(history, "text", "doc_id")
+    inc = {
+        r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in drop_duplicate_lines_incremental(
+            batch, store, "text", "doc_id"
+        ).collect()
+    }
+    full = {
+        i: v for i, v in _reference(docs).items() if i % 2 == 1
+    }
+    assert inc == full
