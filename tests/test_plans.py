@@ -456,3 +456,24 @@ def test_winnow_hash_pipeline_behind_barrier(spark):
     p = plan(winnow_fingerprints(docs, "text", "doc_id"))
     assert "ExistingRDD" in p or "LogicalRDD" in p  # checkpoint scan
     assert p.count("md5") == 0  # hashing happened before the barrier
+
+
+def test_dynamic_partition_pruning_on_dim_filtered_join(spark, tmp_path):
+    """Dynamic partition pruning (DPP): a fact table partitioned on date,
+    joined to a FILTERED dim on the partition column, must plan a
+    dynamicpruning subquery on the fact scan — at 100 TB this is what
+    turns 'join to this week's calendar' into a 7-partition read instead
+    of a full-table scan, with the pruning value discovered at RUNTIME
+    from the dim side (static pruning can't see through the join)."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    events = load_table(spark, SF, "events").withColumn("date", F.to_date("ts"))
+    wh.append(events, "tmp", "exp", "events")
+    fact = wh.read(spark, "tmp", "exp", "events")
+    dim = (
+        events.select("date").distinct()
+        .withColumn("is_hot", F.col("date") == "2024-01-15")
+        .filter(F.col("is_hot"))
+    )
+    joined = fact.join(dim.hint("broadcast"), "date").groupBy("date").count()
+    p = plan(joined)
+    assert "dynamicpruning" in p.lower(), p[:2000]
