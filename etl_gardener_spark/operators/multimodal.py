@@ -180,9 +180,19 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 ids.append(doc_id)
-                lens.append(len(arr))
-                means.append(round(float(arr.mean()), 6) if len(arr) else 0.0)
-                peaks.append(int(arr.max()) if len(arr) else 0)
+                n = len(arr)
+                lens.append(n)
+                # mean rounded HALF-UP via the integer (2x + d) div 2d
+                # kernel — Python round() is half-EVEN and diverges from
+                # the oracle's ROUND() when sum/n lands exactly on a
+                # 6-dp midpoint (byte sums over power-of-two lengths do)
+                means.append(
+                    ((2 * int(arr.sum(dtype=np.int64)) * 10**6 + n)
+                     // (2 * n)) / 1e6
+                    if n
+                    else 0.0
+                )
+                peaks.append(int(arr.max()) if n else 0)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

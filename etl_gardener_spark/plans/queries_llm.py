@@ -1614,7 +1614,10 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents),
     u AS (SELECT t.doc_id, unicode(substr(t.text, CAST(r.i AS INT), 1)) AS b
           FROM t, unnest(range(1, CAST(length(t.text) + 1 AS BIGINT))) AS r(i)),
-    s AS (SELECT doc_id, ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_amplitude,
+    s AS (SELECT doc_id,
+                 CAST((2 * CAST(SUM(b) AS BIGINT) * 1000000 + COUNT(*))
+                      // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+                   AS mean_amplitude,
                  CAST(MAX(b) AS BIGINT) AS peak_amplitude
           FROM u GROUP BY doc_id)
     SELECT t.doc_id, t.byte_len,
@@ -1628,8 +1631,10 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Audio' feature extraction (librosa import-gated; deterministic byte
     stats stub here — mean/peak byte value). The oracle unnests code
     points (the corpus is ASCII, so code point == payload byte); the byte
-    sum is integer-exact in both engines, so the rounded means agree
-    bit-for-bit."""
+    sum is integer-exact in both engines and the mean rounds HALF-UP via
+    the integer ``(2x + d) div 2d`` kernel on BOTH sides — Python
+    ``round()``'s half-even diverged at an exact 6-dp midpoint at sf1
+    (byte sums over power-of-two payload lengths hit them)."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.attach_binary(d, "text", "doc_id", modality="audio")
     return MM.extract_audio_features(media, "doc_id")

@@ -318,3 +318,23 @@ def test_daily_approx_users_on_duplicate_heavy_boundary_days(spark, tmp_path):
     assert by_day["2024-01-02"]["exact_users"] == 3
     assert by_day["2024-01-03"]["exact_users"] == 60
     assert all(r["sketch_ok"] for r in out)
+
+
+def test_audio_mean_rounds_half_up_at_exact_midpoint(spark):
+    """Byte means over power-of-two payload lengths land on exact 6-dp
+    midpoints (odd_sum/128 always has a trailing ...5 at the 7th
+    decimal): the stub must round HALF-UP like the SQL oracle, not
+    Python round()'s half-even. 1/128 = 0.0078125 -> 0.007813."""
+    from etl_gardener_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, "\x00" * 127 + "\x01"), (2, "\x02" * 64)], ["doc_id", "text"]
+    )
+    media = MM.attach_binary(docs, "text", "doc_id", modality="audio")
+    out = {
+        r["doc_id"]: r
+        for r in MM.extract_audio_features(media, "doc_id").collect()
+    }
+    assert out[1]["mean_amplitude"] == 0.007813  # half-up, not 0.007812
+    assert out[2]["mean_amplitude"] == 2.0  # exact mean unperturbed
+    assert out[1]["byte_len"] == 128 and out[1]["peak_amplitude"] == 1
