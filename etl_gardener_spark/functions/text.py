@@ -103,10 +103,14 @@ def quality_score(col: Column | str) -> Column:
     usual heuristic-filter shape (length/diversity/punctuation), not tuned.
     """
     length_term = F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
-    return F.round(
-        0.4 * length_term + 0.3 * type_token_ratio(col) + 0.3 * (1 - punct_ratio(col)),
-        4,
+    # floor(x*1e4 + 0.5)/1e4, not ROUND: Spark's ROUND rounds the
+    # shortest-decimal-repr half-up and disagrees with engines that round
+    # the binary value when the score prints exactly on a 4-dp midpoint
+    # (observed at sf0.1) — the floor kernel is engine-portable.
+    score = (
+        0.4 * length_term + 0.3 * type_token_ratio(col) + 0.3 * (1 - punct_ratio(col))
     )
+    return F.floor(score * 10000 + 0.5) / 10000
 
 
 def langid_struct(col: Column | str) -> list[Column]:

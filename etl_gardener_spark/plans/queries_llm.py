@@ -125,39 +125,50 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     {_DOCS_CTE}
     SELECT doc_id,
-           ROUND(CAST(len(list_filter(toks, t -> list_contains({_EN_STOPS}, t)))
-                 AS DOUBLE) / len(toks), 4) AS stopword_ratio,
-           ROUND(CAST(length(text) - length(regexp_replace(lower(text),
-                 '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4
-                ) AS punct_ratio,
-           ROUND(0.4 * least(1.0, len(toks) / 100.0)
+           FLOOR(CAST(len(list_filter(toks, t -> list_contains({_EN_STOPS}, t)))
+                 AS DOUBLE) / len(toks) * 10000 + 0.5) / 10000 AS stopword_ratio,
+           FLOOR(CAST(length(text) - length(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 * 10000 + 0.5) / 10000 AS punct_ratio,
+           FLOOR((0.4 * least(1.0, len(toks) / 100.0)
                  + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
                  + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),
-                       '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)),
-                 4) AS quality
+                       '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))
+                 * 10000 + 0.5) / 10000 AS quality
     FROM d
     """,
     tags=("llm", "text"),
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality filter features: stopword ratio, punctuation
-    ratio, and the composite score (length/diversity/punctuation)."""
+    ratio, and the composite score (length/diversity/punctuation).
+
+    4-dp display rounding goes through ``floor(x*1e4 + 0.5)/1e4`` on
+    BOTH engines, not ROUND(): Spark's ROUND rounds the double's
+    SHORTEST DECIMAL REPR half-up while DuckDB rounds the binary value,
+    and they disagree when a ratio's shortest repr lands exactly on a
+    4-dp midpoint (found at sf0.1: doc 2604's quality prints "0.66075").
+    The floor kernel is the identical IEEE expression tree in both
+    engines, so the rounded values agree bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", TX.ws_tokens("text").alias("__toks"))
     toks = F.col("__toks")
+
+    def r4(c):
+        return F.floor(c * 10000 + 0.5) / 10000
+
     length_term = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
-    quality = F.round(
+    quality = r4(
         0.4 * length_term
         + 0.3 * TX.type_token_ratio_of(toks)
-        + 0.3 * (1 - TX.punct_ratio("text")),
-        4,
+        + 0.3 * (1 - TX.punct_ratio("text"))
     )
     return staged.select(
         "doc_id",
-        F.round(TX.stopword_hits_of(toks, "en") / F.size(toks), 4).alias(
+        r4(TX.stopword_hits_of(toks, "en") / F.size(toks)).alias(
             "stopword_ratio"
         ),
-        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        r4(TX.punct_ratio("text")).alias("punct_ratio"),
         quality.alias("quality"),
     )
 
