@@ -240,11 +240,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat AS (
       SELECT doc_id,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-             ROUND(0.4 * least(1.0, len(toks) / 100.0)
+             FLOOR((0.4 * least(1.0, len(toks) / 100.0)
                    + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
                    + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),
-                         '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)),
-                   4) AS quality,
+                         '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))
+                   * 10000 + 0.5) / 10000 AS quality,
              {_hits_sql("en")} AS hits_en,
              greatest({_hits_sql("de")}, {_hits_sql("en")}, {_hits_sql("es")},
                       {_hits_sql("fr")}, {_hits_sql("zh")}) AS hits_best
@@ -280,11 +280,19 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.col("__toks")
     length_term = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
-    quality = F.round(
-        0.4 * length_term
-        + 0.3 * TX.type_token_ratio_of(toks)
-        + 0.3 * (1 - TX.punct_ratio("text")),
-        4,
+    # floor kernel, not ROUND — same repr-midpoint hazard as
+    # doc_quality_score (doc 2604 prints "0.66075" at sf0.1)
+    quality = (
+        F.floor(
+            (
+                0.4 * length_term
+                + 0.3 * TX.type_token_ratio_of(toks)
+                + 0.3 * (1 - TX.punct_ratio("text"))
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000
     )
     hits = {lg: TX.stopword_hits_of(toks, lg) for lg in sorted(TX.STOPWORDS)}
     feat = staged.select(
