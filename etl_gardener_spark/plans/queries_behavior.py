@@ -2051,3 +2051,105 @@ def user_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ent > 3.0).alias("too_uniform"),
         )
     )
+
+
+_QSKETCH_ACC = 200  # percentile_approx accuracy: rank error <= n/ACC
+
+
+@query(
+    "ship_lag_quantile_sketch",
+    f"""
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                  // 86400000000 AS BIGINT) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    r AS (
+      SELECT o_orderpriority, lag_days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY lag_days) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM t)
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN lag_days END) AS BIGINT) AS exact_p50,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                         THEN lag_days END) AS BIGINT) AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+    FROM r GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "percentile", "sketch", "bound-check"),
+)
+def ship_lag_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile certification — the third re-aggregatable
+    summary family next to HLL distincts and mergeable histograms:
+    ``percentile_approx`` (Spark's Greenwald-Khanna variant, mergeable
+    map-side, the 100 TB replacement for exact sorts) carries a
+    PUBLISHED guarantee of rank error <= n/accuracy. The query computes
+    the approx p50/p95 of the integer ship-lag days per order priority
+    AND the exact values at the guarantee's rank window edges, then
+    emits ``p50_ok`` / ``p95_ok`` = approx lies between the values at
+    ranks ceil(q*n) -/+ ceil(n/accuracy) — the oracle pins the exact
+    sides (discrete rank-based percentiles of integer lags: engine-exact)
+    and constant-TRUE flags, so a hash mismatch means the sketch broke
+    its contract. Integer day lags keep every compared value exact."""
+    from pyspark.sql import Window
+
+    acc = _QSKETCH_ACC
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.expr(
+        "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+        " div 86400000000"
+    ).cast("long")
+    t = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "o_orderpriority", lag.alias("lag_days")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("lag_days")
+    wn = Window.partitionBy("o_orderpriority")
+    r = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    err = F.ceil(F.col("n") / acc)
+
+    def at_rank(rank_expr):
+        return F.max(F.when(F.col("rn") == rank_expr, F.col("lag_days")))
+
+    def q_cols(q: float, name: str):
+        target = F.ceil(q * F.col("n"))
+        lo = F.greatest(F.lit(1), target - err)
+        hi = F.least(F.col("n"), target + err)
+        return {
+            f"exact_{name}": at_rank(target).cast("long"),
+            f"__lo_{name}": at_rank(lo),
+            f"__hi_{name}": at_rank(hi),
+        }
+
+    c50, c95 = q_cols(0.5, "p50"), q_cols(0.95, "p95")
+    agg = r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        c50["exact_p50"].alias("exact_p50"),
+        c95["exact_p95"].alias("exact_p95"),
+        c50["__lo_p50"].alias("__lo50"),
+        c50["__hi_p50"].alias("__hi50"),
+        c95["__lo_p95"].alias("__lo95"),
+        c95["__hi_p95"].alias("__hi95"),
+        F.percentile_approx("lag_days", 0.5, acc).alias("__a50"),
+        F.percentile_approx("lag_days", 0.95, acc).alias("__a95"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_lines",
+        "exact_p50",
+        "exact_p95",
+        (
+            (F.col("__a50") >= F.col("__lo50"))
+            & (F.col("__a50") <= F.col("__hi50"))
+        ).alias("p50_ok"),
+        (
+            (F.col("__a95") >= F.col("__lo95"))
+            & (F.col("__a95") <= F.col("__hi95"))
+        ).alias("p95_ok"),
+    )
