@@ -1010,14 +1010,23 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     {_DOCS_CTE},
     sh AS (SELECT doc_id, {_SHINGLE_HASHES} AS sh FROM d
-           WHERE len(toks) >= 3)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           WHERE len(toks) >= 3),
+    -- candidate pairs share >= 1 shingle (an inverted-index equi-join,
+    -- the same shape as the Spark operator): a pair with an empty
+    -- intersection can never reach the threshold, so this is lossless
+    -- and keeps the oracle tractable at sf1 where the former all-pairs
+    -- self-join (n^2/2 list_intersect calls) did not terminate
+    g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id)
+    SELECT c.id_a, c.id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                  6) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh)) > 0
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
     """,
     tags=("llm", "dedup"),
