@@ -117,6 +117,15 @@ def pagerank(
     iters=3); unbounded iteration counts stay safe because the cut still
     happens periodically. Dangling mass is not redistributed (isolated
     vertices keep reset mass), which matches the oracle's formulation.
+
+    Determinism: each edge contribution ``rank/deg`` is quantized to an
+    INTEGER in 1e-12 units before the dst-key sum, so the sum is exact
+    integer addition — fold-order-free — and the evolving rank vector is
+    bit-identical across partitionings, reruns, and engines. A raw
+    double sum is reassociation-sensitive: at sf1 one vertex's
+    accumulated ulp drift crossed an 8-dp display cell and diverged from
+    the oracle. The 1e-12 quantum is 4 decimal digits below the 8-dp
+    display contract.
     """
     und = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -136,7 +145,16 @@ def pagerank(
         contrib = (
             out_edges.join(r.select(F.col("id").alias("u"), "rank"), "u")
             .groupBy("v")
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            (F.col("rank") / F.col("deg")) * 1e12 + 0.5
+                        ).cast("long")
+                    )
+                    / 1e12
+                ).alias("c")
+            )
         )
         r = verts.join(contrib.select(F.col("v").alias("id"), "c"), "id", "left").select(
             "id",

@@ -1114,14 +1114,26 @@ def _pagerank_oracle(iters: int = 3) -> str:
     for i in range(1, iters + 1):
         parts.append(
             f""",
-    c{i} AS (SELECT und.v AS doc_id, sum(r{i-1}.r / deg.deg) AS c
+    c{i} AS (SELECT und.v AS doc_id,
+                    -- per-edge contributions quantized to 1e-12 ints so
+                    -- the sum is exact integer math (fold-order-free),
+                    -- mirroring operators/graph.pagerank
+                    CAST(sum(CAST(FLOOR(r{i-1}.r / deg.deg * 1e12 + 0.5)
+                                  AS BIGINT)) AS BIGINT)
+                      / 1000000000000.0 AS c
              FROM und JOIN r{i-1} ON r{i-1}.doc_id = und.u
              JOIN deg ON deg.u = und.u GROUP BY und.v),
     r{i} AS (SELECT d0.doc_id, 0.15 / nn.n + 0.85 * COALESCE(c{i}.c, 0) AS r
              FROM documents d0 CROSS JOIN nn
              LEFT JOIN c{i} ON c{i}.doc_id = d0.doc_id)"""
         )
-    parts.append(f"\n    SELECT doc_id, ROUND(r, 8) AS pagerank FROM r{iters}")
+    # floor kernel, not ROUND: an sf1 doc's rank printed exactly on an
+    # 8-dp midpoint and Spark's repr-half-up ROUND disagreed with
+    # DuckDB's binary-value ROUND (same class as doc_quality_score)
+    parts.append(
+        f"\n    SELECT doc_id, FLOOR(r * 100000000 + 0.5) / 100000000"
+        f" AS pagerank FROM r{iters}"
+    )
     return "".join(parts)
 
 
@@ -1146,7 +1158,10 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b", iters=3
     )
     return pr.select(
-        F.col("id").alias("doc_id"), F.round("rank", 8).alias("pagerank")
+        F.col("id").alias("doc_id"),
+        (F.floor(F.col("rank") * 100000000 + 0.5) / 100000000).alias(
+            "pagerank"
+        ),
     )
 
 
