@@ -2092,18 +2092,26 @@ def stream_dedup_vs_store_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_recall_oracle(threshold: float = 0.3) -> str:
-    """Exact pairs from the quadratic sh-join; LSH pairs from the banded
-    candidates; recall per jaccard decile bucket. Identical integer
-    counts divide to identical doubles on both engines."""
+    """Exact pairs via a shared-shingle candidate equi-join (lossless —
+    a pair with an empty intersection can't reach the threshold, and
+    tractable at sf1 where an all-pairs self-join is not); LSH pairs
+    from the banded candidates; recall per jaccard decile bucket.
+    Identical integer counts divide to identical doubles on both
+    engines."""
     return (
         "WITH "
         + _minhash_ctes(threshold=threshold)
         + f"""
-    , exact AS (
+    , eg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    ecand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM eg x JOIN eg y ON x.g = y.g AND x.doc_id < y.doc_id),
+    exact AS (
       SELECT ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
                    6) AS j
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      FROM ecand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b),
     e AS (SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bucket,
                  CAST(COUNT(*) AS BIGINT) AS n_exact
           FROM exact WHERE j >= {threshold} GROUP BY 1),
