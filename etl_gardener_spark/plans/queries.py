@@ -2424,3 +2424,96 @@ def weekly_value_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             F.abs(F.col("approx_median") - F.col("exact_median")) <= 25.0
         ).alias("bound_ok"),
     )
+
+
+@query(
+    "customer_value_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS spend_e2
+      FROM orders GROUP BY o_custkey),
+    dec AS (
+      SELECT o_custkey, spend_e2,
+             CAST(NTILE(10) OVER (ORDER BY spend_e2 DESC, o_custkey ASC)
+                  AS BIGINT) AS decile
+      FROM spend),
+    agg AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(spend_e2) AS BIGINT) AS rev_e2
+      FROM dec GROUP BY decile),
+    tot AS (SELECT CAST(SUM(rev_e2) AS BIGINT) AS t FROM agg),
+    cum AS (
+      SELECT a.decile, a.n_customers, a.rev_e2, tot.t,
+             CAST(SUM(a.rev_e2) OVER (ORDER BY a.decile
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS crev_e2
+      FROM agg a CROSS JOIN tot)
+    SELECT decile, n_customers,
+           CAST(rev_e2 AS DOUBLE) / 100.0 AS revenue,
+           CAST((2 * rev_e2 * 100000 + t) // (2 * t) AS DOUBLE) / 100000.0
+             AS rev_share,
+           CAST((2 * crev_e2 * 100000 + t) // (2 * t) AS DOUBLE) / 100000.0
+             AS cum_share
+    FROM cum
+    """,
+    tags=("analytics", "window", "decile"),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile (lift) report: customers ranked by exact
+    lifetime spend, cut into NTILE(10) deciles (deterministic tie-break
+    on custkey), with per-decile revenue, revenue share, and cumulative
+    share — the table behind every 'top decile drives X% of revenue'
+    claim. Representation discipline: spend accumulates in DECIMAL and
+    is carried as integer CENTS; shares round half-up at 5 dp through
+    the integer (2x + d) div 2d kernel (cents x 1e5 stays under int64);
+    the only doubles are exact integer-valued conversions.
+
+    Scale shape: the decile cut does NOT use a bare global NTILE window
+    (one task ranks everything) — ranks come from the distributed
+    range-partition + broadcast-offset composition
+    (operators/rank.global_row_number) and the tile from integer
+    arithmetic (rank, n) -> NTILE (operators/rank.ntile_from_rank), so
+    a 1e9-customer ranking spreads across the cluster; equality with
+    the window NTILE is pinned by tests/test_rank.py."""
+    from etl_gardener_spark.operators.rank import (
+        global_row_number,
+        ntile_from_rank,
+    )
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)"
+        ).alias("spend_e2")
+    )
+    ranked = global_row_number(
+        spend, [F.col("spend_e2").desc(), F.col("o_custkey").asc()]
+    )
+    n_tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    dec = ranked.crossJoin(F.broadcast(n_tot)).withColumn(
+        "decile", ntile_from_rank(F.col("rank"), F.col("__n"), 10)
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("spend_e2").cast("long").alias("rev_e2"),
+    )
+    tot = agg.agg(F.sum("rev_e2").cast("long").alias("t"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("crev_e2", F.sum("rev_e2").over(wc).cast("long"))
+    )
+    share = lambda c: (  # noqa: E731
+        F.expr(f"(2 * {c} * 100000 + t) div (2 * t)").cast("double") / 100000.0
+    )
+    return cum.select(
+        "decile",
+        "n_customers",
+        (F.col("rev_e2").cast("double") / 100.0).alias("revenue"),
+        share("rev_e2").alias("rev_share"),
+        share("crev_e2").alias("cum_share"),
+    )
