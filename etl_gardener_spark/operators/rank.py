@@ -99,3 +99,56 @@ def ntile_from_rank(rank: Column, n_rows: Column, buckets: int) -> Column:
         )
         .cast("long")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running SUM of ``value_col`` under the total order
+    ``order_cols`` — same range-partition + broadcast-offset composition
+    as :func:`global_row_number`, with per-partition VALUE totals as the
+    offsets. The building block for Pareto/cumulative-share reports over
+    entity dimensions too large for a single-partition window.
+
+    Exactness: offsets are per-partition SUMs, so ``value_col`` should
+    be integer or decimal for fold-order-free results (the repo's
+    fixed-point discipline); double values would make partition totals
+    reassociation-sensitive.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = sorted(
+        (r["__pid"], r["s"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid, s in totals:
+        offsets[pid] = acc
+        acc += s or 0
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+        ),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ranged.withColumn(
+        out_col, F.sum(value_col).over(w) + off_expr
+    ).drop("__pid")

@@ -68,3 +68,28 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, buckets):
         ).collect()
     }
     assert got == want
+
+
+def test_global_running_sum_equals_window(spark):
+    from etl_gardener_spark.operators.rank import global_running_sum
+
+    rows = [(i, (i * 13) % 29, (i * 7) % 11) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, v long, amt long").repartition(6)
+    got = {
+        r["id"]: r["running_sum"]
+        for r in global_running_sum(
+            df,
+            [F.col("v").desc(), F.col("id").asc()],
+            "amt",
+            num_partitions=5,
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("v").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("amt").over(w)).collect()
+    }
+    assert got == want
