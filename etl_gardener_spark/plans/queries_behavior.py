@@ -140,7 +140,8 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     window runs over |customers| rows — 4-5 orders of magnitude below the
     fact table; at extreme customer cardinality the same prefix-sum
     decomposes into range-partitioned partials + broadcast offsets, with
-    identical semantics. Revenue accumulates in DECIMAL end-to-end, so
+    identical semantics — implemented as operators/rank.global_running_sum
+    (window-equality pinned in tests/test_rank.py). Revenue accumulates in DECIMAL end-to-end, so
     the 80% threshold comparison is exact arithmetic on both engines —
     a double cumsum could flip the boundary customer."""
     o = load_table(spark, sf_dir, "orders")
