@@ -1970,22 +1970,44 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function breadth beyond ROW_NUMBER (the only ranking the
     reference uses, cloud/bq/ops.go:201-204): NTILE deciles and DENSE_RANK
-    value tiers over per-user lifetime value. The global window runs on the
-    aggregated user dimension — |users| rows, after the map-side-combined
-    sum — never on raw events; ties break on user_id so the decile
-    assignment is total-ordered and hash-stable."""
+    value tiers over per-user lifetime value. The decile comes from the
+    DISTRIBUTED exact ranking (operators/rank.global_row_number +
+    ntile_from_rank) — no single-partition window even at 1e9 users; the
+    DENSE_RANK tier window runs over the DISTINCT value-bucket dimension
+    (bounded by the value range, not the corpus) and broadcast-joins
+    back."""
+    from etl_gardener_spark.operators.rank import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 4).alias("total"))
     )
-    w = Window.orderBy(F.col("total").desc(), "user_id")
-    wt = Window.orderBy(F.floor(F.col("total") / 100).cast("long").desc())
-    return u.select(
-        "user_id",
-        "total",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        F.dense_rank().over(wt).cast("long").alias("tier"),
+    ranked = global_row_number(
+        u, [F.col("total").desc(), F.col("user_id").asc()], out_col="__rn"
+    )
+    n_tot = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    tiers = (
+        u.select(F.floor(F.col("total") / 100).cast("long").alias("__b"))
+        .distinct()
+        .withColumn(
+            "tier",
+            F.row_number()
+            .over(Window.orderBy(F.col("__b").desc()))
+            .cast("long"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "decile", ntile_from_rank(F.col("__rn"), F.col("__n"), 10)
+        )
+        .withColumn("__b", F.floor(F.col("total") / 100).cast("long"))
+        .join(F.broadcast(tiers), "__b")
+        .select("user_id", "total", "decile", "tier")
     )
 
 

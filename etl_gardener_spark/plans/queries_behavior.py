@@ -503,13 +503,18 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: quartile scores for recency / frequency /
     monetary per customer, rolled up to segment sizes. The fact table
-    collapses to one row per customer first, so the three NTILE windows
-    rank |customers| rows, not orders; monetary accumulates in DECIMAL
-    and every window carries a custkey tie-break, so quartile boundaries
-    are identical across engines. (The global-order windows are the
-    documented small-relation trade-off — at extreme customer counts the
-    same quartiles come from approx quantile boundaries + a bucket
-    join.)"""
+    collapses to one row per customer first; each quartile score then
+    comes from the DISTRIBUTED exact ranking (operators/rank
+    global_row_number + arithmetic NTILE) under its own total order —
+    three range-partitioned rank passes, zero single-partition windows,
+    so the segmentation survives 1e9-customer cardinality. Monetary
+    accumulates in DECIMAL and every order carries a custkey tie-break,
+    so quartile boundaries are identical across engines."""
+    from etl_gardener_spark.operators.rank import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("max_d"))
     rfm = (
@@ -523,17 +528,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
         )
     )
-    scored = rfm.select(
-        F.ntile(4)
-        .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("r"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m"),
-    )
+    n_tot = rfm.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    scored = rfm.crossJoin(F.broadcast(n_tot))
+    for name, order in (
+        ("r", [F.asc("recency_days"), F.asc("o_custkey")]),
+        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
+        ("m", [F.desc("monetary"), F.asc("o_custkey")]),
+    ):
+        scored = global_row_number(
+            scored, order, out_col="__rn"
+        ).withColumn(
+            name, ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
+        ).drop("__rn")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )
