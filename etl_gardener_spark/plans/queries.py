@@ -2539,3 +2539,77 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         share("rev_e2").alias("rev_share"),
         share("crev_e2").alias("cum_share"),
     )
+
+
+@query(
+    "revenue_gini",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_e2
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT rev_e2,
+             CAST(ROW_NUMBER() OVER (ORDER BY rev_e2 ASC, o_custkey ASC)
+                  AS HUGEINT) AS rnk
+      FROM spend),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(rev_e2) AS HUGEINT) AS s0,
+             SUM(rnk * CAST(rev_e2 AS HUGEINT)) AS s1
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(s0 AS DOUBLE) / 100.0 AS total_revenue,
+           FLOOR(CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)
+                 / CAST(n * s0 AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS gini
+    FROM s
+    """,
+    tags=("analytics", "concentration", "rank"),
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    concentration summary behind the Pareto report ([[revenue_pareto]]):
+    gini = (2*Σ i·rev_i − (n+1)·Σ rev_i) / (n·Σ rev_i) over revenues
+    sorted ascending. Ranks come from the DISTRIBUTED exact ranking
+    (operators/rank.global_row_number — no single-partition window), and
+    every sum is exact integer/decimal math on cent-scaled revenue
+    (rank×cents products overflow int64, so they accumulate in
+    DECIMAL(38,0) / HUGEINT); the one double division happens on
+    identical integers in both engines, displayed through the 6-dp
+    floor kernel."""
+    from etl_gardener_spark.operators.rank import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) * 100 as bigint)"
+        ).alias("rev_e2")
+    )
+    ranked = global_row_number(
+        spend, [F.col("rev_e2").asc(), F.col("o_custkey").asc()], out_col="rnk"
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_e2").cast("decimal(38,0)").alias("s0"),
+        F.sum(
+            F.col("rnk").cast("decimal(19,0)")
+            * F.col("rev_e2").cast("decimal(19,0)")
+        ).alias("s1"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("s1")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("s0")
+    )
+    den = F.col("n").cast("decimal(38,0)") * F.col("s0")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        (F.col("s0").cast("double") / 100.0).alias("total_revenue"),
+        (
+            F.floor(
+                num.cast("double") / den.cast("double") * 1000000 + 0.5
+            )
+            / 1000000
+        ).alias("gini"),
+    )
