@@ -2613,3 +2613,49 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("gini"),
     )
+
+
+@query(
+    "order_value_cume_profile",
+    """
+    WITH cd AS (
+      SELECT o_orderpriority, o_totalprice,
+             CUME_DIST() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice) AS c
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(CASE WHEN c >= 0.5 THEN o_totalprice END) AS p50_value,
+           MIN(CASE WHEN c >= 0.95 THEN o_totalprice END) AS p95_value
+    FROM cd GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "window", "percentile"),
+)
+def order_value_cume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentile profile via CUME_DIST (the one ranking
+    function the registry didn't yet exercise): per order priority, the
+    smallest order value whose cumulative distribution reaches 50% and
+    95% — percentile_disc semantics, so the answer is an ACTUAL data
+    value carried through MIN untouched (no interpolation, no rounding
+    discipline needed). CUME_DIST is tie-stable by definition (ties
+    share a value and therefore a distribution point), and the window
+    partitions on priority — |partition| bounded per group, never a
+    global sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    cd = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("c"),
+    )
+    return cd.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min(F.when(F.col("c") >= 0.5, F.col("o_totalprice"))).alias(
+            "p50_value"
+        ),
+        F.min(F.when(F.col("c") >= 0.95, F.col("o_totalprice"))).alias(
+            "p95_value"
+        ),
+    )
