@@ -9,6 +9,14 @@ executors; no driver-side collect skewing the measurement). Best of two runs
 per query — the first run at process start pays JVM/codegen warmup that a
 long-lived service never sees.
 
+Besides wall-clock, each query also records executor TASK-TIME (the sum
+of executorRunTime over the run's stages, from Spark's AppStatusStore —
+the local-mode analogue of BigQuery slot-seconds, the reference's only
+published cost unit). Task-time is scheduler-noise-robust: wall-clock on
+a shared box swings ±15% with CPU contention while task-time tracks the
+actual work, so cross-round comparisons (tools/bench_trend.py) should
+prefer ``queries_task_sec`` and treat wall-clock as the headline only.
+
 The same payload is also written to ``BENCH_FULL_latest.json`` next to
 this script (override with $SPARK_GRAFT_BENCH_OUT; empty disables): the
 driver's per-round ``BENCH_r*.json`` artifact truncates to a tail of the
@@ -33,6 +41,40 @@ from etl_gardener_spark.session import get_spark
 RUNS = 2
 
 
+def _max_stage_id(spark) -> int:
+    """Largest stage id the status store has seen (-1 when empty)."""
+    entries = _stage_entries(spark)
+    return max((sid for sid, _att, _rt in entries), default=-1)
+
+
+def _stage_entries(spark) -> list[tuple[int, int, int]]:
+    """(stageId, attemptId, executorRunTime_ms) for every stage attempt
+    in the AppStatusStore. Stage ids are monotonically increasing, so a
+    query run's task-time is the runtime sum over ids minted after the
+    run started — immune to the store evicting OLD stages mid-bench
+    (spark.ui.retainedStages), which would corrupt a cumulative-total
+    delta."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    ss = spark._jsparkSession.sparkContext().statusStore()
+    empty = jvm.java.util.ArrayList()
+    quantiles = sc._gateway.new_array(jvm.double, 0)
+    lst = ss.stageList(empty, False, False, quantiles, empty)
+    out = []
+    for i in range(lst.size()):
+        s = lst.apply(i)
+        out.append((s.stageId(), s.attemptId(), s.executorRunTime()))
+    return out
+
+
+def _task_time_since(spark, min_stage_id: int) -> float:
+    """Executor task-seconds accumulated by stages with id > min_stage_id."""
+    return (
+        sum(rt for sid, _att, rt in _stage_entries(spark) if sid > min_stage_id)
+        / 1000.0
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -43,21 +85,29 @@ def main() -> None:
     spark.range(1000).count()
 
     timings: dict[str, float] = {}
+    task_secs: dict[str, float] = {}
     for name, qd in Q.REGISTRY.items():
         best = None
+        best_task = None
         for _ in range(RUNS):
+            mark = _max_stage_id(spark)
             t0 = time.monotonic()
             df = qd.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = time.monotonic() - t0
+            task = _task_time_since(spark, mark)
             best = dt if best is None else min(best, dt)
+            best_task = task if best_task is None else min(best_task, task)
         timings[name] = round(best, 3)
+        task_secs[name] = round(best_task, 3)
 
     payload = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_task_sec": task_secs,
+        "task_sec_total": round(sum(task_secs.values()), 3),
         "sf": sf,
     }
     out_path = os.environ.get(

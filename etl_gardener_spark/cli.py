@@ -192,7 +192,9 @@ def cmd_recover(args) -> int:
 
     out = recover_staging(_spark(), args.warehouse)
     print(json.dumps(out))
-    return 0
+    # a failed swap completion leaves a partition's only copy stranded
+    # under _staging — non-zero so cron/operators notice.
+    return 1 if out.get("failed") else 0
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -393,7 +393,9 @@ def line_hash_store(
     document count — ``(line_hash, n_docs)``. 16 bytes per distinct
     line: the compact state a daily ingest keeps instead of rescanning
     history (same batch-vs-store discipline as the MinHash signature
-    store and the SemDeDup centroid store)."""
+    store and the SemDeDup centroid store). Doc-id-BLIND by design —
+    see the disjoint-id precondition on
+    :func:`drop_duplicate_lines_incremental`."""
     return (
         _line_stream(df, text_col, id_col, line_sep)
         .groupBy(F.col("__h").alias("line_hash"))
@@ -418,6 +420,19 @@ def drop_duplicate_lines_incremental(
     running :func:`drop_duplicate_lines` over (history ∪ batch) — the
     equivalence is property-tested and is what makes daily ingest dedup
     exact, not approximate.
+
+    PRECONDITION — batch doc ids must be DISJOINT from the store's
+    corpus. The store is doc-id-blind (16 bytes per line, no membership
+    set), so a re-ingested document's prior version counts as a distinct
+    historical document: a line unique to that one document carries
+    store count 1 plus batch count 1 = 2 and is dropped at the default
+    ``max_docs=1``. That is the intended semantics for re-ingestion
+    ("my own history is still history") but it is NOT the union-dedup
+    answer; exact union equivalence holds only for disjoint ids. Both
+    behaviors are pinned by tests/test_linededup_properties.py. Callers
+    that truly need update-in-place exactness must rebuild the store
+    without the superseded doc (or keep per-doc membership, trading away
+    the compact-store design).
 
     Scale shape: the history never rescans — its compact store joins the
     batch's line stream hash-to-hash (AQE broadcasts the smaller side),

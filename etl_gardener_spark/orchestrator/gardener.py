@@ -108,7 +108,16 @@ class Gardener:
         # half-written staging dirs (warehouse.recover_staging). No
         # other op can be in flight yet, so the un-age-gated sweep is
         # safe here (and only here).
-        recover_staging(self.spark, self.warehouse_root)
+        recovered = recover_staging(self.spark, self.warehouse_root)
+        if recovered.get("failed"):
+            # A staged swap could not be completed (FileSystem.rename
+            # returned false): the affected partitions' only copies are
+            # still under _staging, so serving reads would silently miss
+            # those days. Fail the boot loudly instead.
+            raise RuntimeError(
+                "recover_staging could not complete staged swaps; "
+                f"partitions stranded in _staging: {recovered['failed']}"
+            )
         self._threads.append(self.monitor.watch(self._stop, self._poll_period))
         self._threads.append(self.tracker.save_every(60.0, self._stop))
         self._threads.append(self._cleanup_every(cleanup_period_sec))

@@ -659,6 +659,38 @@ class Warehouse:
         return bool(fs.exists(_hadoop_path(spark, path)))
 
 
+def affected_dates(
+    df: DataFrame, date_col: str = DATE_COL, *, max_dates: int = 1000
+) -> list:
+    """Distinct dates of a (late/incremental) batch, collected to the
+    driver to address partition refreshes — with a CAP, mirroring
+    ``require_partition_filter``'s role on the read side.
+
+    The distinct-dates collect is the warehouse API's real refresh shape
+    (see plans/queries.refresh_rollup_days): cost is O(affected days),
+    which is fine precisely while "affected days" is a handful. A
+    pathological batch (a replay that touches years of history, a
+    corrupted timestamp column spraying dates across decades) would turn
+    the downstream per-day rewrite into an unbounded driver loop, so the
+    helper refuses above ``max_dates`` and tells the caller to use a
+    full-table rebuild instead. The cap check collects at most
+    ``max_dates + 1`` date values (LocalLimit on the aggregated,
+    already-tiny distinct relation — never a row collect).
+    """
+    dates = [
+        r[0]
+        for r in df.select(date_col).distinct().limit(max_dates + 1).collect()
+    ]
+    if len(dates) > max_dates:
+        raise ValueError(
+            f"batch touches more than {max_dates} distinct {date_col!r} "
+            "partitions; per-day refresh would be an unbounded driver "
+            "loop — rebuild the derived table with a full overwrite, or "
+            "raise max_dates deliberately"
+        )
+    return sorted(dates)
+
+
 def vacuum_staging(spark: SparkSession, root: str, min_age_sec: float = 3600.0) -> list[str]:
     """Remove orphaned staging directories (``*.__clustering__``,
     ``*.__compacting__``, ``*.__upserting__``, ``*.__forgetting__``) left
@@ -751,13 +783,20 @@ def recover_staging(spark: SparkSession, root: str) -> dict:
       regardless of the target's state: abort.
 
     Idempotent and safe to run concurrently with vacuum_staging (which
-    only touches age-expired dirs). Returns
-    ``{"completed": [target...], "aborted": [staged...]}``. Driver-side
-    FS metadata ops only — no data is read or copied; the ``rename`` is
-    the same single same-FS move the op itself would have done.
+    only touches age-expired dirs). Returns ``{"completed": [target...],
+    "aborted": [staged...], "failed": [staged...]}``. Driver-side FS
+    metadata ops only — no data is read or copied; the ``rename`` is the
+    same single same-FS move the op itself would have done. Hadoop
+    ``FileSystem.rename`` signals failure (permissions, missing target
+    parent, cross-FS move) by returning FALSE rather than raising, so
+    the return value is checked: a failed completion leaves the staged
+    dir in place — it is the partition's only copy — and lands in
+    ``failed`` for the operator to surface instead of being silently
+    recorded as completed while the data stays stranded.
     """
     completed: list[str] = []
     aborted: list[str] = []
+    failed: list[str] = []
     fs = _hadoop_fs(spark, root)
     staging_root = _hadoop_path(spark, f"{root}/_staging")
     if not fs.exists(staging_root):
@@ -784,12 +823,16 @@ def recover_staging(spark: SparkSession, root: str) -> dict:
                     )
                 )
                 if has_marker and not fs.exists(target):
-                    fs.rename(staged.getPath(), target)
-                    completed.append(target.toUri().getPath())
+                    if fs.rename(staged.getPath(), target):
+                        completed.append(target.toUri().getPath())
+                    else:
+                        # rename reported failure: the staged dir still
+                        # holds the day's only copy — keep it and report.
+                        failed.append(staged.getPath().toUri().getPath())
                 else:
                     fs.delete(staged.getPath(), True)
                     aborted.append(staged.getPath().toUri().getPath())
-    return {"completed": completed, "aborted": aborted}
+    return {"completed": completed, "aborted": aborted, "failed": failed}
 
 
 def partition_report(

@@ -382,6 +382,83 @@ def test_forget_keys_mid_write_crash_aborts_staging(spark, tmp_path):
     assert got == {("keep", 1.0)}
 
 
+def test_recover_staging_failed_rename_keeps_staged_copy(
+    spark, tmp_path, monkeypatch
+):
+    """Hadoop FileSystem.rename reports failure by returning FALSE, not
+    raising. If recovery's swap-completion rename fails that way (perms,
+    missing parent), the staged dir holds the partition's ONLY copy: it
+    must be KEPT, reported under 'failed' (not 'completed'), and the
+    Gardener boot must refuse to serve rather than silently miss the
+    day."""
+    from datetime import date as D
+
+    from etl_gardener_spark import warehouse as W
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    day = D(2024, 3, 7)
+    _seed_partition(spark, wh, day, [("a", 1.0), ("b", 2.0)])
+
+    real_fs = W._hadoop_fs
+
+    # First, reproduce the delete-to-rename crash state (as in the
+    # recovery test above): partition deleted, committed copy staged.
+    class _CrashOnRename:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            if "__forgetting__" in src.toUri().getPath():
+                raise RuntimeError("injected crash before swap rename")
+            return self._fs.rename(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    monkeypatch.setattr(
+        W, "_hadoop_fs", lambda s, p: _CrashOnRename(real_fs(s, p))
+    )
+    keys = spark.createDataFrame([("b",)], "id string")
+    with pytest.raises(Exception, match="injected crash"):
+        wh.forget_keys(spark, "raw", "ndt", "ndt7", keys, "id")
+
+    staged = W._staged_path(
+        wh.partition_path("raw", "ndt", "ndt7", day), "forgetting"
+    )
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+
+    # Now recovery runs on a filesystem whose rename FAILS SOFTLY.
+    class _RenameReturnsFalse:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, src, dst):
+            return False
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    monkeypatch.setattr(
+        W, "_hadoop_fs", lambda s, p: _RenameReturnsFalse(real_fs(s, p))
+    )
+    out = W.recover_staging(spark, wh.root)
+    assert out["completed"] == []
+    assert out["failed"] == [staged]
+    # the only copy is still safe under _staging, untouched
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+
+    # and once the filesystem cooperates, recovery completes normally
+    monkeypatch.setattr(W, "_hadoop_fs", real_fs)
+    out2 = W.recover_staging(spark, wh.root)
+    assert out2["failed"] == []
+    assert out2["completed"] == [wh.partition_path("raw", "ndt", "ndt7", day)]
+    got = {
+        (r.id, r.value)
+        for r in wh.read_partition(spark, "raw", "ndt", "ndt7", day).collect()
+    }
+    assert got == {("a", 1.0)}
+
+
 def test_dedup_overwrite_executor_failure_leaves_table_intact(spark, tmp_path):
     """REAL executor-level failure inside the dedup rewrite's write job
     (a mapInPandas batch raises on the executor): the dynamic partition

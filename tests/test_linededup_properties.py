@@ -94,3 +94,36 @@ def test_incremental_line_dedup_equals_union_restricted_to_batch(spark, docs):
         i: v for i, v in _reference(docs).items() if i % 2 == 1
     }
     assert inc == full
+
+
+def test_incremental_line_dedup_overlapping_doc_counts_history(spark):
+    """Pin the documented doc-id-blind semantics (see the PRECONDITION
+    on drop_duplicate_lines_incremental): re-ingesting a document whose
+    prior version is already in the store double-counts it — its
+    previously-stored lines, even ones unique to that one document, are
+    dropped (store 1 + batch 1 = 2 > max_docs=1), while genuinely NEW
+    lines of the same doc survive. This is intentionally NOT the
+    union-dedup answer; exact union equivalence requires disjoint ids."""
+    from etl_gardener_spark.operators.corpus import (
+        drop_duplicate_lines_incremental,
+        line_hash_store,
+    )
+
+    history = spark.createDataFrame(
+        [(1, "only mine\nshared"), (2, "shared\nother doc line")],
+        ["doc_id", "text"],
+    )
+    # doc 1 re-ingested: one line it already owns, one brand-new line
+    batch = spark.createDataFrame(
+        [(1, "only mine\nfresh line")], ["doc_id", "text"]
+    )
+    store = line_hash_store(history, "text", "doc_id")
+    out = drop_duplicate_lines_incremental(
+        batch, store, "text", "doc_id"
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    # "only mine" is unique to doc 1 across history ∪ batch, but the
+    # doc-id-blind store counts its prior copy as a distinct doc -> drop.
+    assert row["text"] == "fresh line"
+    assert row["n_lines_kept"] == 1 and row["n_lines_dropped"] == 1

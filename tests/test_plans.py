@@ -196,14 +196,26 @@ def test_driver_window_rotates_toward_uncertified():
     mostly (>= 70%) queries WITHOUT a prior driver-certified
     CORRECTNESS_r*.json row, so driver-grade evidence accumulates across
     the registry instead of re-certifying the same window — enforced
-    only while enough never-certified names remain to fill the quota."""
+    only while enough never-certified names remain to fill the quota.
+
+    "Prior" means certified BEFORE the window was selected: only
+    artifacts from rounds < Q.DRIVER_WINDOW_ROUND count. The round-4
+    version of this test counted ALL artifacts, so the driver's own
+    post-round-close CORRECTNESS file certified exactly the window's
+    slots and retroactively falsified the invariant (the round-4
+    verdict's one red test); pinning the selection round makes the
+    assertion stable across the artifact the window itself produces."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     certified: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) >= Q.DRIVER_WINDOW_ROUND:
+            continue  # written by/after this window's own round
         with open(path) as f:
             for name, row in json.load(f).items():
                 if row.get("hash_match"):
@@ -223,6 +235,74 @@ def test_driver_window_rotates_toward_uncertified():
         f"only {len(fresh)}/{len(rotating)} window slots are "
         f"never-driver-certified (need >= {quota}); stale: "
         f"{[n for n in rotating if n in certified]}"
+    )
+
+
+def _unpartitioned_windows(df):
+    """Catalyst Window nodes in df's optimized logical plan whose
+    partitionSpec is EMPTY (a global window: one task ranks the whole
+    input). Returns (node, has_aggregate_below) pairs — the boundedness
+    gate is that every such window reads a bounded relation, i.e. an
+    Aggregate/Distinct sits between it and any leaf scan."""
+    out = []
+
+    def walk(node, under_global_window):
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            entry = [node, False]
+            out.append(entry)
+            for i in range(node.children().length()):
+                walk_mark(node.children().apply(i), entry)
+            return
+        for i in range(node.children().length()):
+            walk(node.children().apply(i), under_global_window)
+
+    def walk_mark(node, entry):
+        if node.getClass().getSimpleName() == "Aggregate":
+            entry[1] = True
+            return  # bounded below this point; no need to look deeper
+        for i in range(node.children().length()):
+            walk_mark(node.children().apply(i), entry)
+
+    walk(df._jdf.queryExecution().optimizedPlan(), False)
+    return out
+
+
+def test_bigram_merges_global_topk_is_window_group_limit(spark):
+    """Boundedness pin (round-4 verdict): doc_bigram_merges' global
+    top-20 must plan a WindowGroupLimit (per-partition top-k heap below
+    the final sort — rows beyond rank 20 never cross the wire) and its
+    one unpartitioned window must read the post-aggregation pair
+    vocabulary, not the raw pair stream. A future edit that points the
+    global window at an unbounded relation or loses the rn<=k rewrite
+    fails here, not at 100 TB."""
+    df = Q.REGISTRY["doc_bigram_merges"].fn(spark, SF)
+    p = plan(df)
+    # LimitPushDownThroughWindow plans the rn<=20 as TakeOrderedAndProject
+    # (per-partition heap + 20-row driver merge) BELOW the window;
+    # WindowGroupLimit is the equivalent per-key-heap shape. Either keeps
+    # rows beyond rank 20 off the wire; a bare global Sort fails.
+    assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p, p
+    wins = _unpartitioned_windows(df)
+    assert wins, "expected the global top-k window in the plan"
+    assert all(has_agg for _, has_agg in wins), (
+        "global window must sit above the pair-count Aggregate"
+    )
+
+
+def test_user_value_deciles_global_window_reads_bucket_aggregate(spark):
+    """Boundedness pin (round-4 verdict): user_value_deciles' tier
+    window (DENSE_RANK-style row_number over value buckets) is global by
+    construction, which is safe ONLY because its input is the DISTINCT
+    bucket aggregate (bounded by the value range, not the user count).
+    Assert every unpartitioned window in the optimized plan has an
+    Aggregate below it so a refactor can't silently rank the raw user
+    relation in one task."""
+    df = Q.REGISTRY["user_value_deciles"].fn(spark, SF)
+    wins = _unpartitioned_windows(df)
+    assert wins, "expected the bucket-tier global window in the plan"
+    assert all(has_agg for _, has_agg in wins), (
+        "global window must sit above the distinct-bucket Aggregate"
     )
 
 

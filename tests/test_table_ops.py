@@ -612,3 +612,34 @@ def test_export_partition_roundtrips(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         export_partition(spark, wh, "raw", "exp", "t", day, out1, fmt="avro")
+
+
+def test_affected_dates_cap_trips_on_pathological_batch(spark):
+    """warehouse.affected_dates powers the per-day derived-table refresh
+    (refresh_rollup_days): a sane late batch returns its sorted distinct
+    days; a pathological one (timestamp corruption spraying dates) must
+    REFUSE above max_dates instead of driving an unbounded per-day
+    rewrite loop on the driver."""
+    from datetime import date, timedelta
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.warehouse import affected_dates
+
+    base = date(2024, 1, 1)
+    rows = [(i, base + timedelta(days=i % 3)) for i in range(30)]
+    small = spark.createDataFrame(rows, ["id", "date"])
+    assert affected_dates(small, "date", max_dates=3) == [
+        base,
+        base + timedelta(days=1),
+        base + timedelta(days=2),
+    ]
+
+    sprayed = spark.range(500).select(
+        F.col("id"),
+        F.date_add(F.lit("2000-01-01").cast("date"), F.col("id").cast("int"))
+        .alias("date"),
+    )
+    with pytest.raises(ValueError, match="more than 100 distinct"):
+        affected_dates(sprayed, "date", max_dates=100)

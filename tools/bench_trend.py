@@ -4,6 +4,12 @@ a prior round's artifact — either another BENCH_FULL file or a legacy
 BENCH_r*.json whose `tail` field holds a (truncated) stdout line.
 
 Usage: python tools/bench_trend.py <current.json> <prior.json> [label]
+
+When BOTH artifacts carry ``queries_task_sec`` (bench.py records executor
+task-time per query from round 5 on), the comparison uses task-time —
+scheduler-noise-robust, unlike wall-clock which swings ±15% on a shared
+box — and prints which metric it used. Wall-only artifacts fall back to
+wall-clock.
 """
 
 from __future__ import annotations
@@ -14,9 +20,13 @@ import statistics
 import sys
 
 
-def load_queries(path: str) -> dict[str, float]:
+def load_queries(path: str, key: str = "queries") -> dict[str, float]:
     with open(path) as f:
         data = json.load(f)
+    if key in data:
+        return {k: float(v) for k, v in data[key].items()}
+    if key != "queries":
+        return {}
     if "queries" in data:
         return {k: float(v) for k, v in data["queries"].items()}
     tail = data.get("tail", "")
@@ -30,7 +40,14 @@ def load_queries(path: str) -> dict[str, float]:
 def main() -> None:
     cur_path, prior_path = sys.argv[1], sys.argv[2]
     label = sys.argv[3] if len(sys.argv) > 3 else prior_path
-    cur, prior = load_queries(cur_path), load_queries(prior_path)
+    cur_task = load_queries(cur_path, "queries_task_sec")
+    prior_task = load_queries(prior_path, "queries_task_sec")
+    if cur_task and prior_task:
+        cur, prior = cur_task, prior_task
+        print("metric: executor task-seconds (noise-robust)")
+    else:
+        cur, prior = load_queries(cur_path), load_queries(prior_path)
+        print("metric: wall-clock seconds (task-time absent in an artifact)")
     common = sorted(
         k for k in cur if k in prior and prior[k] > 0.05 and cur[k] > 0
     )
