@@ -646,7 +646,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str, max_hamming: int = 3, bands: int = 4
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Pairs of docs with SimHash Hamming distance <= max_hamming.
 
@@ -655,10 +659,23 @@ def simhash_near_pairs(
     equi-join per slice finds all such pairs without n² comparison, then
     the exact Hamming filter (bit_count(xor)) keeps true matches.
     Requires max_hamming <= bands - 1 for lossless recall.
+
+    ``bits`` is the hash width (default the 32-bit text SimHash). Width
+    is THE scale lever for candidate density: bucket keys carry
+    ``bits/bands`` bits, so a 32-bit hash cut into 8 bands yields 4-bit
+    keys — 16 buckets per band, which goes pairwise-dense once the
+    corpus passes ~10k items — while a 64-bit hash at the same 8 bands
+    yields 256 buckets and an order-of-magnitude sparser join. (On
+    uniformly random hashes the TRUE result is itself quadratically
+    dense by the birthday bound — sum_{i<=h} C(bits,i)/2^bits of all
+    pairs — so the ladder's measured alpha for the 32-bit variant is
+    output-bound, not plan overhead; see SCALE.md round-5 ladder.)
     """
     if max_hamming > bands - 1:
         raise ValueError("pigeonhole recall needs max_hamming <= bands - 1")
-    width = SIMHASH_BITS // bands
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    width = bits // bands
     mask = (1 << width) - 1
     band_structs = F.array(
         *[

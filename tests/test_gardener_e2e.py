@@ -498,3 +498,87 @@ def test_dedup_overwrite_executor_failure_leaves_table_intact(spark, tmp_path):
         for r in wh.read_partition(spark, "raw", "ndt", "ndt7", day).collect()
     }
     assert got == {("a", 9.0), ("b", 3.0)}
+
+
+@pytest.mark.slow
+def test_pipeline_three_concurrent_days_at_bench_scale(spark, tmp_path):
+    """Bench-scale orchestrator e2e (round-4 verdict item 6): the full
+    Init -> Complete chain over THREE concurrent days whose landing data
+    totals ~120k rows — the size of the sf0.1 events table the bench
+    runs on — so the D12 observability path (per-query cost histograms,
+    bytes/files stats, task-seconds) is exercised under real load, not
+    toy days. Asserts every job completes, dedup produced exactly the
+    distinct-id row counts, and the tracker metrics landed. Wall time
+    for the whole pipeline is recorded in SCALE.md."""
+    import time as _time
+
+    from etl_gardener_spark.orchestrator import metrics as M
+
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b", experiment="ndt", datatype="ndt7",
+                datasets=Datasets(tmp="tmp_ndt", raw="raw_ndt", join="ndt"),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    try:
+        from datetime import timedelta
+
+        n_rows, n_ids = 40_000, 10_000
+        jobs = []
+        for d in range(3):
+            job = cfg.sources[0].job_spec().with_date(
+                Date(2024, 3, 1) + timedelta(days=d)
+            )
+            day_dir = os.path.join(str(tmp_path / "landing"), job.prefix())
+            os.makedirs(day_dir, exist_ok=True)
+            with open(os.path.join(day_dir, "part0.jsonl"), "w") as f:
+                for i in range(n_rows):
+                    f.write(
+                        '{"id": "id-%06d", "parser": {"Time": '
+                        '"2024-03-0%dT%02d:%02d:%02dZ"}, "value": %d.5}\n'
+                        % (i % n_ids, d + 1, i // 3600 % 24, i // 60 % 60,
+                           i % 60, i)
+                    )
+            g.tracker.add_job(job)
+            g.tracker.set_status(job.key(), J.PARSE_COMPLETE)
+            jobs.append(job)
+
+        t0 = _time.monotonic()
+        assert g.monitor.drain(timeout_sec=600.0)
+        wall = _time.monotonic() - t0
+        states = {j.key(): g.tracker.get_status(j.key()).state for j in jobs}
+        assert set(states.values()) == {J.COMPLETE}, states
+
+        wh = Warehouse(str(tmp_path / "wh"))
+        for job in jobs:
+            raw = wh.read_partition(spark, "raw", "ndt", "ndt7", job.date)
+            assert raw.count() == n_ids  # keep-best collapsed 4 rows/id
+            assert not wh.partition_exists(spark, "tmp", "ndt", "ndt7", job.date)
+
+        # D12 path under load: cost histograms + bytes stats + task time
+        text = M.REGISTRY.expose_text()
+        assert (
+            'gardener_query_cost_seconds_count{datatype="ndt7",query="dedup"}'
+            in text
+        )
+        assert (
+            'gardener_query_cost_seconds_count{datatype="ndt7",query="join"}'
+            in text
+        )
+        assert 'gardener_bytes_count{experiment="ndt",datatype="ndt7"}' in text
+        assert M.spark_task_seconds(spark) > 0
+        print(f"\nbench-scale pipeline wall: {wall:.1f}s for 3 days x {n_rows} rows")
+    finally:
+        g.monitor.shutdown()

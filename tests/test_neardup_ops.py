@@ -111,6 +111,39 @@ def test_simhash_near_pairs(docs):
         ND.simhash_near_pairs(sim, "doc_id", max_hamming=8, bands=4)
 
 
+def test_simhash_near_pairs_wide_hash_is_lossless(spark):
+    """The ``bits`` width knob (the 100 TB scale lever — see SCALE.md
+    round-5 ladder): 64-bit hashes banded 8-ways must find EXACTLY the
+    brute-force Hamming<=7 pairs. Crafted values exercise a same-band
+    near-miss (differs by 8 in one nibble-spread), an exact dup, and
+    far-apart values."""
+    vals = [
+        (0, 0x0123_4567_89AB_CDEF),
+        (1, 0x0123_4567_89AB_CDEF),            # identical -> hamming 0
+        (2, 0x0123_4567_89AB_CDE0),            # last nibble: 4 bits differ
+        (3, 0x0123_4567_89AB_0000),            # 10 bits differ from 0 -> out
+        (4, 0xFFFF_FFFF_FFFF_FFFF - 2**63),    # far from everything
+    ]
+    # keep in signed-long range
+    rows = [(i, v if v < 2**63 else v - 2**64) for i, v in vals]
+    sim = spark.createDataFrame(rows, ["doc_id", "simhash"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in ND.simhash_near_pairs(
+            sim, "doc_id", max_hamming=7, bands=8, bits=64
+        ).collect()
+    }
+    brute = {}
+    for i, (ia, va) in enumerate(rows):
+        for ib, vb in rows[i + 1:]:
+            h = bin((va ^ vb) & (2**64 - 1)).count("1")
+            if h <= 7:
+                brute[(ia, ib)] = h
+    assert got == brute and (0, 1) in got and got[(0, 2)] == 4
+    with pytest.raises(ValueError):
+        ND.simhash_near_pairs(sim, "doc_id", max_hamming=7, bands=7, bits=64)
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0, 0.0]),   # ~cos 0.9939 with 0
