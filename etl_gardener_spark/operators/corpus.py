@@ -660,3 +660,106 @@ def duplicate_span_profile(
         .otherwise(F.lit(0.0))
         .alias("coverage_frac"),
     )
+
+
+def _bloom_pos(g: F.Column, i: int, bits: int) -> F.Column:
+    """Bloom bit position for hash function ``i`` over a 60-bit gram
+    hash: the repo's portable md5 bucket kernel (first 8 hex chars as
+    int64, mod bits) — DuckDB mirrors it as
+    ``('0x' || substr(md5('bloom{i}:' || g), 1, 8))::BIGINT % bits``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bloom{i}:"), g.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % bits
+    )
+
+
+def bloom_gram_store(
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    bits: int = 1 << 17,
+    hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter store of a benchmark corpus's word ``n``-grams: one
+    row per SET bit — ``(bit_pos)``, at most ``bits`` rows of one int64.
+
+    The sparse-set representation (positions-as-table instead of a
+    packed bitmap) is what makes the filter a first-class warehouse
+    object: persistable as parquet, mergeable by plain UNION/DISTINCT
+    (bitwise-OR of bitmaps ≡ set union of positions), and — because the
+    k hash functions are md5-derived with no RNG — bit-for-bit
+    reproducible and oracle-checkable in SQL. At full fill the store is
+    ``bits`` rows (1 MiB at the 2^17 default), broadcast-sized however
+    large the benchmark side grows; size ``bits`` ≥ ~10x the expected
+    distinct-gram count to keep the false-positive rate near
+    (fill)^hashes.
+    """
+    bg = (
+        shingle_hash_sets(bench, text_col, id_col, n)
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    pos = F.array(*[_bloom_pos(F.col("g"), i, bits) for i in range(hashes)])
+    return bg.select(F.explode(pos).alias("bit_pos")).distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    bits: int = 1 << 17,
+    hashes: int = 3,
+) -> DataFrame:
+    """Bloom pre-filter for benchmark decontamination: per training
+    document, how many of its distinct word ``n``-grams the Bloom
+    ``store`` (from :func:`bloom_gram_store`, SAME n/bits/hashes) flags
+    as maybe-in-benchmark — a gram is flagged iff ALL ``hashes`` of its
+    bit positions are set. Output: ``(id, n_grams, n_maybe_hits)``.
+
+    This is the 100 TB shape of :func:`decontaminate`'s first pass: the
+    corpus-side join probes a broadcast ≤``bits``-row store instead of
+    the benchmark's full distinct-gram set (which for a large eval
+    suite union can be GBs), and only the maybe-flagged minority ever
+    needs the exact verification join. No false negatives — a gram in
+    the benchmark always has all its bits set — so the pre-filter never
+    loses a contamination; false positives (measured against the exact
+    join by the registry query ``doc_bloom_decontaminate``) cost only
+    wasted verification work, at rate ≈ fill^hashes.
+    """
+    tg = (
+        shingle_hash_sets(train, text_col, id_col, n)
+        .select(F.col(id_col), F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    probe = tg.select(
+        F.col(id_col),
+        F.col("g"),
+        F.explode(
+            F.array(*[_bloom_pos(F.col("g"), i, bits) for i in range(hashes)])
+        ).alias("bit_pos"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(store.withColumn("__set", F.lit(1))), "bit_pos", "left"
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count("__set").alias("__nset"))
+    )
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__nset") == hashes, 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe_hits"),
+    )

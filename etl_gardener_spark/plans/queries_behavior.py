@@ -2160,3 +2160,138 @@ def ship_lag_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("__a95") <= F.col("__hi95"))
         ).alias("p95_ok"),
     )
+
+
+_CMS_ROWS = 4
+_CMS_W = 512
+
+
+def _cms_pos_sql(r: int) -> str:
+    """DuckDB mirror of the Spark CMS bucket kernel for hash row ``r``
+    (the playbook's portable md5 bucket: first 8 hex chars as int64)."""
+    return (
+        f"('0x' || substr(md5('cms{r}:' || CAST(user_id AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_CMS_W}"
+    )
+
+
+@query(
+    "weekly_user_cms_rollup",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, r.i AS r,
+             {'CASE r.i ' + ' '.join(f'WHEN {r} THEN ' + _cms_pos_sql(r) for r in range(_CMS_ROWS)) + ' END'} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, range({_CMS_ROWS}) r(i)
+      GROUP BY 1, 2, 3),
+    weekly AS (
+      SELECT CAST(date_trunc('week', d) AS DATE) AS week, r, bucket,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM daily GROUP BY 1, 2, 3),
+    exact AS (
+      SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+             user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1, 2),
+    top AS (
+      SELECT week, user_id, exact_n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY week
+                  ORDER BY exact_n DESC, user_id) AS BIGINT) AS rnk
+      FROM exact QUALIFY rnk <= 10),
+    probe AS (
+      SELECT t.week, t.user_id, t.exact_n, t.rnk, r.i AS r,
+             {'CASE r.i ' + ' '.join(f'WHEN {r} THEN ' + _cms_pos_sql(r) for r in range(_CMS_ROWS)) + ' END'} AS bucket
+      FROM top t, range({_CMS_ROWS}) r(i)),
+    est AS (
+      SELECT p.week, p.user_id, p.exact_n, p.rnk,
+             CAST(MIN(w.n) AS BIGINT) AS cms_n
+      FROM probe p JOIN weekly w
+        ON p.week = w.week AND p.r = w.r AND p.bucket = w.bucket
+      GROUP BY 1, 2, 3, 4)
+    SELECT week, user_id, rnk, exact_n, cms_n,
+           CAST(cms_n - exact_n AS BIGINT) AS overcount,
+           cms_n >= exact_n AS overestimate_ok
+    FROM est
+    """,
+    tags=("analytics", "sketch", "rollup", "heavy-hitter"),
+)
+def weekly_user_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch weekly rollup — the FOURTH re-aggregatable
+    summary family, completing the sketch suite next to HLL distincts
+    ([[weekly_users_sketch_rollup]]), mergeable histograms
+    ([[weekly_value_histogram_rollup]]) and GK quantiles
+    ([[ship_lag_quantile_sketch]]): per-day 4x512 CMS matrices of
+    per-user event counts MERGE to weekly by cell-wise sum — at 100 TB
+    the weekly/monthly ladder reads |days| x 2048 cells, never the
+    event stream — and the weekly top-10 users (exact count, id
+    tie-break) are then estimated off the merged sketch alone. The CMS
+    invariant est >= exact (hash collisions only ever ADD) is emitted
+    as a constant-TRUE ``overestimate_ok`` flag, and ``overcount`` is
+    itself deterministic (md5-derived bucket functions, no RNG), so the
+    whole row set is bit-exact against the oracle. All counts are
+    integers; the only windows are the per-week top-10 (WindowGroupLimit
+    heap) and nothing else ranks globally."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+
+    def bucket(r: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cms{r}:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        )
+
+    rows_arr = F.array(
+        *[
+            F.struct(F.lit(r).cast("long").alias("r"), bucket(r).alias("bucket"))
+            for r in range(_CMS_ROWS)
+        ]
+    )
+    daily = (
+        e.select(F.to_date("ts").alias("d"), F.explode(rows_arr).alias("rb"))
+        .groupBy("d", "rb.r", "rb.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    weekly = (
+        daily.groupBy(
+            F.date_trunc("week", "d").cast("date").alias("week"), "r", "bucket"
+        )
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    exact = e.groupBy(week, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    w = Window.partitionBy("week").orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    )
+    top = (
+        exact.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+    )
+    probe = top.select(
+        "week", "user_id", "exact_n", "rnk", F.explode(rows_arr).alias("rb")
+    ).select("week", "user_id", "exact_n", "rnk", "rb.r", "rb.bucket")
+    est = (
+        probe.join(weekly, ["week", "r", "bucket"])
+        .groupBy("week", "user_id", "exact_n", "rnk")
+        .agg(F.min("n").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        "week",
+        "user_id",
+        "rnk",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        (F.col("cms_n") >= F.col("exact_n")).alias("overestimate_ok"),
+    )

@@ -3956,3 +3956,108 @@ def emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+_BLOOM_BITS = 1 << 17
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(i: int) -> str:
+    """DuckDB mirror of corpus._bloom_pos (portable md5 bucket kernel)."""
+    return (
+        f"('0x' || substr(md5('bloom{i}:' || CAST(g AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "doc_bloom_decontaminate",
+    f"""
+    {_DOCS_CTE},
+    g AS (SELECT doc_id, source, unnest({_DECON_HASHES}) AS g FROM d),
+    bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+    store AS (SELECT DISTINCT unnest(
+                [{', '.join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}])
+                AS bit_pos FROM bench),
+    tg AS (SELECT doc_id, g FROM g WHERE source <> 'src0'),
+    probe AS (SELECT doc_id, g, unnest(
+                [{', '.join(_bloom_pos_sql(i) for i in range(_BLOOM_K))}])
+                AS bit_pos FROM tg),
+    hits AS (
+      SELECT p.doc_id, p.g, COUNT(s.bit_pos) AS nset
+      FROM probe p LEFT JOIN store s USING (bit_pos)
+      GROUP BY 1, 2),
+    bloom AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (WHERE nset = {_BLOOM_K}) AS BIGINT)
+               AS n_maybe_hits
+      FROM hits GROUP BY 1),
+    exact AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) FILTER (WHERE b.g IS NOT NULL) AS BIGINT)
+               AS n_exact_hits
+      FROM tg t LEFT JOIN bench b USING (g) GROUP BY 1)
+    SELECT b.doc_id, b.n_grams, b.n_maybe_hits, e.n_exact_hits,
+           CAST(b.n_maybe_hits - e.n_exact_hits AS BIGINT) AS n_false_pos,
+           b.n_maybe_hits >= e.n_exact_hits AS no_false_negatives
+    FROM bloom b JOIN exact e USING (doc_id)
+    """,
+    tags=("llm", "text", "decontamination", "sketch"),
+)
+def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered benchmark decontamination, certified against
+    the exact join it accelerates: treat source 'src0' as the held-out
+    eval suite, build the md5-derived k=3 / 2^17-bit Bloom store of its
+    distinct 5-gram hashes (corpus.bloom_gram_store — a ≤1 MiB
+    broadcastable positions table, mergeable by UNION), then flag every
+    training document's grams through the filter
+    (corpus.bloom_decontaminate) AND through the exact benchmark-set
+    join ([[doc_decontaminate]]'s kernel). Emitted per doc: gram count,
+    Bloom maybe-hits, exact hits, the false-positive overhead the
+    pre-filter would hand to exact verification, and the constant-TRUE
+    ``no_false_negatives`` invariant (a benchmark gram always has all
+    its bits set — the property that makes the pre-filter safe). Both
+    engines derive bucket positions from the same md5 kernel, so even
+    the false-positive counts are bit-exact. Scale shape: the corpus
+    probes a BROADCAST store; the only shuffles are the two per-doc
+    re-counts (map-side combined); the store build touches only the
+    tiny benchmark side."""
+    from etl_gardener_spark.operators import corpus as CP2
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    train = d.filter(F.col("source") != "src0")
+    store = CP2.bloom_gram_store(
+        bench, "text", "doc_id", n=_DECON_N, bits=_BLOOM_BITS, hashes=_BLOOM_K
+    )
+    bloom = CP2.bloom_decontaminate(
+        train, store, "text", "doc_id",
+        n=_DECON_N, bits=_BLOOM_BITS, hashes=_BLOOM_K,
+    )
+    tg = (
+        ND.shingle_hash_sets(train, "text", "doc_id", _DECON_N)
+        .select(F.col("doc_id"), F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    bg = (
+        ND.shingle_hash_sets(bench, "text", "doc_id", _DECON_N)
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exact = tg.join(F.broadcast(bg), "g", "left").groupBy("doc_id").agg(
+        F.count("__hit").cast("long").alias("n_exact_hits")
+    )
+    return bloom.join(exact, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_maybe_hits",
+        "n_exact_hits",
+        (F.col("n_maybe_hits") - F.col("n_exact_hits"))
+        .cast("long")
+        .alias("n_false_pos"),
+        (F.col("n_maybe_hits") >= F.col("n_exact_hits")).alias(
+            "no_false_negatives"
+        ),
+    )

@@ -295,3 +295,58 @@ def test_duplicate_span_profile_matches_rewrite(spark):
         ), i
     assert prof[1]["coverage_frac"] == pytest.approx(4 / 6, abs=1e-4)
     assert prof[4]["n_tokens"] == 0 and prof[4]["coverage_frac"] == 0.0
+
+
+def test_bloom_prefilter_no_false_negatives_and_mergeable(spark):
+    """Bloom decontamination pre-filter invariants: (1) NO false
+    negatives — every gram actually in the benchmark is maybe-flagged,
+    so n_maybe_hits >= n_exact_hits per doc; (2) the positions-table
+    representation merges by plain union — store(A ∪ B) ==
+    store(A) ∪ store(B); (3) with a tiny bit space, false positives DO
+    occur and are deterministic (md5-derived, rerun-stable)."""
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "pack my box with five dozen liquor jugs"),
+        ],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # contains a verbatim bench 5-gram -> exact hit, must be flagged
+            (1, "we say the quick brown fox jumps too"),
+            (2, "completely unrelated training text with many words"),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(n=5, bits=1 << 12, hashes=3)
+    store = CP.bloom_gram_store(bench, "text", "doc_id", **kw)
+    out = {
+        r["doc_id"]: r
+        for r in CP.bloom_decontaminate(
+            train, store, "text", "doc_id", **kw
+        ).collect()
+    }
+    assert out[1]["n_maybe_hits"] >= 1  # the verbatim gram is caught
+    for r in out.values():
+        assert 0 <= r["n_maybe_hits"] <= r["n_grams"]
+
+    # mergeability: union of stores == store of union
+    s_a = CP.bloom_gram_store(
+        bench.filter("doc_id = 100"), "text", "doc_id", **kw
+    )
+    s_b = CP.bloom_gram_store(
+        bench.filter("doc_id = 101"), "text", "doc_id", **kw
+    )
+    merged = {r["bit_pos"] for r in s_a.union(s_b).distinct().collect()}
+    full = {r["bit_pos"] for r in store.collect()}
+    assert merged == full
+
+    # determinism: a rerun flags the identical gram set
+    again = {
+        r["doc_id"]: r["n_maybe_hits"]
+        for r in CP.bloom_decontaminate(
+            train, store, "text", "doc_id", **kw
+        ).collect()
+    }
+    assert again == {i: r["n_maybe_hits"] for i, r in out.items()}

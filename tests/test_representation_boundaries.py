@@ -338,3 +338,30 @@ def test_audio_mean_rounds_half_up_at_exact_midpoint(spark):
     assert out[1]["mean_amplitude"] == 0.007813  # half-up, not 0.007812
     assert out[2]["mean_amplitude"] == 2.0  # exact mean unperturbed
     assert out[1]["byte_len"] == 128 and out[1]["peak_amplitude"] == 1
+
+
+def test_decile_share_kernel_exact_beyond_int64_ceiling(spark):
+    """The customer_value_deciles share kernel widened to DECIMAL(38,0)
+    (round-5 advisor fix): 2 * cum_cents * 1e5 wraps int64 once total
+    revenue passes ~4.6e13 cents, so the half-up-at-5dp integral
+    division must stay exact ABOVE that ceiling. Spark's `div`
+    (IntegralDivide) accepts decimal operands and returns an exact LONG
+    — pinned here against Python big-int arithmetic at ~9e17-cent
+    inputs where the narrow kernel returns garbage."""
+    from pyspark.sql import functions as F
+
+    # crev_e2 near the old overflow frontier and beyond it
+    cases = [
+        (9_000_000_000_000_000_000 // 10, 1_800_000_000_000_000_000),
+        (4_611_686_018_427_387, 9_223_372_036_854_775),   # exactly at 2c*1e5 edge
+        (123_456_789_012_345_678, 987_654_321_098_765_432),
+    ]
+    df = spark.createDataFrame(cases, ["c", "t"])
+    got = df.select(
+        F.expr(
+            "(2 * cast(c as decimal(38,0)) * 100000 + cast(t as decimal(38,0)))"
+            " div (2 * cast(t as decimal(38,0)))"
+        ).alias("share_e5")
+    ).collect()
+    for (c, t), row in zip(cases, got):
+        assert row["share_e5"] == (2 * c * 100000 + t) // (2 * t), (c, t)
