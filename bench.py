@@ -43,17 +43,16 @@ RUNS = 2
 
 def _max_stage_id(spark) -> int:
     """Largest stage id the status store has seen (-1 when empty)."""
-    entries = _stage_entries(spark)
-    return max((sid for sid, _att, _rt in entries), default=-1)
+    return max((e[0] for e in _stage_entries(spark)), default=-1)
 
 
-def _stage_entries(spark) -> list[tuple[int, int, int]]:
-    """(stageId, attemptId, executorRunTime_ms) for every stage attempt
-    in the AppStatusStore. Stage ids are monotonically increasing, so a
-    query run's task-time is the runtime sum over ids minted after the
-    run started — immune to the store evicting OLD stages mid-bench
-    (spark.ui.retainedStages), which would corrupt a cumulative-total
-    delta."""
+def _stage_entries(spark) -> list[tuple[int, int, int, int]]:
+    """(stageId, attemptId, executorRunTime_ms, executorCpuTime_ms) for
+    every stage attempt in the AppStatusStore. Stage ids are
+    monotonically increasing, so a query run's task-time is the sum over
+    ids minted after the run started — immune to the store evicting OLD
+    stages mid-bench (spark.ui.retainedStages), which would corrupt a
+    cumulative-total delta."""
     sc = spark.sparkContext
     jvm = sc._jvm
     ss = spark._jsparkSession.sparkContext().statusStore()
@@ -63,15 +62,27 @@ def _stage_entries(spark) -> list[tuple[int, int, int]]:
     out = []
     for i in range(lst.size()):
         s = lst.apply(i)
-        out.append((s.stageId(), s.attemptId(), s.executorRunTime()))
+        out.append(
+            (
+                s.stageId(),
+                s.attemptId(),
+                s.executorRunTime(),
+                s.executorCpuTime() // 1_000_000,
+            )
+        )
     return out
 
 
-def _task_time_since(spark, min_stage_id: int) -> float:
-    """Executor task-seconds accumulated by stages with id > min_stage_id."""
+def _task_time_since(spark, min_stage_id: int) -> tuple[float, float]:
+    """(task_seconds, cpu_seconds) accumulated by stages with id >
+    min_stage_id. Task-seconds (executorRunTime) is the slot-seconds
+    analogue but includes per-task wait (I/O, scheduling — dominant for
+    tiny partitions at small SF); cpu-seconds (executorCpuTime) is the
+    pure compute, the number that actually scales with data volume."""
+    entries = [e for e in _stage_entries(spark) if e[0] > min_stage_id]
     return (
-        sum(rt for sid, _att, rt in _stage_entries(spark) if sid > min_stage_id)
-        / 1000.0
+        sum(rt for _s, _a, rt, _c in entries) / 1000.0,
+        sum(c for _s, _a, _rt, c in entries) / 1000.0,
     )
 
 
@@ -86,20 +97,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     task_secs: dict[str, float] = {}
+    cpu_secs: dict[str, float] = {}
     for name, qd in Q.REGISTRY.items():
         best = None
         best_task = None
+        best_cpu = None
         for _ in range(RUNS):
             mark = _max_stage_id(spark)
             t0 = time.monotonic()
             df = qd.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             dt = time.monotonic() - t0
-            task = _task_time_since(spark, mark)
+            task, cpu = _task_time_since(spark, mark)
             best = dt if best is None else min(best, dt)
             best_task = task if best_task is None else min(best_task, task)
+            best_cpu = cpu if best_cpu is None else min(best_cpu, cpu)
         timings[name] = round(best, 3)
         task_secs[name] = round(best_task, 3)
+        cpu_secs[name] = round(best_cpu, 3)
 
     payload = {
         "metric": "total_query_wall_sec",
@@ -107,7 +122,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_task_sec": task_secs,
+        "queries_cpu_sec": cpu_secs,
         "task_sec_total": round(sum(task_secs.values()), 3),
+        "cpu_sec_total": round(sum(cpu_secs.values()), 3),
         "sf": sf,
     }
     out_path = os.environ.get(
