@@ -53,6 +53,16 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# Exact money-sum kernel — see functions/exact.py for the full rationale
+# (fold-order + ROUND-midpoint hazards of ROUND(SUM(double), k); the
+# micro-unit kernel is lossless for the <=6-dp money/value terms here).
+from etl_gardener_spark.functions.exact import (  # noqa: E402
+    micro_display,
+    micro_sum,
+    micro_sum_sql,
+)
+
+
 # ---------------------------------------------------------------------------
 # Gardener parity: dedup family (reference Q1, Q3-Q5 semantics)
 # ---------------------------------------------------------------------------
@@ -529,7 +539,7 @@ def load_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(ts AS DATE) AS date, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(sum(value), 4) AS sum_value
+           CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS sum_value
     FROM events
     WHERE event_id % 10 <> 0
        OR CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
@@ -561,9 +571,18 @@ def refresh_rollup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rollup(df: DataFrame) -> DataFrame:
-        return df.groupBy("date", "event_type").agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+        return (
+            df.groupBy("date", "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                micro_sum(F.col("value")).alias("__s"),
+            )
+            .select(
+                "date",
+                "event_type",
+                "n",
+                micro_display("__s", 4).alias("sum_value"),
+            )
         )
 
     wh.append(base, "raw", "exp", "events")
@@ -589,17 +608,40 @@ def refresh_rollup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _micro_avg_sql(expr: str, dp: int = 4) -> str:
+    """DuckDB display-rounded AVG off the exact micro-unit sum: identical
+    IEEE tree to the Spark _micro_avg below (exact integer sum and count
+    -> identical doubles -> identical floor kernel)."""
+    return (
+        f"FLOOR((CAST(SUM(CAST(FLOOR(({expr}) * 1e6 + 0.5) AS HUGEINT))"
+        f" AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)) * 1e{dp} + 0.5)"
+        f" / 1e{dp}"
+    )
+
+
+def _micro_avg(sum_col: str, n_col: str, dp: int = 4) -> "F.Column":
+    """Spark twin of _micro_avg_sql over pre-aggregated micro-sum and
+    count columns."""
+    return (
+        F.expr(
+            f"floor((cast({sum_col} as double) / 1e6"
+            f" / cast({n_col} as double)) * 1e{dp} + 0.5)"
+        )
+        / float(10**dp)
+    )
+
+
 @query(
     "q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           {micro_sum_sql("l_quantity", 2)} AS sum_qty,
+           {micro_sum_sql("l_extendedprice", 2)} AS sum_base_price,
+           {micro_sum_sql("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+           {micro_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS sum_charge,
+           {_micro_avg_sql("l_quantity")} AS avg_qty,
+           {_micro_avg_sql("l_extendedprice")} AS avg_price,
+           {_micro_avg_sql("l_discount")} AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '1998-09-02'
@@ -610,38 +652,47 @@ def refresh_rollup_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan one fact table, hash-aggregate on two low-card
     keys. Map-side partial aggregation collapses 100 TB to a few rows before
-    the (tiny) shuffle; whole plan is WholeStageCodegen."""
+    the (tiny) shuffle; whole plan is WholeStageCodegen. Money sums and
+    averages run through the exact micro-unit kernel (micro_sum module
+    comment): every term is <=6-dp exact, so the kernel is lossless AND
+    immune to the fold-order/ROUND-midpoint hazards of double SUM/AVG."""
     li = load_table(spark, sf_dir, "lineitem")
+    price, disc, tax = (
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+        F.col("l_tax"),
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            micro_sum(F.col("l_quantity")).alias("__sq"),
+            micro_sum(price).alias("__sbp"),
+            micro_sum(price * (1 - disc)).alias("__sdp"),
+            micro_sum(price * (1 - disc) * (1 + tax)).alias("__sc"),
+            micro_sum(disc).alias("__sd"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            micro_display("__sq", 2).alias("sum_qty"),
+            micro_display("__sbp", 2).alias("sum_base_price"),
+            micro_display("__sdp", 2).alias("sum_disc_price"),
+            micro_display("__sc", 2).alias("sum_charge"),
+            _micro_avg("__sq", "__n").alias("avg_qty"),
+            _micro_avg("__sbp", "__n").alias("avg_price"),
+            _micro_avg("__sd", "__n").alias("avg_disc"),
+            F.col("__n").alias("count_order"),
         )
     )
 
 
 @query(
     "revenue_by_nation",
-    """
+    f"""
     SELECT n.n_name AS nation, r.r_name AS region,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {micro_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -668,10 +719,16 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            micro_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__s"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "nation",
+            "region",
+            micro_display("__s", 2).alias("revenue"),
+            "n_items",
         )
     )
 
@@ -878,11 +935,11 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_revenue",
-    """
+    f"""
     SELECT COALESCE(r.r_name, '<all>') AS region,
            CASE WHEN r.r_name IS NULL THEN '<all>'
                 ELSE COALESCE(n.n_name, '<all>') END AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {micro_sum_sql("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -897,7 +954,10 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region, and grand total in ONE pass — Spark expands the rollup inside
     the aggregate (Expand node), so the fact scan happens once, not three
     times. NULL grouping slots are labeled '<all>' on both engines so the
-    value-hash can't confuse them with real NULL dimension values."""
+    value-hash can't confuse them with real NULL dimension values.
+    Revenue accumulates through the exact micro-unit kernel (see
+    micro_sum): the round-5 sf1 sweep caught the double-SUM variant's
+    AMERICA rollup exactly on a cent midpoint."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -912,16 +972,16 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            micro_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__s")
         )
         .select(
             F.coalesce(F.col("r_name"), F.lit("<all>")).alias("region"),
             F.when(F.col("r_name").isNull(), F.lit("<all>"))
             .otherwise(F.coalesce(F.col("n_name"), F.lit("<all>")))
             .alias("nation"),
-            "revenue",
+            micro_display("__s", 2).alias("revenue"),
         )
     )
 
@@ -958,24 +1018,29 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hourly_rollup",
-    """
+    f"""
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, {micro_sum_sql("value", 2)} AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("analytics", "agg", "time"),
 )
 def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour rollup, the batch twin of the streaming windowed agg in
-    streaming/ (same grouping keys, same results)."""
+    streaming/ (same grouping keys, same results). Value totals run
+    through the exact micro-unit kernel (micro_sum module comment):
+    event values are 2-dp exact, so the kernel is lossless and the sum
+    order-free."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
         )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            micro_sum(F.col("value")).alias("__s"),
+        )
+        .select("hour", "event_type", "n", micro_display("__s", 2).alias("total_value"))
     )
 
 
@@ -1064,9 +1129,9 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_hourly_rollup",
-    """
+    f"""
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, {micro_sum_sql("value", 2)} AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("analytics", "agg", "skew"),
@@ -1075,10 +1140,11 @@ def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hourly rollup through the salted two-phase aggregation
     (operators/skew.py): identical results to the direct groupBy — same
     oracle — with the hot-key fan-out bounded by the salt buckets.
-    Note the rounding happens AFTER the two-phase sum so float fold order
-    matches the single-phase plan's (sum of partial sums of doubles is
-    reassociated; rounding to 2 absorbs it, same contract as every other
-    float aggregate here)."""
+    Values are quantized to exact decimal micro-units BEFORE the
+    two-phase sum, so the re-association the salting introduces (sum of
+    per-bucket partial sums) is exactly order-free — the previous
+    round-after-double-sum contract only held while no group landed on a
+    cent midpoint."""
     from etl_gardener_spark.operators.skew import salted_agg
 
     e = load_table(spark, sf_dir, "events")
@@ -1086,11 +1152,13 @@ def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
             "event_type",
-            "value",
+            F.floor(F.col("value") * 1e6 + F.lit(0.5))
+            .cast("decimal(38,0)")
+            .alias("__vmicro"),
             "event_id",
         ),
         keys=["hour", "event_type"],
-        aggs={"n": ("event_id", "count"), "__sum_value": ("value", "sum")},
+        aggs={"n": ("event_id", "count"), "__s": ("__vmicro", "sum")},
         salt_col="event_id",
         salt_buckets=16,
     )
@@ -1098,7 +1166,7 @@ def salted_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         "event_type",
         "n",
-        F.round(F.col("__sum_value"), 2).alias("total_value"),
+        micro_display("__s", 2).alias("total_value"),
     )
 
 
@@ -1261,7 +1329,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               AS minute FROM bounds) m),
     agg AS (
       SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
-             CAST(count(*) AS BIGINT) AS n, ROUND(avg(value), 4) AS avg_value
+             CAST(count(*) AS BIGINT) AS n, FLOOR((CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 / CAST(COUNT(value) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_value
       FROM events GROUP BY 1, 2)
     SELECT s.event_type, s.minute,
            COALESCE(a.n, 0) AS n,
@@ -1298,7 +1366,14 @@ def minute_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "minute")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (
+                F.expr(
+                "floor((cast(sum(cast(floor(value * 1e6 + 0.5)"
+                " as decimal(38,0))) as double) / 1e6"
+                " / cast(count(value) as double)) * 1e4 + 0.5)"
+            )
+            / 1e4
+            ).alias("avg_value"),
         )
     )
     w = (
@@ -1467,7 +1542,9 @@ def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pa AS (
       SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
       FROM lineitem GROUP BY l_partkey)
-    SELECT ROUND(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT CAST((2 * SUM(CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5)
+                         AS HUGEINT)) + 70000)
+                // 140000 AS DOUBLE) / 100.0 AS avg_yearly
     FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
     WHERE l.l_quantity < pa.lim
     """,
@@ -1486,7 +1563,12 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(pa, "l_partkey")
         .filter(F.col("l_quantity") < F.col("lim"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(micro_sum(F.col("l_extendedprice")).alias("__s"))
+        .select(
+            (
+                F.expr("(2 * __s + 70000) div 140000").cast("double") / 100.0
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1900,7 +1982,7 @@ def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(sum(o_totalprice), 2) AS total
+           CAST((2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("analytics", "agg", "cube"),
@@ -1916,13 +1998,13 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            micro_sum(F.col("o_totalprice")).alias("__s"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
             F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
             "n_orders",
-            "total",
+            micro_display("__s", 2).alias("total"),
         )
     )
 
@@ -1961,7 +2043,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_deciles",
     """
     WITH u AS (
-      SELECT user_id, ROUND(sum(value), 4) AS total
+      SELECT user_id, CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS total
       FROM events GROUP BY user_id)
     SELECT user_id, total,
            CAST(NTILE(10) OVER w AS BIGINT) AS decile,
@@ -1989,7 +2071,8 @@ def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
-        .agg(F.round(F.sum("value"), 4).alias("total"))
+        .agg(micro_sum(F.col("value")).alias("__s"))
+        .select("user_id", micro_display("__s", 4).alias("total"))
     )
     ranked = global_row_number(
         u, [F.col("total").desc(), F.col("user_id").asc()], out_col="__rn"

@@ -1800,7 +1800,7 @@ def weekly_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
            CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(value), 4) AS avg_value
+           FLOOR((CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE) / 1e6 / CAST(COUNT(value) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_value
     FROM events GROUP BY 1, 2
     """,
     tags=("analytics", "seasonality"),
@@ -1824,7 +1824,14 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow", "hour")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (
+                F.expr(
+                "floor((cast(sum(cast(floor(value * 1e6 + 0.5)"
+                " as decimal(38,0))) as double) / 1e6"
+                " / cast(count(value) as double)) * 1e4 + 0.5)"
+            )
+            / 1e4
+            ).alias("avg_value"),
         )
     )
 

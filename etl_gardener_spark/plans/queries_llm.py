@@ -1752,7 +1752,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_hourly_rollup",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("llm", "streaming"),
@@ -1774,7 +1774,7 @@ def stream_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id)
     SELECT f.cohort_day, e.event_type,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(sum(e.value), 2) AS total_value
+           CAST((2 * SUM(CAST(FLOOR((e.value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total_value
     FROM events e JOIN f USING (user_id)
     GROUP BY 1, 2
     """,
@@ -1833,7 +1833,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_warehouse_sink",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n, CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("llm", "streaming", "sink", "warehouse"),

@@ -19,6 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.exact import (
+    micro_display,
+    micro_sum,
+    micro_sum_sql,
+)
 from etl_gardener_spark.plans.queries import query
 from etl_gardener_spark.sources.tables import load_table
 
@@ -32,7 +37,7 @@ from etl_gardener_spark.sources.tables import load_table
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -68,10 +73,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            micro_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__s")
         )
+        .withColumn("revenue", micro_display("__s", 4))
+        .drop("__s")
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -82,7 +89,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     """
     SELECT c_custkey, c_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -113,10 +120,12 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            micro_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__s")
         )
+        .withColumn("revenue", micro_display("__s", 4))
+        .drop("__s")
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -127,7 +136,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_pair_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 4) AS revenue
+           CAST((2 * SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -188,10 +197,12 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            micro_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__s")
         )
+        .withColumn("revenue", micro_display("__s", 4))
+        .drop("__s")
     )
 
 
@@ -266,9 +277,11 @@ def q11_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_segments",
     """
     WITH avg_bal AS (
-      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+      SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE)
+             / 1e6 / CAST(COUNT(*) AS DOUBLE) AS a
+      FROM customer WHERE c_acctbal > 0)
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c_acctbal), 4) AS totacctbal
+           CAST((2 * SUM(CAST(FLOOR((c_acctbal) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -285,8 +298,14 @@ def q22_idle_rich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filtered by date and projected to the key column — the anti
     join shuffles only qualifying keys, not whole orders rows."""
     c = load_table(spark, sf_dir, "customer")
+    # exact-operand threshold: micro-unit sum and count are exact
+    # integers, so the computed average is the SAME double in both
+    # engines and the > cut keeps identical rows even at boundaries
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        F.expr(
+            "cast(sum(cast(floor(c_acctbal * 1e6 + 0.5) as decimal(38,0)))"
+            " as double) / 1e6 / cast(count(*) as double)"
+        ).alias("avg_bal")
     )
     okeys = (
         load_table(spark, sf_dir, "orders")
@@ -300,7 +319,10 @@ def q22_idle_rich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            micro_sum(F.col("c_acctbal")).alias("__s"),
+        )
+        .select(
+            "c_mktsegment", "numcust", micro_display("__s", 4).alias("totacctbal")
         )
     )
 
@@ -376,9 +398,14 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_promo_revenue_pct",
     """
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'ECONOMY'
-                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+    SELECT FLOOR(100.0
+                 * (CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                      THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                      * 1e6 + 0.5) AS HUGEINT)
+                      ELSE 0 END) AS DOUBLE)
+                    / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                          * 1e6 + 0.5) AS HUGEINT)) AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4 AS promo_pct,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -397,16 +424,26 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_micro = F.floor(rev * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
+    zero38 = F.lit(0).cast("decimal(38,0)")
     return (
         l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_pct"),
+            F.sum(
+                F.when(F.col("p_type") == "ECONOMY", rev_micro).otherwise(zero38)
+            ).alias("__num"),
+            F.sum(rev_micro).alias("__den"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            (
+                F.expr(
+                    "floor(100.0 * (cast(__num as double)"
+                    " / cast(__den as double)) * 1e4 + 0.5)"
+                )
+                / 1e4
+            ).alias("promo_pct"),
+            "n_lines",
         )
     )
 
@@ -449,7 +486,7 @@ def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+    SELECT CAST((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
@@ -477,11 +514,18 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25) & q.between(10, 20))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
-    return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    return (
+        j.filter(cond)
+        .agg(
+            micro_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            micro_display("__s", 4).alias("revenue"),
+            "n_lines",
+        )
     )
 
 
@@ -491,7 +535,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST((2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -511,13 +555,13 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            micro_sum(F.col("o_totalprice")).alias("__s"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
             F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
             "n_orders",
-            "total",
+            micro_display("__s", 2).alias("total"),
         )
     )
 
@@ -674,8 +718,9 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_part_revenue",
     """
-    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / 7.0, 4) AS avg_yearly,
+    SELECT CAST((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                         * 10000 AS HUGEINT) + 7)
+                // 14 AS DOUBLE) / 10000.0 AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
@@ -709,14 +754,17 @@ def q17_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("part_avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
-                    "double"
-                )
-                / 7.0,
-                4,
-            ).alias("avg_yearly"),
+            F.expr(
+                "cast(sum(cast(l_extendedprice as decimal(18,4))) * 10000"
+                " as bigint)"
+            ).alias("__e4"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            (F.expr("(2 * __e4 + 7) div 14").cast("double") / 10000.0).alias(
+                "avg_yearly"
+            ),
+            "n_lines",
         )
     )
 
@@ -767,8 +815,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS profit
+           CAST((2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))) * 10000 AS HUGEINT) + 100)
+                // 200 AS DOUBLE) / 100.0 AS profit
     FROM lineitem, part, supplier, nation
     WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
@@ -801,14 +850,17 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                        "decimal(18,4)"
-                    )
-                ).cast("double"),
-                2,
-            ).alias("profit")
+            F.expr(
+                "cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                " as decimal(18,4))) * 10000 as bigint)"
+            ).alias("__e4")
+        )
+        .select(
+            "nation",
+            "o_year",
+            (F.expr("(2 * __e4 + 100) div 200").cast("double") / 100.0).alias(
+                "profit"
+            ),
         )
     )
 
@@ -828,10 +880,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
         AND p_type = 'ECONOMY')
     SELECT o_year,
-           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
-                               THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
-                      AS DOUBLE)
-                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+           FLOOR((CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END)
+                       AS DOUBLE)
+                  / CAST(SUM(volume) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS mkt_share
     FROM all_sales GROUP BY o_year
     """,
     tags=("analytics", "tpch", "conditional-agg"),
@@ -888,14 +941,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
-                    .otherwise(zero)
-                ).cast("double")
-                / F.sum("volume").cast("double"),
-                6,
-            ).alias("mkt_share")
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                .otherwise(zero)
+            ).alias("__num"),
+            F.sum("volume").alias("__den"),
+        )
+        .select(
+            "o_year",
+            (
+                F.expr(
+                    "floor((cast(__num as double) / cast(__den as double))"
+                    " * 1e6 + 0.5)"
+                )
+                / 1e6
+            ).alias("mkt_share"),
         )
     )
 
@@ -1181,8 +1241,9 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey)
     SELECT n_lines,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(CAST(COUNT(*) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM per), 4) AS share
+           CAST((2 * COUNT(*) * 10000 + (SELECT COUNT(*) FROM per))
+                // (2 * (SELECT COUNT(*) FROM per)) AS DOUBLE) / 10000.0
+             AS share
     FROM per GROUP BY n_lines
     """,
     tags=("analytics", "distribution", "basket"),
@@ -1191,12 +1252,13 @@ def order_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     """Basket-size distribution: how many line items orders carry — the
     shape retail capacity planning reads. Two keyed aggregates (per-order
     count, then the tiny size histogram) with the denominator broadcast
-    as a one-row aggregate; every cell is an exact integer ratio."""
+    as a one-row aggregate; every cell is an exact integer ratio rounded
+    through the portable (2x + d) div 2d kernel."""
     li = load_table(spark, sf_dir, "lineitem")
     per = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines")
     )
-    tot = per.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("t"))
     return (
         per.groupBy("n_lines")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
@@ -1204,7 +1266,12 @@ def order_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "n_lines",
             "n_orders",
-            F.round(F.col("n_orders") / F.col("t"), 4).alias("share"),
+            # exact half-up integer ratio kernel — ROUND(n/t, 4) is the
+            # repr-midpoint hazard (functions/exact.py)
+            (
+                F.expr("(2 * n_orders * 10000 + t) div (2 * t)").cast("double")
+                / 10000.0
+            ).alias("share"),
         )
     )
 

@@ -90,13 +90,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hourly_agg(events: DataFrame) -> DataFrame:
     """The windowed aggregation, shared by stream and batch: tumbling
-    1-hour event-time windows per event_type."""
+    1-hour event-time windows per event_type. Value totals use the exact
+    micro-unit kernel (functions/exact.py) — micro-batch boundaries
+    re-associate the sum through state-store merges, which a double SUM
+    answers differently per trigger schedule while the decimal sum is
+    order-free."""
+    from etl_gardener_spark.functions.exact import micro_display, micro_sum
+
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            micro_sum(F.col("value")).alias("__s"),
+        )
+        .select(
+            "win",
+            "event_type",
+            "n",
+            micro_display("__s", 2).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("hour"),
@@ -151,13 +163,21 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min(F.to_date("ts")).alias("cohort_day"))
     )
+    from etl_gardener_spark.functions.exact import micro_display, micro_sum
+
     events = read_events_stream(spark, sf_dir)
     agg = (
         events.join(F.broadcast(cohorts), "user_id")
         .groupBy("cohort_day", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            micro_sum(F.col("value")).alias("__s"),
+        )
+        .select(
+            "cohort_day",
+            "event_type",
+            "n",
+            micro_display("__s", 2).alias("total_value"),
         )
     )
 
