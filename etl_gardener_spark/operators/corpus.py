@@ -167,15 +167,36 @@ def unigram_logprob(
     )
     vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("tot"))
+    # Per-token log-probs are quantized to integer micro-units BEFORE the
+    # per-document sum (see functions/exact.py): a double AVG's fold
+    # order varies with shuffle-fetch order run-to-run (and differs from
+    # any oracle engine), while the decimal micro-sum is exact and
+    # order-free; the half-up 4-dp display uses the portable floor
+    # kernel. The ~5e-7-bit quantization is far below the score's
+    # discriminative resolution.
     scored = vocab.crossJoin(F.broadcast(total)).select(
-        "t", F.log2(F.col("c") / F.col("tot")).alias("lp")
+        "t",
+        F.floor(F.log2(F.col("c") / F.col("tot")) * 1e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("lpm"),
     )
     return (
         toks.join(F.broadcast(scored), "t")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(-F.avg("lp"), 4).alias("bits_per_token"),
+            F.sum("lpm").alias("__s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.expr(
+                    "floor((-(cast(__s as double) / 1e6"
+                    " / cast(n_tokens as double))) * 1e4 + 0.5)"
+                )
+                / 1e4
+            ).alias("bits_per_token"),
         )
     )
 

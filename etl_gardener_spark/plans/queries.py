@@ -990,10 +990,14 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_value",
     """
     SELECT event_id, user_id, ts,
-           ROUND(AVG(value) OVER (
-             PARTITION BY user_id ORDER BY ts
-             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ), 6) AS avg_1h
+           FLOOR((CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                  ) AS DOUBLE) / 1e6
+                  / CAST(COUNT(value) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                    ) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_1h
     FROM events
     """,
     tags=("analytics", "window", "range-frame"),
@@ -1001,18 +1005,36 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 1-hour trailing moving average — a RANGE frame over exact
     epoch microseconds (float seconds would round at frame boundaries).
-    One shuffle on user_id; the frame sweep is a sorted scan."""
+    One shuffle on user_id; the frame sweep is a sorted scan. The frame
+    average runs the exact micro-unit kernel (functions/exact.py): Spark
+    recomputes sliding frames in scan order while DuckDB folds them
+    through a segment tree, so a double AVG is fold-order-divergent
+    cross-engine; the 2-dp-exact values quantize losslessly and the
+    decimal frame sum is order-free."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-3600 * 1_000_000, 0)
     )
+    vm = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("decimal(38,0)")
     return e.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.sum(vm).over(w).alias("__s"),
+        F.count("value").over(w).alias("__n"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.expr(
+                "floor((cast(__s as double) / 1e6 / cast(__n as double))"
+                " * 1e6 + 0.5)"
+            )
+            / 1e6
+        ).alias("avg_1h"),
     )
 
 
@@ -1290,7 +1312,10 @@ def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS min_k,
            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS max_k,
-           ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+           FLOOR((CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS DOUBLE)
+                  / CAST(count(json_extract_string(props, '$.k')) AS DOUBLE))
+                 * 1e4 + 0.5) / 1e4
              AS avg_k
     FROM events GROUP BY event_type
     """,
@@ -1311,7 +1336,24 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.min("__k").cast("long").alias("min_k"),
             F.max("__k").cast("long").alias("max_k"),
-            F.round(F.avg("__k"), 4).alias("avg_k"),
+            # integer operands: long SUM is exact and order-free; the
+            # half-up display rounding runs the engine-portable floor
+            # kernel instead of ROUND(double) (functions/exact.py).
+            F.sum("__k").alias("__sk"),
+            F.count("__k").alias("__nk"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "min_k",
+            "max_k",
+            (
+                F.expr(
+                    "floor((cast(__sk as double) / cast(__nk as double))"
+                    " * 1e4 + 0.5)"
+                )
+                / 1e4
+            ).alias("avg_k"),
         )
     )
 
@@ -2218,7 +2260,9 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(prev_ts) AS BIGINT) AS n_gaps,
            CAST(min(datediff('second', prev_ts, ts)) AS BIGINT) AS min_gap_s,
            CAST(max(datediff('second', prev_ts, ts)) AS BIGINT) AS max_gap_s,
-           ROUND(avg(datediff('second', prev_ts, ts)), 4) AS avg_gap_s
+           FLOOR((CAST(sum(datediff('second', prev_ts, ts)) AS DOUBLE)
+                  / CAST(count(prev_ts) AS DOUBLE)) * 1e4 + 0.5) / 1e4
+             AS avg_gap_s
     FROM p GROUP BY user_id
     """,
     tags=("analytics", "window"),
@@ -2244,7 +2288,23 @@ def purchase_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("prev_ts").cast("long").alias("n_gaps"),
             F.min(gap).cast("long").alias("min_gap_s"),
             F.max(gap).cast("long").alias("max_gap_s"),
-            F.round(F.avg(gap), 4).alias("avg_gap_s"),
+            # integer seconds: long SUM is exact and order-free; display
+            # half-up via the portable floor kernel (functions/exact.py).
+            F.sum(gap).alias("__sg"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_gaps",
+            "min_gap_s",
+            "max_gap_s",
+            (
+                F.expr(
+                    "floor((cast(__sg as double) / cast(n_gaps as double))"
+                    " * 1e4 + 0.5)"
+                )
+                / 1e4
+            ).alias("avg_gap_s"),
         )
     )
 

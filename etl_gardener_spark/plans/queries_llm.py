@@ -714,10 +714,13 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT doc_id, unnest(toks) AS t FROM d),
     v AS (SELECT t, count(*) AS c FROM t GROUP BY t),
     tot AS (SELECT sum(c) AS tot FROM v),
-    s AS (SELECT t, log2(c / tot) AS lp FROM v, tot)
+    s AS (SELECT t, CAST(FLOOR(log2(c / tot) * 1e6 + 0.5) AS HUGEINT)
+                      AS lpm FROM v, tot)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           ROUND(-avg(lp), 4) AS bits_per_token
+           FLOOR((-(CAST(sum(lpm) AS DOUBLE) / 1e6
+                    / CAST(count(*) AS DOUBLE))) * 1e4 + 0.5) / 1e4
+             AS bits_per_token
     FROM t JOIN s USING (t) GROUP BY doc_id
     """,
     tags=("llm", "text", "quality"),
@@ -3586,9 +3589,13 @@ def emb_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT doc_id, unnest(toks) AS t FROM d),
     v AS (SELECT t, count(*) AS c FROM t GROUP BY t),
     tot AS (SELECT sum(c) AS tot FROM v),
-    s AS (SELECT t, log2(c / tot) AS lp FROM v, tot),
+    s AS (SELECT t, CAST(FLOOR(log2(c / tot) * 1e6 + 0.5) AS HUGEINT)
+                      AS lpm FROM v, tot),
     lm AS (
-      SELECT doc_id, ROUND(-avg(lp), 4) AS bits_per_token
+      SELECT doc_id,
+             FLOOR((-(CAST(sum(lpm) AS DOUBLE) / 1e6
+                      / CAST(count(*) AS DOUBLE))) * 1e4 + 0.5) / 1e4
+               AS bits_per_token
       FROM t JOIN s USING (t) GROUP BY doc_id),
     ranked AS (
       SELECT l.doc_id, doc.lang, l.bits_per_token,

@@ -800,7 +800,7 @@ def recover_staging(spark: SparkSession, root: str) -> dict:
     fs = _hadoop_fs(spark, root)
     staging_root = _hadoop_path(spark, f"{root}/_staging")
     if not fs.exists(staging_root):
-        return {"completed": [], "aborted": []}
+        return {"completed": [], "aborted": [], "failed": []}
     for tierexp in fs.listStatus(staging_root):
         if not tierexp.isDirectory():
             continue
