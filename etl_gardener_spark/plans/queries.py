@@ -1811,12 +1811,20 @@ def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def term_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy term matching: vocabulary pairs at Levenshtein distance <= 2
-    (the typo-candidate join a spell-normalization pass needs). The
-    quadratic comparison runs on the DISTINCT term dimension — |vocab|^2,
-    tiny next to the corpus — never on documents; at web-corpus vocab
-    sizes the same join would take a length/prefix blocking key, but the
-    shape (dedup to a dimension, then self-join the dimension) is the
-    scale pattern."""
+    (the typo-candidate join a spell-normalization pass needs), via
+    SymSpell deletion-neighborhood blocking: two terms within edit
+    distance d always share at least one string reachable from each by
+    deleting <= d characters (align the edit script, delete the
+    inserted/substituted characters from both sides), so generating each
+    term's <=2-deletion variants (~L^2/2 keys, pure HOF expressions in
+    codegen) and EQUI-joining the inverted (variant -> term) index finds
+    every true pair without the |vocab|^2 nested-loop a theta self-join
+    plans. Candidates dedup to distinct (a, b) before the single
+    threshold-bounded levenshtein verification. Hot variants are
+    alphabet-bounded (the short keys that group many terms only arise
+    from terms of length <= key+2, a set bounded by the alphabet, not
+    the corpus), so the join shuffles candidate volume, not vocab^2 —
+    the shape that survives a web-scale vocabulary."""
     from etl_gardener_spark.functions import text as TX
 
     d = load_table(spark, sf_dir, "documents")
@@ -1824,14 +1832,42 @@ def term_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode_outer(TX.ws_tokens("text")).alias("term"))
         .filter(F.col("term").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)  # build the vocab dim once, join twice
     )
-    a = toks.select(F.col("term").alias("term_a"))
-    b = toks.select(F.col("term").alias("term_b"))
+    del1 = (
+        "transform(sequence(1, length({t})), i -> "
+        "concat(substring({t}, 1, i-1), substring({t}, i+1, length({t}))))"
+    )
+    # sequence(1, 0) descends ([1, 0]) rather than returning empty, so
+    # the inner pass must guard the empty string a 1-char term's first
+    # deletion produces.
+    inner = (
+        "if(length(t) = 0, array(), "
+        "transform(sequence(1, length(t)), i -> "
+        "concat(substring(t, 1, i-1), substring(t, i+1, length(t)))))"
+    )
+    variants = F.array_distinct(
+        F.concat(
+            F.array(F.col("term")),
+            F.expr(del1.format(t="term")),
+            F.expr(
+                f"flatten(transform({del1.format(t='term')}, t -> {inner}))"
+            ),
+        )
+    )
+    inv = toks.select(F.explode(variants).alias("v"), "term")
+    a = inv.select("v", F.col("term").alias("term_a"))
+    b = inv.select("v", F.col("term").alias("term_b"))
+    cand = (
+        a.join(b, ["v"])
+        .filter(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b")
+        .distinct()
+    )
     return (
-        a.join(b, F.col("term_a") < F.col("term_b"))
-        .withColumn("dist", F.levenshtein("term_a", "term_b").cast("long"))
-        .filter(F.col("dist") <= 2)
+        cand.withColumn(
+            "dist", F.levenshtein("term_a", "term_b", 2).cast("long")
+        )
+        .filter(F.col("dist") >= 0)
     )
 
 

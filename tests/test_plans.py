@@ -318,6 +318,22 @@ def test_emb_near_dup_pairs_is_distributed_blocked_gemm(spark):
     assert "CollectLimit" not in p
 
 
+def test_term_typo_pairs_blocks_on_deletion_variants(spark):
+    """term_typo_pairs must plan the SymSpell deletion-neighborhood
+    EQUI-join (variant-key hash/sort-merge join), never the |vocab|^2
+    BroadcastNestedLoopJoin a levenshtein theta self-join produces —
+    the blocking is what makes the operator survive a web-scale
+    vocabulary."""
+    df = Q.REGISTRY["term_typo_pairs"].fn(spark, SF)
+    p = plan(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert (
+        "BroadcastHashJoin" in p
+        or "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+    )
+
+
 def test_min_by_is_single_aggregate_no_window(spark):
     """first/last per key via min_by/max_by: one exchange, no Window/Sort
     node — the agg replaces the window+rn=1 shape."""
