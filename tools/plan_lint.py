@@ -8,9 +8,15 @@ per-query gates in tests/test_plans.py pin individually:
      Aggregate below it — one task would sort the whole relation.
   3. ``BroadcastNestedLoopJoin`` whose broadcast side is not a
      provably-tiny relation (single-row aggregate / small literal
-     relation) — reported for manual audit rather than hard-failed,
-     because the registry's legitimate uses are all 1-row broadcast
-     cross joins (global counts / max-date spines).
+     relation) — reported for manual audit rather than hard-failed.
+     The round-5 audit of all 26 reported sites found every build side
+     bounded by construction: 1-row global aggregates (corpus stats /
+     counts / scale factors: the mixture, tfidf, bm25, benford, decile,
+     census, q11/q22 family), k-row centroid tables (emb_kmeans,
+     emb_cluster_balance), a bounded minute spine (minute_gapfill),
+     and the documented brute-force ANN baselines whose build side is
+     the sampled query set (emb_ann_topk and the knn/negative-sample
+     reports — the corpus-scale path is the LSH/IVF variants).
 
 Queries whose result is a harness-necessitated local materialization
 (``createDataFrame(collect)``) present a LocalTableScan; the linter

@@ -4,8 +4,10 @@ round's judge can diff instead of re-deriving (round-4 verdict item 4).
 Runs, in order:
   1. the strict (type + bit-exact value) oracle sweep over the ENTIRE
      query registry at sf0.01 (tools/compare_strict.py — not just the
-     driver's 50-query window), and
-  2. the full pytest suite,
+     driver's 50-query window),
+  2. the registry-wide plan linter (tools/plan_lint.py: no cartesians,
+     every unpartitioned window bounded by an aggregate), and
+  3. the full pytest suite,
 
 then writes a one-line-per-fact summary to GATE_latest.md (override with
 $SPARK_GRAFT_GATE_OUT) and prints it. Commit the file as GATE_r{N}.md at
@@ -44,6 +46,12 @@ def main() -> int:
         ln for ln in sweep.stdout.splitlines() if ln.startswith("FAIL")
     ]
 
+    lint = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "plan_lint.py")],
+        capture_output=True, text=True, cwd=ROOT,
+    )
+    lint_tail = (lint.stdout.strip().splitlines() or ["<no output>"])[-1]
+
     tests = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "-q"],
         capture_output=True, text=True, cwd=ROOT,
@@ -54,12 +62,17 @@ def main() -> int:
             tests_tail = ln.strip()
             break
 
-    ok = sweep.returncode == 0 and tests.returncode == 0
+    ok = (
+        sweep.returncode == 0
+        and lint.returncode == 0
+        and tests.returncode == 0
+    )
     lines = [
         f"- gate: {'GREEN' if ok else 'RED'}",
         f"- registry: {len(names)} queries "
         f"({sum(1 for n in names if Q.REGISTRY[n].oracle)} oracle-backed)",
         f"- strict sweep @ {sf_dir}: {sweep_tail}",
+        f"- plan lint: {lint_tail}",
         f"- pytest: {tests_tail}",
         f"- driver window round: {Q.DRIVER_WINDOW_ROUND} "
         f"({len(Q.DRIVER_WINDOW)} names)",
