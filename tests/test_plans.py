@@ -318,6 +318,64 @@ def test_emb_near_dup_pairs_is_distributed_blocked_gemm(spark):
     assert "CollectLimit" not in p
 
 
+def test_term_typo_pairs_blocking_is_complete_vs_brute_force(spark, tmp_path):
+    """SymSpell completeness pin: on an adversarial random vocabulary
+    (the testdata's own vocab is ~31 homogeneous terms), the deletion-
+    neighborhood blocked join must return EXACTLY the pairs a brute-force
+    O(n^2) Levenshtein scan finds — the blocking may add candidates
+    (filtered by the verify step) but must never lose a true pair
+    (distance-2 pairs that disagree in their first characters are the
+    classic prefix-blocking failure this scheme avoids)."""
+    import itertools
+    import random
+
+    rng = random.Random(20260814)
+    alpha = "abcde"
+    vocab = set()
+    while len(vocab) < 70:
+        w = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 7)))
+        vocab.add(w)
+    vocab = sorted(vocab)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= 2
+    }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # testdata tables are single parquet FILES (not directories)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(vocab)), pa.int64()),
+                "text": vocab,
+                "lang": ["en"] * len(vocab),
+                "source": ["src0"] * len(vocab),
+                "n_chars": pa.array([len(w) for w in vocab], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        (r["term_a"], r["term_b"], r["dist"])
+        for r in Q.REGISTRY["term_typo_pairs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
 def test_term_typo_pairs_blocks_on_deletion_variants(spark):
     """term_typo_pairs must plan the SymSpell deletion-neighborhood
     EQUI-join (variant-key hash/sort-merge join), never the |vocab|^2
