@@ -22,7 +22,12 @@ Spark equivalent:
 Scale notes: JSONL is splittable by line, so a day prefix of N files scans
 with full parallelism; ``maxPartitionBytes`` (128 MiB default) bounds task
 input. Parsing is JVM-side (Jackson) inside WholeStageCodegen — no Python in
-the load path.
+the load path. Gzip-compressed archives (``.jsonl.gz`` — the reference's
+landing format) decode transparently via Hadoop codec-by-extension but are
+NOT splittable: one task per .gz file, so day parallelism equals file
+count — fine for the reference's many-small-archives layout; re-landed
+bulk data should prefer plain or zstd-seekable files
+(tests/test_table_ops.py::test_load_reads_gzip_jsonl_alongside_plain).
 """
 
 from __future__ import annotations

@@ -496,6 +496,45 @@ def test_read_jsonl_observed_single_pass_counts(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 5
 
 
+def test_load_reads_gzip_jsonl_alongside_plain(spark, tmp_path):
+    """The reference's landing archives are gzip-compressed JSONL; the
+    loader must consume .jsonl.gz transparently (Hadoop codec selection
+    by extension — no config, no separate code path) mixed with plain
+    files in one prefix, and count both in LoadStats. Scale note pinned
+    in sources/jsonl.py: gzip is NOT splittable, so a .gz file is one
+    task — day-level parallelism comes from file count, which matches
+    the reference's many-files-per-day layout."""
+    import gzip as _gzip
+    import json as _json
+
+    from etl_gardener_spark.sources.jsonl import read_jsonl_observed
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = [{"id": f"i{k}", "ts": "2024-01-15T01:00:00.000000Z", "v": float(k)}
+            for k in range(6)]
+    (d / "a.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:3]) + "\n"
+    )
+    with _gzip.open(d / "b.jsonl.gz", "wt") as f:
+        f.write("\n".join(_json.dumps(r) for r in rows[3:]) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    good, finish = read_jsonl_observed(spark, str(d), schema)
+    out = tmp_path / "out"
+    good.write.mode("overwrite").parquet(str(out))
+    st = finish()
+    assert (st.output_rows, st.corrupt_rows, st.input_files) == (6, 0, 2)
+    got = {r["id"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {f"i{k}" for k in range(6)}
+
+
 def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
     """Right-to-be-forgotten: targeted partition rewrites, full-partition
     drop when every row is forgotten, untouched partitions keep their
