@@ -68,7 +68,9 @@ def type_token_ratio(col: Column | str) -> Column:
     """Distinct tokens / total tokens — a repetition signal (low TTR =
     boilerplate / degenerate text)."""
     toks = ws_tokens(col)
-    return F.size(F.array_distinct(toks)) / F.size(toks)
+    # try_divide: 0 tokens (empty/whitespace text) -> NULL, matching SQL
+    # division-by-zero under every engine (differential-fuzz finding)
+    return F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
 
 
 def stopword_hits(col: Column | str, lang: str = "en") -> Column:
@@ -83,14 +85,15 @@ def stopword_hits(col: Column | str, lang: str = "en") -> Column:
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
-    return stopword_hits(col, lang) / token_count(col)
+    return F.try_divide(stopword_hits(col, lang), token_count(col))
 
 
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     stripped = F.regexp_replace(c, r"[^a-z0-9\s]", "")
-    return (F.length(c) - F.length(stripped)) / F.length(c)
+    # try_divide: empty text -> NULL ratio (SQL x/0), not an ANSI error
+    return F.try_divide(F.length(c) - F.length(stripped), F.length(c))
 
 
 def quality_score(col: Column | str) -> Column:
@@ -200,13 +203,13 @@ def stopword_hits_of(toks: Column, lang: str = "en") -> Column:
 
 
 def type_token_ratio_of(toks: Column) -> Column:
-    return F.size(F.array_distinct(toks)) / F.size(toks)
+    return F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
 
 
 def avg_token_len_of(toks: Column) -> Column:
-    return (
-        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double"))
-        / F.size(toks)
+    return F.try_divide(
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")),
+        F.size(toks),
     )
 
 

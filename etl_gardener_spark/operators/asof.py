@@ -44,11 +44,16 @@ def asof_join(
     ``right`` row with ``right_time <= left_time`` for the same ``on`` key
     (NULL when no such row exists).
 
-    Note: payload columns are carried forward per-column with
-    last(ignorenulls), so a NULL inside a matched right row reads the
-    previous right row's value for that column — row-atomic semantics
-    need non-null payloads (wrap them in a struct to make atomicity
-    explicit if required).
+    SQL-join parity (differential-fuzz findings, seed 1):
+
+    * **Row-atomic payload**: the matched right row's payload is carried
+      as ONE struct, so a NULL inside a matched right row reads as NULL —
+      never the previous right row's value for that column, which is
+      what a per-column last(ignorenulls) carry would silently do.
+    * **NULL keys never match**: right rows with a NULL ``on`` key are
+      excluded from the carry (an equality join predicate is never true
+      on NULL), so left rows with a NULL key get NULL payload instead of
+      reading the NULL-key "group" the window partitioner would form.
     """
     overlap = set(payload) & set(left.columns)
     if overlap:
@@ -60,15 +65,17 @@ def asof_join(
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload],
+        F.lit(None)
+        .cast(right.select(F.struct(*payload).alias("__r")).schema["__r"].dataType)
+        .alias("__r"),
     )
     order_expr = F.col(right_order) if right_order is not None else F.lit(0)
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
-        *[F.col(p) for p in payload],
+        F.struct(*payload).alias("__r"),
         order_expr.alias("__ro"),
     )
     l_tagged = l_tagged.withColumn("__ro", F.lit(0))
@@ -82,10 +89,11 @@ def asof_join(
     filled = unioned.select(
         "__is_left",
         "__l",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     return filled.filter(F.col("__is_left") == 1).select(
-        *[F.col(f"__l.{c}").alias(c) for c in lcols], *payload
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__r.{p}").alias(p) for p in payload],
     )
 
 
@@ -110,6 +118,9 @@ def range_count_join(
     join cannot afford.
 
     Right rows at exactly ``left_time`` count (inclusive window end).
+    NULL keys never match (SQL equality): right rows with a NULL key are
+    excluded, so a NULL-key left row counts 0 — not the other NULL-key
+    rows the window partitioner would group it with.
     """
     lcols = left.columns
     l_tagged = left.select(
@@ -118,7 +129,7 @@ def range_count_join(
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__l"),
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(right_time).cast("timestamp").alias("__ts"),
         F.lit(0).alias("__is_left"),
@@ -169,8 +180,7 @@ def asof_join_grouped(
     instead of inside WholeStageCodegen, and each key's rows must fit in
     one worker's memory — so the JVM form stays the default for the hot
     path; this form is the flexibility fallback. NULL payloads stay NULL
-    (row-atomic), which is stricter than the window form's per-column
-    carry — another reason it makes a good cross-check.
+    (row-atomic), matching the window form's struct carry.
     """
     import pandas as pd
 
@@ -231,6 +241,11 @@ def asof_join_grouped(
             out = pd.concat([out, _with_null_payload(l_null)])
         return out
 
-    return left.groupBy(on).cogroup(r_proj.groupBy(on)).applyInPandas(
-        _merge, schema=out_schema
+    # NULL keys never match (SQL equality): drop NULL-key right rows so
+    # the NULL-key cogroup (Spark groups NULL keys together) merges
+    # against an empty right side and emits NULL payloads.
+    return (
+        left.groupBy(on)
+        .cogroup(r_proj.filter(F.col(on).isNotNull()).groupBy(on))
+        .applyInPandas(_merge, schema=out_schema)
     )

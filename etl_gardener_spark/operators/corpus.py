@@ -135,8 +135,14 @@ def repetition_stats(
             F.round(F.col(f"__m{n}") * n / F.col("nt"), 4).alias(f"top{n}_frac")
         )
         out.append(
+            # try_divide: a doc with nt == n-1 positions for a larger n
+            # (e.g. 2 tokens, n=3) has zero n-gram slots -> NULL, the SQL
+            # x/0 answer (differential-fuzz finding)
             F.round(
-                F.coalesce(F.col(f"__d{n}"), F.lit(0)) / (F.col("nt") - n + 1), 4
+                F.try_divide(
+                    F.coalesce(F.col(f"__d{n}"), F.lit(0)), F.col("nt") - n + 1
+                ),
+                4,
             ).alias(f"dup{n}_frac")
         )
     return doc.select(*out)

@@ -140,6 +140,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = float(verts.count())
+    if n == 0:
+        # empty graph: no vertices, no ranks — 1/N is undefined
+        # (differential-fuzz finding, seed 0)
+        return verts.select(
+            "id", F.lit(None).cast("double").alias("rank")
+        ).limit(0)
     r = verts.select("id", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
         contrib = (

@@ -314,7 +314,11 @@ def profile(
     for c in cols:
         col = F.col(c)
         aggs.append(
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+            # coalesce: SUM over an EMPTY table is NULL, but a profile of
+            # zero rows has zero nulls (differential-fuzz finding, seed 0)
+            F.coalesce(
+                F.sum(F.when(col.isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__null_{c}")
         )
         aggs.append(
             (

@@ -102,9 +102,16 @@ def scd2_apply_batch(
     and change (new attr: period closes at the first differing
     observation) fall out of ``scd2_encode`` with no case analysis.
     """
+    # eqNullSafe, not an equi-join on the column name: scd2_encode's
+    # window partitioner treats a NULL key as A KEY (one partition), so
+    # the apply path must too — a plain equi-join would route a NULL-key
+    # open period to `untouched` AND re-encode the batch's NULL-key rows
+    # separately, yielding two concurrent open periods for the same key
+    # and breaking apply ≡ full-encode (differential-fuzz finding, seed 1).
     affected = batch_obs.select(key_col).distinct()
-    untouched = periods.join(F.broadcast(affected), key_col, "left_anti")
-    aff_periods = periods.join(F.broadcast(affected), key_col, "left_semi")
+    cond = periods[key_col].eqNullSafe(affected[key_col])
+    untouched = periods.join(F.broadcast(affected), cond, "left_anti")
+    aff_periods = periods.join(F.broadcast(affected), cond, "left_semi")
     closed = aff_periods.filter(~F.col("is_current"))
     open_pseudo = aff_periods.filter(F.col("is_current")).select(
         F.col(key_col),

@@ -149,8 +149,8 @@ def dedup_legacy_regex_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, ts, user_id, event_type, value, props FROM (
       SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY CONCAT(CAST(user_id AS VARCHAR), '|', event_type,
-                            '|', CAST(CAST(ts AS DATE) AS VARCHAR))
+        PARTITION BY CAST(user_id AS VARCHAR) || '|' || event_type
+                     || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)
         ORDER BY ts DESC, event_id DESC) rn
       FROM events) t WHERE rn = 1
     """,
@@ -158,7 +158,14 @@ def dedup_legacy_regex_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_legacy_concat_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Legacy sidestream/traceroute dedup shape (cloud/bq/dedup.go:41-68):
-    CONCAT-computed composite key incl. a timestamp rendered as string."""
+    CONCAT-computed composite key incl. a timestamp rendered as string.
+
+    NULL key components: BigQuery CONCAT (the reference's engine,
+    dedup.go:60) and Spark concat both propagate NULL, so every row with
+    a NULL component lands in the single NULL partition and dedups to
+    one survivor. DuckDB's CONCAT instead treats NULL as '', so the
+    oracle uses the null-propagating ``||`` chain to mirror the
+    reference semantics (differential-fuzz finding, seed 1)."""
     df = load_table(spark, sf_dir, "events")
     spec = DedupSpec(
         partition_keys={
@@ -357,7 +364,7 @@ def delete_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forget_users",
     "SELECT event_id, ts, user_id, event_type, value, props FROM events "
     "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14' "
-    "AND user_id % 37 <> 0",
+    "AND (user_id % 37 <> 0 OR user_id IS NULL)",
     tags=("parity", "warehouse", "maintenance", "gdpr"),
 )
 def forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,7 +375,10 @@ def forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     those users are touched — then return the read-back survivors. The
     key-set deletion the reference's partition-grain DML cannot express
     row-wise. (5 days keeps the serial per-partition rewrite loop
-    bench-sized; the mechanism is day-count-independent.)"""
+    bench-sized; the mechanism is day-count-independent.) Rows with a
+    NULL key survive — they are not in the forget set — so the oracle's
+    survivor predicate carries an explicit OR user_id IS NULL
+    (differential-fuzz finding, seed 1)."""
     wh = Warehouse(_scratch("forget"))
     events = (
         load_table(spark, sf_dir, "events")
@@ -1657,31 +1667,108 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "value_dispersion",
     """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS HUGEINT) AS n,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)), 0) AS HUGEINT) AS sx,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)
+                               * CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)), 0) AS HUGEINT) AS sxx,
+             CAST(COUNT(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL THEN 1 END) AS HUGEINT) AS np,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT))
+                           FILTER (WHERE user_id IS NOT NULL), 0) AS HUGEINT) AS psx,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)
+                               * CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT))
+                           FILTER (WHERE user_id IS NOT NULL), 0) AS HUGEINT) AS psxx,
+             CAST(COALESCE(SUM(CAST(user_id AS HUGEINT))
+                           FILTER (WHERE value IS NOT NULL), 0) AS HUGEINT) AS psy,
+             CAST(COALESCE(SUM(CAST(user_id AS HUGEINT) * CAST(user_id AS HUGEINT))
+                           FILTER (WHERE value IS NOT NULL), 0) AS HUGEINT) AS psyy,
+             CAST(COALESCE(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS HUGEINT)
+                               * CAST(user_id AS HUGEINT)), 0) AS HUGEINT) AS psxy
+      FROM events GROUP BY event_type)
     SELECT event_type,
-           ROUND(stddev_samp(value), 4) AS sd,
-           ROUND(var_samp(value), 4) AS var,
-           ROUND(stddev_pop(value), 4) AS sd_pop,
-           ROUND(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_user,
-           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_user
-    FROM events GROUP BY event_type
+           -- CAST(x AS VARCHAR) first: DuckDB's direct HUGEINT->DOUBLE
+           -- cast is up to 1 ulp off for |x| > 2^53 (measured), while
+           -- the string route is correctly rounded like Spark's
+           -- Decimal->double; small denominators cast directly (exact)
+           CASE WHEN n >= 2 THEN sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                / (CAST(n * (n - 1) AS DOUBLE) * 1e12)) END AS sd,
+           CASE WHEN n >= 2 THEN CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                / (CAST(n * (n - 1) AS DOUBLE) * 1e12) END AS var,
+           CASE WHEN n >= 1 THEN sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                / (CAST(n * n AS DOUBLE) * 1e12)) END AS sd_pop,
+           CASE WHEN np >= 2 AND np * psxx - psx * psx > 0
+                     AND np * psyy - psy * psy > 0
+                THEN CAST(CAST(np * psxy - psx * psy AS VARCHAR) AS DOUBLE)
+                     / (sqrt(CAST(CAST(np * psxx - psx * psx AS VARCHAR) AS DOUBLE))
+                        * sqrt(CAST(CAST(np * psyy - psy * psy AS VARCHAR) AS DOUBLE))) END
+             AS corr_user,
+           CASE WHEN np >= 2 THEN CAST(CAST(np * psxy - psx * psy AS VARCHAR) AS DOUBLE)
+                / (CAST(np * (np - 1) AS DOUBLE) * 1e6) END AS covar_user
+    FROM m
     """,
     tags=("analytics", "agg", "stats"),
 )
 def value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate breadth: sample/population stddev, variance,
-    Pearson correlation and covariance per event type — all single-pass,
-    numerically-stable (Welford-style) partial aggregates that combine
-    map-side, so the shuffle carries O(|types|) moment tuples, not rows.
+    Pearson correlation and covariance per event type — single-pass keyed
+    aggregates whose shuffle carries O(|types|) moment tuples, not rows.
     (corr against user_id is a null-hypothesis check — values are
-    user-independent by construction, so it hovers near 0.)"""
+    user-independent by construction, so it hovers near 0.)
+
+    Exactness: the builtin Welford-style stddev/corr aggregates fold
+    doubles in partition order, and at 1e6-magnitude inputs the two
+    engines' folds diverge in the last ulp (differential-fuzz finding,
+    seed 1) — no display rounding can reconcile a 1-ulp input split.
+    So the sufficient statistics (n, Σx, Σx², Σxy, ...) accumulate
+    EXACTLY: values quantized to integer micro-units (exact for the
+    testdata's <= 6 dp contract) and summed in DECIMAL(38,0)/HUGEINT,
+    order-free. The final double division/sqrt are correctly-rounded
+    IEEE ops over bit-identical inputs, so the full-precision doubles
+    match without any ROUND. Null semantics mirror the SQL aggregates:
+    x-moments skip NULL values; pair moments skip rows where either
+    side is NULL; n<2 (or zero variance for corr) yields NULL."""
     e = load_table(spark, sf_dir, "events")
-    uid = F.col("user_id").cast("double")
-    return e.groupBy("event_type").agg(
-        F.round(F.stddev_samp("value"), 4).alias("sd"),
-        F.round(F.var_samp("value"), 4).alias("var"),
-        F.round(F.stddev_pop("value"), 4).alias("sd_pop"),
-        F.round(F.corr("value", uid), 6).alias("corr_user"),
-        F.round(F.covar_samp("value", uid), 4).alias("covar_user"),
+    d38 = "decimal(38,0)"
+    x = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast(d38)
+    y = F.col("user_id").cast(d38)
+    pair = F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    zero = F.lit(0).cast(d38)
+    m = e.groupBy("event_type").agg(
+        F.count("value").cast(d38).alias("n"),
+        F.coalesce(F.sum(x), zero).alias("sx"),
+        F.coalesce(F.sum(x * x), zero).alias("sxx"),
+        F.count(F.when(pair, 1)).cast(d38).alias("np"),
+        F.coalesce(F.sum(F.when(pair, x)), zero).alias("psx"),
+        F.coalesce(F.sum(F.when(pair, x * x)), zero).alias("psxx"),
+        F.coalesce(F.sum(F.when(pair, y)), zero).alias("psy"),
+        F.coalesce(F.sum(F.when(pair, y * y)), zero).alias("psyy"),
+        F.coalesce(F.sum(F.when(pair, x * y)), zero).alias("psxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    np_, psx, psxx = F.col("np"), F.col("psx"), F.col("psxx")
+    psy, psyy, psxy = F.col("psy"), F.col("psyy"), F.col("psxy")
+    dx = (n * sxx - sx * sx).cast("double")
+    var = dx / ((n * (n - 1)).cast("double") * F.lit(1e12))
+    var_pop = dx / ((n * n).cast("double") * F.lit(1e12))
+    pdx = (np_ * psxx - psx * psx).cast("double")
+    pdy = (np_ * psyy - psy * psy).cast("double")
+    pnum = (np_ * psxy - psx * psy).cast("double")
+    return m.select(
+        "event_type",
+        F.when(n >= 2, F.sqrt(var)).alias("sd"),
+        F.when(n >= 2, var).alias("var"),
+        F.when(n >= 1, F.sqrt(var_pop)).alias("sd_pop"),
+        F.when(
+            (np_ >= 2)
+            & (np_ * psxx - psx * psx > 0)
+            & (np_ * psyy - psy * psy > 0),
+            pnum / (F.sqrt(pdx) * F.sqrt(pdy)),
+        ).alias("corr_user"),
+        F.when(
+            np_ >= 2,
+            pnum / ((np_ * (np_ - 1)).cast("double") * F.lit(1e6)),
+        ).alias("covar_user"),
     )
 
 
@@ -1766,10 +1853,10 @@ def purchaser_error_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_first_last_event",
     """
     SELECT user_id,
-           arg_min(event_type, ts) AS first_type,
-           arg_min(value, ts) AS first_value,
-           arg_max(event_type, ts) AS last_type,
-           arg_max(value, ts) AS last_value,
+           first(event_type ORDER BY ts, event_id) AS first_type,
+           first(value ORDER BY ts, event_id) AS first_value,
+           last(event_type ORDER BY ts, event_id) AS last_type,
+           last(value ORDER BY ts, event_id) AS last_value,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
     """,
@@ -1781,15 +1868,22 @@ def user_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's window+rn=1 dedup shape when only the extreme row is
     needed: no sort, no window state, partial min_by combines map-side, so
     the shuffle carries one candidate row per key per mapper instead of
-    the full partition sort a window needs. (Event timestamps are unique
-    per user in this data, so the argmin is well-defined on both
-    engines.)"""
+    the full partition sort a window needs.
+
+    Determinism + NULL contract (differential-fuzz findings, seed 1):
+    the order key is the TOTAL order (ts, event_id) — a bare ts argmin
+    is nondeterministic on tied timestamps — and the payload is
+    row-atomic including NULL values: Spark's min_by/max_by return the
+    extreme row's value even when it is NULL, so the oracle uses
+    DuckDB's null-respecting ordered first()/last() rather than
+    arg_min/arg_max, which SKIP rows whose payload argument is NULL."""
     e = load_table(spark, sf_dir, "events")
+    ord_key = F.struct("ts", "event_id")
     return e.groupBy("user_id").agg(
-        F.min_by("event_type", "ts").alias("first_type"),
-        F.min_by("value", "ts").alias("first_value"),
-        F.max_by("event_type", "ts").alias("last_type"),
-        F.max_by("value", "ts").alias("last_value"),
+        F.min_by("event_type", ord_key).alias("first_type"),
+        F.min_by("value", ord_key).alias("first_value"),
+        F.max_by("event_type", ord_key).alias("last_type"),
+        F.max_by("value", ord_key).alias("last_value"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
 
@@ -1824,7 +1918,12 @@ def term_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet-bounded (the short keys that group many terms only arise
     from terms of length <= key+2, a set bounded by the alphabet, not
     the corpus), so the join shuffles candidate volume, not vocab^2 —
-    the shape that survives a web-scale vocabulary."""
+    the shape that survives a web-scale vocabulary. Variant generation
+    is O(L^2/2) keys per term — ~200 for natural-language word lengths;
+    degenerate unsegmented tokens (URLs, hashes) would inflate it, and
+    the deployment mitigation is a length-banded theta-join fallback for
+    the rare tail above a length cap (lengths within edit distance 2
+    differ by <= 2), unioned with the SymSpell pairs."""
     from etl_gardener_spark.functions import text as TX
 
     d = load_table(spark, sf_dir, "documents")
@@ -2040,7 +2139,11 @@ def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.groupBy("date")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-            F.count(F.lit(1)).cast("long").alias("exact_users"),
+            # count(col), not count(*): a NULL user_id contributes a row
+            # to the distinct (date, user) set but must not count as a
+            # user — COUNT(DISTINCT user_id) ignores NULLs, and so does
+            # the sketch (differential-fuzz finding, seed 1)
+            F.count(F.col("user_id")).cast("long").alias("exact_users"),
         )
         .select(
             "date",
@@ -2092,8 +2195,8 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, CAST(floor(value / 25) AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n,
-           ROUND(min(value), 4) AS lo,
-           ROUND(max(value), 4) AS hi
+           ROUND(min(value), 4) + 0.0 AS lo,
+           ROUND(max(value), 4) + 0.0 AS hi
     FROM events GROUP BY 1, 2
     """,
     tags=("analytics", "agg", "histogram"),
@@ -2111,8 +2214,11 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.min("value"), 4).alias("lo"),
-            F.round(F.max("value"), 4).alias("hi"),
+            # + 0.0 normalizes IEEE -0.0 (a data value of negative zero
+            # survives DuckDB's ROUND but not Spark's) to +0.0 on both
+            # engines (differential-fuzz finding, seed 1)
+            (F.round(F.min("value"), 4) + F.lit(0.0)).alias("lo"),
+            (F.round(F.max("value"), 4) + F.lit(0.0)).alias("hi"),
         )
     )
 

@@ -1045,8 +1045,10 @@ def scd2_incremental_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = obs.agg(
         F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
     ).first()
-    from datetime import timedelta
+    from datetime import date as _date, timedelta
 
+    if lo is None:  # empty input: nothing to split, nothing to encode
+        lo = hi = _date(1970, 1, 1)
     cut = lo + timedelta(days=(hi - lo).days // 2) if hi > lo else lo
     first = obs.filter(F.to_date("ts") <= F.lit(cut.isoformat()).cast("date"))
     second = obs.filter(F.to_date("ts") > F.lit(cut.isoformat()).cast("date"))
@@ -2202,7 +2204,8 @@ def _cms_pos_sql(r: int) -> str:
     top AS (
       SELECT week, user_id, exact_n,
              CAST(ROW_NUMBER() OVER (PARTITION BY week
-                  ORDER BY exact_n DESC, user_id) AS BIGINT) AS rnk
+                  ORDER BY exact_n DESC, user_id ASC NULLS LAST)
+                  AS BIGINT) AS rnk
       FROM exact QUALIFY rnk <= 10),
     probe AS (
       SELECT t.week, t.user_id, t.exact_n, t.rnk, r.i AS r,
@@ -2278,8 +2281,11 @@ def weekly_user_cms_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy(week, "user_id").agg(
         F.count(F.lit(1)).cast("long").alias("exact_n")
     )
+    # asc_nulls_last pins the tie-break for a NULL user_id group: Spark
+    # ASC defaults NULLS FIRST, DuckDB NULLS LAST (differential-fuzz
+    # finding, seed 1)
     w = Window.partitionBy("week").orderBy(
-        F.col("exact_n").desc(), F.col("user_id").asc()
+        F.col("exact_n").desc(), F.col("user_id").asc_nulls_last()
     )
     top = (
         exact.withColumn("rnk", F.row_number().over(w).cast("long"))

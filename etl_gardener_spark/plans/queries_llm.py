@@ -165,7 +165,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return staged.select(
         "doc_id",
-        r4(TX.stopword_hits_of(toks, "en") / F.size(toks)).alias(
+        r4(F.try_divide(TX.stopword_hits_of(toks, "en"), F.size(toks))).alias(
             "stopword_ratio"
         ),
         r4(TX.punct_ratio("text")).alias("punct_ratio"),
@@ -428,7 +428,11 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in _PROFILE_COLS:
         aggs += [
-            F.sum(F.isnull(c).cast("long")).alias(f"__nn_{c}"),
+            # coalesce: SUM over an EMPTY table is NULL; zero rows have
+            # zero nulls (differential-fuzz finding, seed 0)
+            F.coalesce(F.sum(F.isnull(c).cast("long")), F.lit(0).cast("long")).alias(
+                f"__nn_{c}"
+            ),
             F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(c).cast("string").alias(f"__mn_{c}"),
             F.max(c).cast("string").alias(f"__mx_{c}"),
@@ -2360,10 +2364,16 @@ def _line_dedup_oracle(only: str = "TRUE") -> str:
     {_DOCS_CTE},
     chunked AS (
       SELECT doc_id,
-             list_transform(range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
-                            i -> array_to_string(
-                                   list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))
-               AS lines
+             -- a token-less doc still carries ONE blank line: the
+             -- operator round-trips empty/NULL text as a blank
+             -- (never dedup-eligible) line instead of silently
+             -- dropping the document (differential-fuzz finding)
+             CASE WHEN len(toks) = 0 THEN ['']
+                  ELSE list_transform(
+                         range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
+                         i -> array_to_string(
+                                list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))
+             END AS lines
       FROM d),
     lines AS (
       SELECT doc_id, unnest(lines) AS line,
@@ -2693,10 +2703,13 @@ def _training_ready_oracle() -> str:
     {_DOCS_CTE},
     chunked AS (
       SELECT doc_id, text,
-             list_transform(range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
-                            i -> array_to_string(
-                                   list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))
-               AS lines
+             -- empty docs carry one blank line (see _line_dedup_oracle)
+             CASE WHEN len(toks) = 0 THEN ['']
+                  ELSE list_transform(
+                         range(0, CAST(ceil(len(toks) / {c}.0) AS BIGINT)),
+                         i -> array_to_string(
+                                list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))
+             END AS lines
       FROM d),
     lines AS (
       SELECT doc_id, unnest(lines) AS line,
@@ -3859,14 +3872,27 @@ def bench_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bg.join(spread, "g", "left")
     # count("g"), not count(*): explode_outer keeps a <n-token bench doc
     # as one null-gram row so the doc still REPORTS (with all-zero
-    # counts) — count(*) would score that null row as a gram. Empty
-    # bench docs appear with zeros by decision (an eval owner wants the
-    # full item list); the oracle mirrors via the bids LEFT JOIN.
-    return joined.groupBy("bench_id").agg(
+    # counts) — count(*) would score that null row as a gram.
+    agg = joined.groupBy("bench_id").agg(
         F.count("g").cast("long").alias("n_grams"),
         F.count("nd").cast("long").alias("n_hit_grams"),
         F.coalesce(F.max("nd"), F.lit(0)).cast("long").alias("max_gram_spread"),
         F.coalesce(F.sum("nd"), F.lit(0)).cast("long").alias("exposure"),
+    )
+    # Every bench item reports, including docs shingle_sets' size>=n
+    # filter never emits (an eval owner wants the full item list): the
+    # src0 id spine left-joins the aggregate and zero-fills, exactly the
+    # oracle's bids LEFT JOIN (differential-fuzz finding, seed 1).
+    bids = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("bench_id")
+    )
+    z = F.lit(0).cast("long")
+    return bids.join(agg, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce("n_grams", z).alias("n_grams"),
+        F.coalesce("n_hit_grams", z).alias("n_hit_grams"),
+        F.coalesce("max_gram_spread", z).alias("max_gram_spread"),
+        F.coalesce("exposure", z).alias("exposure"),
     )
 
 

@@ -100,7 +100,12 @@ def _close_sessions(
     if len(starts):
         yield pd.DataFrame(
             {
-                "user_id": np.full(len(starts), user_id, dtype="int64"),
+                # object dtype, not np.full(int64): a NULL group key
+                # (Spark groups NULL user_ids together) arrives as
+                # None/NaN, and NaN.astype(int64) silently becomes
+                # INT64_MIN — the batch twin emits NULL for that
+                # partition (differential-fuzz finding, seed 1)
+                "user_id": pd.Series([user_id] * len(starts), dtype="object"),
                 "session_start": starts.astype("datetime64[us]"),
                 "session_end": ends.astype("datetime64[us]"),
                 "n_events": counts,

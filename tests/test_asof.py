@@ -48,6 +48,39 @@ def test_asof_semantics(frames):
     assert out[4] == (None, None)    # key absent from right
 
 
+def test_asof_null_payload_is_row_atomic(spark):
+    """A matched right row whose payload field is NULL must read as NULL
+    — never the previous right row's value for that column (the
+    per-column last(ignorenulls) bug the struct carry fixes;
+    differential-fuzz finding)."""
+    left = spark.createDataFrame([(1, ts(12), "A")], ["lid", "lt", "tag"])
+    right = spark.createDataFrame(
+        [("A", ts(10), 7.0), ("A", ts(11), None)], ["tag", "rt", "val"]
+    )
+    (row,) = asof_join(
+        left, right, on="tag", left_time="lt", right_time="rt",
+        payload=["rt", "val"],
+    ).collect()
+    assert row.rt == ts(11) and row.val is None
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics: a NULL-key left row matches nothing, and
+    NULL-key right rows are invisible — the window partitioner must not
+    pair them up as a NULL 'group' (differential-fuzz finding)."""
+    left = spark.createDataFrame(
+        [(1, ts(12), None)], "lid long, lt timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, ts(10), 7.0)], "tag string, rt timestamp, val double"
+    )
+    (row,) = asof_join(
+        left, right, on="tag", left_time="lt", right_time="rt",
+        payload=["val"],
+    ).collect()
+    assert row.val is None
+
+
 def test_asof_payload_collision(frames):
     left, right = frames
     with pytest.raises(ValueError):

@@ -95,6 +95,31 @@ def test_apply_batch_touches_only_batch_keys(spark):
     assert u1[(5, False)].valid_to == u1[(7, True)].valid_from
 
 
+def test_apply_batch_null_key_stays_one_open_period(spark):
+    """A NULL key is A KEY to the window encoder; the incremental apply's
+    joins must treat it the same (eqNullSafe) — a plain equi-join would
+    keep the old NULL-key open period AND re-encode the batch's NULL
+    rows separately, yielding two concurrent open periods and breaking
+    apply ≡ full-encode (differential-fuzz finding)."""
+    schema = "user_id long, ts timestamp, event_id long, k long"
+
+    def obs(rows):
+        return spark.createDataFrame(
+            [(u, datetime(2024, 1, d, h), e, k) for (u, d, h, e, k) in rows],
+            schema,
+        )
+
+    null_rows = [(None, 1, 1, 90, 5), (None, 2, 2, 91, 5), (None, 3, 3, 92, 8)]
+    full = scd2_encode(obs(null_rows), "user_id", "k", "ts", "event_id")
+    periods = scd2_encode(obs(null_rows[:2]), "user_id", "k", "ts", "event_id")
+    out = scd2_apply_batch(
+        periods, obs(null_rows[2:]), "user_id", "k", "ts", "event_id"
+    )
+    assert _canon(out) == _canon(full)
+    opens = [r for r in out.collect() if r.is_current]
+    assert len(opens) == 1 and opens[0].attr_value == 8
+
+
 def test_apply_batch_continuation_merges_counts(spark):
     """A batch continuing the open attribute extends the period: same
     valid_from, summed n_obs, still current."""

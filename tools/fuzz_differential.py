@@ -1,0 +1,228 @@
+"""Differential fuzzing: run registry queries against their DuckDB
+oracles on RANDOMIZED adversarial fixtures, with the same strict
+(type + bit-exact) comparator as certification.
+
+The fixed testdata generator produces well-behaved tables; the sf1
+sweep proved divergence hazards are DATA-dependent (the
+ROUND(SUM(double)) midpoint incident surfaced only at the third scale
+tried). This tool attacks from the other side: small corpora stuffed
+with the shapes the generator never emits —
+
+  * exact timestamp ties within a (user, ts) group (window tie-breaks),
+  * NULL user_id / event_type / value / props (grouping + kernel nulls),
+  * a hot user holding ~30% of events (skew paths),
+  * negative / zero / 1e6-magnitude money values at <= 4 dp (the
+    documented exactness contract is <= 6 dp),
+  * empty-string and unicode document text, duplicated lines,
+    single-token docs (tokenizer/shingle/line-dedup edges),
+  * seed 0: EMPTY events and documents tables (empty-input aggregates).
+
+Every query whose oracle SQL references the mutated tables runs through
+tools/compare_strict.compare_frames on the fixture. Other tables come
+from the sf0.001 base so any registry query is runnable.
+
+Usage: python tools/fuzz_differential.py <seed> [name ...]
+       python tools/fuzz_differential.py 1 2 3       # digits-only args = seeds
+Exit 1 on any strict mismatch (a real finding: triage, fix BOTH sides,
+then add the shape to tests/test_representation_boundaries.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+import sys
+import tempfile
+from datetime import datetime, timedelta
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+        ("value", pa.float64()),
+        ("props", pa.string()),
+    ]
+)
+DOC_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+        ("source", pa.string()),
+        ("n_chars", pa.int64()),
+    ]
+)
+
+WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta data spark oracle "
+    "naïve café über 東京 données результат"
+).split()
+
+
+def gen_events(rng: random.Random, n: int) -> dict:
+    t0 = datetime(2024, 1, 1)
+    types = ["click", "view", "purchase", "error"]
+    rows = {k: [] for k in ("event_id", "ts", "user_id", "event_type", "value", "props")}
+    hot_user = 7
+    for i in range(n):
+        rows["event_id"].append(i)
+        # ties: ~15% of rows reuse the previous timestamp exactly
+        if i and rng.random() < 0.15:
+            ts = rows["ts"][-1]
+        else:
+            # span the base testdata's full month: several registered
+            # warehouse queries address specific mid-month day partitions
+            ts = t0 + timedelta(
+                seconds=rng.randint(0, 30 * 86400 - 1),
+                microseconds=rng.choice([0, 1, 500000, 999999]),
+            )
+        rows["ts"].append(ts)
+        rows["user_id"].append(
+            # pool includes 37: forget_users' deterministic GDPR key set
+            # is user_id % 37 == 0 and asserts it is non-empty
+            None if rng.random() < 0.02
+            else (hot_user if rng.random() < 0.3 else rng.randint(1, 40))
+        )
+        rows["event_type"].append(
+            None if rng.random() < 0.02
+            else (rng.choice(types) if rng.random() < 0.95 else "weird")
+        )
+        if rng.random() < 0.08:
+            rows["value"].append(None)
+        else:
+            mag = rng.choice([1, 1, 1, 100, 10000, 1000000])
+            v = round(rng.uniform(-2, 10) * mag, rng.randint(0, 4))
+            rows["value"].append(float(v))
+        rows["props"].append(
+            None if rng.random() < 0.1
+            else json.dumps(
+                {k: rng.randint(0, 5) for k in rng.sample(["a", "b", "c", "d"], rng.randint(0, 3))},
+                sort_keys=True,
+            )
+        )
+    return rows
+
+
+def gen_docs(rng: random.Random, n: int) -> dict:
+    rows = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.05:
+            text = ""
+        elif kind < 0.1:
+            text = rng.choice(WORDS)
+        else:
+            lines = []
+            for _ in range(rng.randint(1, 5)):
+                line = " ".join(rng.choice(WORDS) for _ in range(rng.randint(1, 12)))
+                lines.append(line)
+                if rng.random() < 0.3:  # duplicated line, verbatim
+                    lines.append(line)
+            text = "\n".join(lines)
+        rows["doc_id"].append(i)
+        rows["text"].append(text)
+        rows["lang"].append(rng.choice(["en", "de", "fr"]))
+        rows["source"].append(rng.choice(["src0", "src1", "src2"]))
+        rows["n_chars"].append(len(text))
+    return rows
+
+
+def build_fixture(seed: int) -> str:
+    d = tempfile.mkdtemp(prefix=f"fuzz_seed{seed}_")
+    for f in os.listdir(BASE):
+        shutil.copy(os.path.join(BASE, f), d)
+    rng = random.Random(seed)
+    n_ev, n_doc = (0, 0) if seed == 0 else (rng.randint(1500, 2500), rng.randint(120, 200))
+    pq.write_table(
+        pa.Table.from_pydict(gen_events(rng, n_ev), schema=EVENT_SCHEMA),
+        os.path.join(d, "events.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pydict(gen_docs(rng, n_doc), schema=DOC_SCHEMA),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    seeds = [int(a) for a in args if a.isdigit()]
+    only = [a for a in args if not a.isdigit()]
+
+    import __spark_entry__ as entrymod
+    from etl_gardener_spark.session import get_spark
+    from tests.conftest import TABLES
+    from tools.compare_strict import compare_frames
+
+    spark = get_spark(app_name="fuzz-differential")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    # mm_* stubs document an ASCII-corpus contract (the oracle unnests
+    # code points as payload bytes; real corpora use real decoders) that
+    # unicode fixtures violate by design — excluded rather than weakened.
+    skip = {
+        "mm_image_features", "mm_resize_images", "mm_frame_hashes",
+        "mm_audio_features", "mm_phash_near_pairs",
+    }
+    names = only or [
+        n for n, sql in oracles.items()
+        if ("events" in sql or "documents" in sql) and n not in skip
+    ]
+    # The physical warehouse/stream round-trip exercises assert their
+    # demonstration preconditions (a written partition exists, the forget
+    # set is non-empty, compaction had files to merge) — on a fully EMPTY
+    # fixture those asserts fire by design, so seed 0 exercises the
+    # logical operators only.
+    empty_skip = {
+        "copy_partition", "delete_partition", "upsert_partition",
+        "compact_partition", "cluster_partition", "forget_users",
+        "refresh_rollup_days", "dq_quarantine_promotion",
+        "stream_warehouse_sink", "stream_scrub_split",
+    }
+    total_fail = 0
+    for seed in seeds:
+        d = build_fixture(seed)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+        fails = []
+        n_run = 0
+        for name in names:
+            if name not in oracles:
+                continue
+            if seed == 0 and name in empty_skip:
+                continue
+            n_run += 1
+            try:
+                problems, nrows = compare_frames(qs[name](spark, d), con, oracles[name])
+            except Exception as e:  # noqa: BLE001 - a crash IS a finding
+                problems, nrows = [f"exception: {type(e).__name__}: {e}"[:300]], -1
+            if problems:
+                fails.append((name, problems))
+                print(f"FAIL seed={seed} {name}: {problems}")
+            else:
+                print(f"pass seed={seed} {name}: {nrows} rows")
+        con.close()
+        shutil.rmtree(d, ignore_errors=True)
+        print(f"seed {seed}: {n_run - len(fails)}/{n_run} pass")
+        total_fail += len(fails)
+    return 1 if total_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
