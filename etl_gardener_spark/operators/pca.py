@@ -83,6 +83,10 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PcaModel:
         .agg(F.sum("v").alias("v"), F.sum(F.when(F.col("i") == 0, F.col("n"))).alias("n"))
     )
     rows = summed.collect()  # d + d^2 rows — O(model), not O(data)
+    if not rows:
+        raise ValueError(
+            "pca_fit: empty input — no vectors to estimate mean/covariance"
+        )
     n = float(next(r["n"] for r in rows if r["i"] == 0))
     d = int(round((np.sqrt(4 * len(rows) + 1) - 1) / 2))  # len = d + d^2
     flat = np.zeros(d + d * d)

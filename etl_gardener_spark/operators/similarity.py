@@ -47,7 +47,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm (all-zero) embedding has undefined cosine —
+    # NULL, the SQL x/0 answer, so threshold filters exclude it instead
+    # of ANSI-crashing the job (differential-fuzz finding)
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -488,9 +491,13 @@ def cosine_topk_ivf(
     """
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     spark = corpus.sparkSession
+    # explicit schema: an EMPTY corpus yields zero centroids, and schema
+    # inference cannot type an empty local relation (differential-fuzz,
+    # seed 0) — downstream joins then correctly produce zero results
     cents_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], ["cid", "cvec"]
-    ).select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+        [(cid, vec) for cid, vec in cents],
+        "cid long, cvec array<double>",
+    )
 
     def ranked_cells(df, out_id: str, out_vec: str, keep: int):
         """Score every vector against the C broadcast centroids and keep
@@ -509,9 +516,15 @@ def cosine_topk_ivf(
                 out_id,
                 out_vec,
                 "cid",
-                F.round(cosine(F.col(out_vec), F.col("cvec")), round_digits).alias(
-                    "__s"
-                ),
+                # COALESCE(-2.0): see kmeans_assign — a NULL cell score
+                # would sort FIRST in the min_by struct and send every
+                # vector into a zero-centroid cell
+                F.round(
+                    F.coalesce(
+                        cosine(F.col(out_vec), F.col("cvec")), F.lit(-2.0)
+                    ),
+                    round_digits,
+                ).alias("__s"),
             )
         )
         if keep == 1:
@@ -602,9 +615,18 @@ def kmeans_assign(
         .select(
             id_col,
             "cid",
+            # COALESCE(-2.0): a zero-norm vector or zero centroid scores
+            # NULL; -2 sits below any true cosine so the argmax is
+            # deterministic on both engines without relying on their
+            # (different) NULL-ordering defaults (differential-fuzz)
             F.round(
-                _dot(F.col("__v"), F.col("cvec"))
-                / (F.col("__nv") * F.col("__nc")),
+                F.coalesce(
+                    F.try_divide(
+                        _dot(F.col("__v"), F.col("cvec")),
+                        F.col("__nv") * F.col("__nc"),
+                    ),
+                    F.lit(-2.0),
+                ),
                 round_digits,
             ).alias("__s"),
         )
@@ -656,10 +678,12 @@ def kmeans_fit(
         .filter(F.col(id_col) < k)
         .collect()
     )
+    # explicit schema: empty corpus -> zero seed centroids (see
+    # cosine_topk_ivf note)
     cents = spark.createDataFrame(
         sorted((int(r[0]), [float(x) for x in r[1]]) for r in seeds),
-        ["cid", "cvec"],
-    ).select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+        "cid long, cvec array<double>",
+    )
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
     for _ in range(n_iter):

@@ -1311,7 +1311,8 @@ def _kmeans_ctes(
         return f"""{name} AS (SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ROUND({_cosine_sql("e.embedding", "c.cvec")}, 6)
+                   ORDER BY ROUND(COALESCE(
+                     {_cosine_sql("e.embedding", "c.cvec")}, -2.0), 6)
                      DESC, c.cid) AS rn
           FROM embeddings e, {cents} c WHERE {where}) WHERE rn = 1)"""
 
@@ -1513,12 +1514,14 @@ def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     asg AS (SELECT vec_id, embedding, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY ROUND({cos_ec}, 6) DESC, c.cid ASC) AS rn
+                 ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
+                   DESC, c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
     qprobe AS (SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY ROUND({cos_ec}, 6) DESC, c.cid ASC) AS rn
+                 ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
+                   DESC, c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
         WHERE rn <= {nprobe}),
     cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -2606,6 +2609,12 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 1e-6. Green hash iff the distributed Gram/mean statistics and the
     driver-side eigh reproduce the corpus variance exactly."""
     e = load_table(spark, sf_dir, "embeddings")
+    if e.limit(1).count() == 0:
+        # empty corpus: nothing to decompose — the oracle's aggregate
+        # shape (one row: 0 vecs, NULL variance, constant-TRUE flag)
+        return spark.createDataFrame(
+            [(0, None, True)], "n_vecs long, total_var double, pca_ok boolean"
+        )
     model = PC.pca_fit(e, "embedding", k=64)
     ev_sum = float(sum(model.explained_var))
     counts = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
@@ -2657,6 +2666,14 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash red."""
     k = _WHITEN_K
     e = load_table(spark, sf_dir, "embeddings")
+    if e.limit(1).count() == 0:
+        # empty corpus: invariants hold vacuously — mirror the oracle's
+        # k rows of (component, 0, TRUE, TRUE, TRUE)
+        return spark.createDataFrame(
+            [(i, 0, True, True, True) for i in range(k)],
+            "component long, n_vecs long, mean_ok boolean, "
+            "var_ok boolean, decorrelated boolean",
+        )
     model = PC.pca_fit(e, "embedding", k=k)
     out = PC.pca_project(e, "embedding", model, whiten=True)
     comps = out.select(
@@ -3453,7 +3470,10 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for method, approx in [("lsh", lsh), ("ivf", ivf)]:
         matched = approx.join(brute, ["query_id", "neighbor_id"]).count()
-        rows.append((method, n_brute, matched, round(matched / n_brute, 4)))
+        # recall of an empty probe set is undefined -> NULL (the SQL
+        # x/0 answer the oracle produces; differential-fuzz, seed 0)
+        recall = round(matched / n_brute, 4) if n_brute else None
+        rows.append((method, n_brute, matched, recall))
     return spark.createDataFrame(
         rows, "method string, n_brute long, n_matched long, recall double"
     )
@@ -3800,8 +3820,11 @@ def emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = s.select(F.col("vec_id").alias("id_a"), F.col("split").alias("split_a"))
     sb = s.select(F.col("vec_id").alias("id_b"), F.col("split").alias("split_b"))
     tagged = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
-    cross = F.sum(
-        F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+    # coalesce: SUM over ZERO pairs is NULL but the count of cross-split
+    # pairs is 0; try_divide: 0/0 -> NULL like the oracle (fuzz, seed 0)
+    cross = F.coalesce(
+        F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)),
+        F.lit(0),
     ).cast("long")
     return tagged.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
@@ -3810,7 +3833,10 @@ def emb_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "n_cross_split",
         F.round(
-            F.col("n_cross_split").cast("double") / F.col("n_pairs"), 4
+            F.try_divide(
+                F.col("n_cross_split").cast("double"), F.col("n_pairs")
+            ),
+            4,
         ).alias("leak_frac"),
     )
 

@@ -139,12 +139,48 @@ def gen_docs(rng: random.Random, n: int) -> dict:
     return rows
 
 
+EMB_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("embedding", pa.list_(pa.float32())),
+        ("label", pa.int32()),
+    ]
+)
+
+
+def gen_embeddings(rng: random.Random, n: int, dim: int = 64) -> dict:
+    """Clustered vectors with the shapes the generator never emits: one
+    all-zero vector (cosine /0 paths), an exact-duplicate pair, tight
+    near-dup pairs, and a few NULL labels."""
+    rows = {"vec_id": [], "embedding": [], "label": []}
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(6)
+    ]
+    prev = None
+    for i in range(n):
+        c = centers[i % len(centers)]
+        if i == 5:
+            v = [0.0] * dim  # zero vector: undefined cosine
+        elif i == 9 and prev is not None:
+            v = list(prev)  # exact duplicate of vec 8
+        elif i % 17 == 0 and prev is not None:
+            v = [x + rng.uniform(-1e-4, 1e-4) for x in prev]  # near-dup
+        else:
+            v = [x + rng.gauss(0, 0.15) for x in c]
+        rows["vec_id"].append(i)
+        rows["embedding"].append([float(x) for x in v])
+        rows["label"].append(None if rng.random() < 0.02 else i % 10)
+        prev = v
+    return rows
+
+
 def build_fixture(seed: int) -> str:
     d = tempfile.mkdtemp(prefix=f"fuzz_seed{seed}_")
     for f in os.listdir(BASE):
         shutil.copy(os.path.join(BASE, f), d)
     rng = random.Random(seed)
     n_ev, n_doc = (0, 0) if seed == 0 else (rng.randint(1500, 2500), rng.randint(120, 200))
+    n_emb = 0 if seed == 0 else rng.randint(250, 350)
     pq.write_table(
         pa.Table.from_pydict(gen_events(rng, n_ev), schema=EVENT_SCHEMA),
         os.path.join(d, "events.parquet"),
@@ -152,6 +188,10 @@ def build_fixture(seed: int) -> str:
     pq.write_table(
         pa.Table.from_pydict(gen_docs(rng, n_doc), schema=DOC_SCHEMA),
         os.path.join(d, "documents.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pydict(gen_embeddings(rng, n_emb), schema=EMB_SCHEMA),
+        os.path.join(d, "embeddings.parquet"),
     )
     return d
 
@@ -181,7 +221,8 @@ def main() -> int:
     }
     names = only or [
         n for n, sql in oracles.items()
-        if ("events" in sql or "documents" in sql) and n not in skip
+        if ("events" in sql or "documents" in sql or "embeddings" in sql)
+        and n not in skip
     ]
     # The physical warehouse/stream round-trip exercises assert their
     # demonstration preconditions (a written partition exists, the forget
