@@ -332,17 +332,20 @@ def dq_quarantine_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_outliers_by_type",
     """
     WITH s AS (
+      -- VARCHAR route: DuckDB's direct DECIMAL->DOUBLE cast is up to
+      -- 1 ulp off once the scaled integer exceeds 2^53; the string
+      -- round-trip is correctly rounded like Spark's Decimal->double
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
       FROM events WHERE value IS NOT NULL GROUP BY event_type),
     st AS (
       SELECT event_type, n, sx / n AS mean,
              sqrt((sxx - sx * sx / n) / (n - 1)) AS std
       FROM s)
     SELECT e.event_type, MAX(st.n) AS n,
-           ROUND(MAX(st.mean), 6) AS mean_value,
-           ROUND(MAX(st.std), 6) AS std_value,
+           FLOOR(MAX(st.mean) * 1e6 + 0.5) / 1e6 AS mean_value,
+           FLOOR(MAX(st.std) * 1e6 + 0.5) / 1e6 AS std_value,
            CAST(SUM(CASE WHEN ABS(e.value - st.mean) > 3 * st.std
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN st USING (event_type)
@@ -369,6 +372,8 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("value") * F.col("value")).cast("decimal(38,12)"))
         .cast("double")
         .alias("sxx"),
+        # (oracle mirrors these casts through VARCHAR: DuckDB's direct
+        # decimal->double is not correctly rounded past 2^53)
     )
     st = s.select(
         "event_type",
@@ -384,8 +389,14 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n"),
-            F.round(F.max("mean"), 6).alias("mean_value"),
-            F.round(F.max("std"), 6).alias("std_value"),
+            # engine-portable floor kernel, not ROUND: at large magnitudes
+            # a mean of exact decimals can land on a 6-dp repr midpoint
+            (F.floor(F.max("mean") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "mean_value"
+            ),
+            (F.floor(F.max("std") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "std_value"
+            ),
             F.sum(
                 F.when(
                     F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1

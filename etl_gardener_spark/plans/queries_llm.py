@@ -3156,7 +3156,10 @@ def emb_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ORDER BY score DESC, nid ASC) AS rk FROM scored) t
       WHERE rk <= 5),
     votes AS (
-      SELECT query_id, nlabel, COUNT(*) AS c FROM topk GROUP BY 1, 2),
+      -- unlabeled neighbors don't vote (a NULL can't name a winner, and
+      -- the engines disagree on where NULL sorts in the tie-break)
+      SELECT query_id, nlabel, COUNT(*) AS c FROM topk
+      WHERE nlabel IS NOT NULL GROUP BY 1, 2),
     winner AS (
       SELECT query_id, nlabel AS knn_label FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3189,6 +3192,10 @@ def emb_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     votes = (
         topk.join(F.broadcast(labels), topk.neighbor_id == labels.nid)
+        # unlabeled neighbors don't vote (differential-fuzz finding:
+        # a NULL label group wins under Spark's NULLS-FIRST tie-break
+        # but loses under DuckDB's NULLS-LAST)
+        .filter(F.col("nlabel").isNotNull())
         .groupBy("query_id", "nlabel")
         .agg(F.count(F.lit(1)).alias("c"))
     )

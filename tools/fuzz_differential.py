@@ -15,11 +15,18 @@ with the shapes the generator never emits —
     documented exactness contract is <= 6 dp),
   * empty-string and unicode document text, duplicated lines,
     single-token docs (tokenizer/shingle/line-dedup edges),
-  * seed 0: EMPTY events and documents tables (empty-input aggregates).
+  * embeddings: an all-zero vector (undefined cosine), exact/near
+    duplicate pairs, NULL labels,
+  * TPC-H relational axis (customer/orders/lineitem regenerated against
+    the base part/supplier/nation keys): exact price ties at top-k rank
+    boundaries, predicate-literal boundary values (discount/quantity/
+    the q1 date edge), orders with ZERO lineitems, orphan lineitems,
+    customers without orders, negative/zero balances,
+  * seed 0: EMPTY events/documents/embeddings (empty-input aggregates;
+    relational tables stay base).
 
-Every query whose oracle SQL references the mutated tables runs through
-tools/compare_strict.compare_frames on the fixture. Other tables come
-from the sf0.001 base so any registry query is runnable.
+Every registry query with an oracle runs through
+tools/compare_strict.compare_frames on the fixture.
 
 Usage: python tools/fuzz_differential.py <seed> [name ...]
        python tools/fuzz_differential.py 1 2 3       # digits-only args = seeds
@@ -174,6 +181,124 @@ def gen_embeddings(rng: random.Random, n: int, dim: int = 64) -> dict:
     return rows
 
 
+ORDERS_SCHEMA = pa.schema(
+    [
+        ("o_orderkey", pa.int64()),
+        ("o_custkey", pa.int64()),
+        ("o_orderstatus", pa.string()),
+        ("o_totalprice", pa.float64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("o_orderpriority", pa.string()),
+    ]
+)
+LINEITEM_SCHEMA = pa.schema(
+    [
+        ("l_orderkey", pa.int64()),
+        ("l_partkey", pa.int64()),
+        ("l_suppkey", pa.int64()),
+        ("l_linenumber", pa.int32()),
+        ("l_quantity", pa.float64()),
+        ("l_extendedprice", pa.float64()),
+        ("l_discount", pa.float64()),
+        ("l_tax", pa.float64()),
+        ("l_returnflag", pa.string()),
+        ("l_linestatus", pa.string()),
+        ("l_shipdate", pa.timestamp("us")),
+    ]
+)
+CUSTOMER_SCHEMA = pa.schema(
+    [
+        ("c_custkey", pa.int64()),
+        ("c_name", pa.string()),
+        ("c_nationkey", pa.int32()),
+        ("c_acctbal", pa.float64()),
+        ("c_mktsegment", pa.string()),
+    ]
+)
+
+SEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def gen_relational(rng: random.Random) -> tuple[dict, dict, dict]:
+    """TPC-H-shaped customer/orders/lineitem with the adversarial
+    structure the decision-support queries never see in the fixed data:
+    EXACT price ties at top-k rank boundaries, predicate-literal
+    boundary values (discount 0.05/0.07, quantity 1/50, the q1/q6 date
+    edges), orders with ZERO lineitems (count-of-counts zero bucket,
+    left-join spines), a few orphan lineitems (referential-integrity
+    audits), customers without orders, and negative/zero balances
+    around the q22 average threshold. part/supplier/nation/region stay
+    base — generated keys reference their real ranges."""
+    n_cust, n_ord = 150, 1500
+    cust = {"c_custkey": [], "c_name": [], "c_nationkey": [], "c_acctbal": [], "c_mktsegment": []}
+    for i in range(n_cust):
+        cust["c_custkey"].append(i)
+        cust["c_name"].append(f"Customer#{i:09d}")
+        cust["c_nationkey"].append(rng.randint(0, 24))
+        bal = rng.choice(
+            [0.0, 0.0, -846.69, round(rng.uniform(-999, 9999), 2)]
+        )
+        cust["c_acctbal"].append(bal)
+        cust["c_mktsegment"].append(rng.choice(SEGMENTS))
+
+    o = {k: [] for k in ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")}
+    d0 = datetime(1995, 1, 1)
+    tie_price = 50000.00
+    for i in range(n_ord):
+        o["o_orderkey"].append(i)
+        # ~1/3 of customers never order (q13/q22 spines)
+        o["o_custkey"].append(rng.randint(0, (2 * n_cust) // 3))
+        o["o_orderstatus"].append(rng.choice(["O", "F", "P"]))
+        # exact ties: ~5% of orders share ONE price (rank-boundary ties)
+        o["o_totalprice"].append(
+            tie_price if rng.random() < 0.05
+            else round(rng.uniform(900, 400000), 2)
+        )
+        o["o_orderdate"].append(
+            d0 + timedelta(days=rng.randint(0, 2404))  # ..2001-08-01
+        )
+        o["o_orderpriority"].append(rng.choice(PRIORITIES))
+
+    li = {k: [] for k in LINEITEM_SCHEMA.names}
+    for i in range(n_ord):
+        n_lines = rng.choice([0, 1, 1, 2, 2, 3, 4, 5, 6, 7])  # 0: no lines
+        for ln in range(1, n_lines + 1):
+            li["l_orderkey"].append(i)
+            li["l_partkey"].append(rng.randint(0, 199))
+            li["l_suppkey"].append(rng.randint(0, 9))
+            li["l_linenumber"].append(ln)
+            # boundary quantities hit q6/q17/q19 literals exactly
+            li["l_quantity"].append(
+                float(rng.choice([1, 24, 25, 50, rng.randint(1, 50)]))
+            )
+            li["l_extendedprice"].append(round(rng.uniform(900, 105000), 2))
+            li["l_discount"].append(
+                rng.choice([0.0, 0.04, 0.05, 0.06, 0.07, 0.1])
+            )
+            li["l_tax"].append(round(rng.choice([0, 2, 4, 6, 8]) / 100, 2))
+            li["l_returnflag"].append(rng.choice(["R", "A", "N"]))
+            li["l_linestatus"].append(rng.choice(["O", "F"]))
+            ship = o["o_orderdate"][i] + timedelta(days=rng.randint(1, 121))
+            if rng.random() < 0.02:
+                ship = datetime(1998, 9, 2)  # the q1 boundary literal
+            li["l_shipdate"].append(ship)
+    # a few orphan lineitems (no such order) for the integrity audits
+    for j in range(3):
+        li["l_orderkey"].append(n_ord + 100 + j)
+        li["l_partkey"].append(rng.randint(0, 199))
+        li["l_suppkey"].append(rng.randint(0, 9))
+        li["l_linenumber"].append(1)
+        li["l_quantity"].append(5.0)
+        li["l_extendedprice"].append(1000.00)
+        li["l_discount"].append(0.05)
+        li["l_tax"].append(0.04)
+        li["l_returnflag"].append("N")
+        li["l_linestatus"].append("O")
+        li["l_shipdate"].append(datetime(1996, 6, 1))
+    return cust, o, li
+
+
 def build_fixture(seed: int) -> str:
     d = tempfile.mkdtemp(prefix=f"fuzz_seed{seed}_")
     for f in os.listdir(BASE):
@@ -193,6 +318,22 @@ def build_fixture(seed: int) -> str:
         pa.Table.from_pydict(gen_embeddings(rng, n_emb), schema=EMB_SCHEMA),
         os.path.join(d, "embeddings.parquet"),
     )
+    if seed != 0:  # seed 0 keeps base relational tables (empty-TPC-H
+        # would mostly test empty-input paths the other tables already
+        # cover, at the cost of 50+ trivially-empty results)
+        cust, o, li = gen_relational(rng)
+        pq.write_table(
+            pa.Table.from_pydict(cust, schema=CUSTOMER_SCHEMA),
+            os.path.join(d, "customer.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pydict(o, schema=ORDERS_SCHEMA),
+            os.path.join(d, "orders.parquet"),
+        )
+        pq.write_table(
+            pa.Table.from_pydict(li, schema=LINEITEM_SCHEMA),
+            os.path.join(d, "lineitem.parquet"),
+        )
     return d
 
 
@@ -219,11 +360,7 @@ def main() -> int:
         "mm_image_features", "mm_resize_images", "mm_frame_hashes",
         "mm_audio_features", "mm_phash_near_pairs",
     }
-    names = only or [
-        n for n, sql in oracles.items()
-        if ("events" in sql or "documents" in sql or "embeddings" in sql)
-        and n not in skip
-    ]
+    names = only or [n for n in oracles if n not in skip]
     # The physical warehouse/stream round-trip exercises assert their
     # demonstration preconditions (a written partition exists, the forget
     # set is non-empty, compaction had files to merge) — on a fully EMPTY
