@@ -110,15 +110,32 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
+            # NULL payload contract: the row survives with NULL decoder
+            # outputs (an undecodable/absent payload is data, not a crash
+            # — mm fuzz axis finding)
+            feats = [
+                None if p is None else _decode_stub(p) for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
-                    "byte_len": [len(p) for p in pdf["payload"]],
-                    "sha256": [f["sha256"] for f in feats],
-                    "width": [f["width"] for f in feats],
-                    "height": [f["height"] for f in feats],
-                    "channels": [f["channels"] for f in feats],
+                    "byte_len": pd.Series(
+                        [None if p is None else len(p) for p in pdf["payload"]],
+                        dtype="object",
+                    ),
+                    "sha256": [None if f is None else f["sha256"] for f in feats],
+                    "width": pd.Series(
+                        [None if f is None else f["width"] for f in feats],
+                        dtype="object",
+                    ),
+                    "height": pd.Series(
+                        [None if f is None else f["height"] for f in feats],
+                        dtype="object",
+                    ),
+                    "channels": pd.Series(
+                        [None if f is None else f["channels"] for f in feats],
+                        dtype="object",
+                    ),
                 }
             )
 
@@ -148,6 +165,8 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # NULL payload: no frames (mm fuzz)
+                    continue
                 b = bytes(payload)
                 n_frames = len(b) // frame_bytes
                 for fi in range(0, n_frames, stride):
@@ -178,8 +197,15 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, lens, means, peaks = [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 ids.append(doc_id)
+                if payload is None:
+                    # NULL payload: NULL features — distinct from the
+                    # empty payload, which is literal silence (0.0/0)
+                    lens.append(None)
+                    means.append(None)
+                    peaks.append(None)
+                    continue
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n = len(arr)
                 lens.append(n)
                 # mean rounded HALF-UP via the integer (2x + d) div 2d
@@ -196,9 +222,9 @@ def extract_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "byte_len": lens,
-                    "mean_amplitude": means,
-                    "peak_amplitude": peaks,
+                    "byte_len": pd.Series(lens, dtype="object"),
+                    "mean_amplitude": pd.Series(means, dtype="object"),
+                    "peak_amplitude": pd.Series(peaks, dtype="object"),
                 }
             )
 
@@ -236,10 +262,18 @@ def resize_images(
         for pdf in batches:
             ids, ws, hs, lens, hashes = [], [], [], [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                ids.append(doc_id)
+                if payload is None:
+                    # NULL payload: requested dims stand, decoder
+                    # outputs are NULL (mm fuzz axis contract)
+                    ws.append(None)
+                    hs.append(None)
+                    lens.append(None)
+                    hashes.append(None)
+                    continue
                 raw = bytes(payload)
                 dims = _decode_stub(raw)
                 resized = raw[:target].ljust(target, b" ")
-                ids.append(doc_id)
                 ws.append(dims["width"])
                 hs.append(dims["height"])
                 lens.append(len(resized))
@@ -247,11 +281,11 @@ def resize_images(
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "width": ws,
-                    "height": hs,
+                    "width": pd.Series(ws, dtype="object"),
+                    "height": pd.Series(hs, dtype="object"),
                     "out_width": [out_width] * len(ids),
                     "out_height": [out_height] * len(ids),
-                    "resized_len": lens,
+                    "resized_len": pd.Series(lens, dtype="object"),
                     "resized_md5": hashes,
                 }
             )

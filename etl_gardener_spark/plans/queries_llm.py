@@ -1582,7 +1582,8 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            sha256(text) AS sha256,
            octet_length(encode(text)) % 640 AS width,
            octet_length(encode(text)) % 480 AS height,
-           CAST(3 AS BIGINT) AS channels
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(3 AS BIGINT) END AS channels
     FROM documents
     """,
     tags=("llm", "multimodal"),
@@ -1634,7 +1635,8 @@ def mm_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
            octet_length(encode(text)) % 640 AS width,
            octet_length(encode(text)) % 480 AS height,
            64 AS out_width, 48 AS out_height,
-           CAST(3072 AS BIGINT) AS resized_len,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(3072 AS BIGINT) END AS resized_len,
            md5(rpad(substring(text, 1, 3072), 3072, ' ')) AS resized_md5
     FROM documents
     """,
@@ -1674,8 +1676,10 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(MAX(b) AS BIGINT) AS peak_amplitude
           FROM u GROUP BY doc_id)
     SELECT t.doc_id, t.byte_len,
-           COALESCE(s.mean_amplitude, 0.0) AS mean_amplitude,
-           COALESCE(s.peak_amplitude, 0) AS peak_amplitude
+           CASE WHEN t.byte_len IS NULL THEN NULL
+                ELSE COALESCE(s.mean_amplitude, 0.0) END AS mean_amplitude,
+           CASE WHEN t.byte_len IS NULL THEN NULL
+                ELSE COALESCE(s.peak_amplitude, 0) END AS peak_amplitude
     FROM t LEFT JOIN s USING (doc_id)
     """,
     tags=("llm", "multimodal"),
@@ -2060,12 +2064,15 @@ def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # NULL payloads can't hash and can't pair — dropped here,
+            # matching the oracle's NULL-propagating phash (mm fuzz axis)
+            mask = pdf["payload"].notna()
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    "doc_id": pdf["doc_id"][mask],
                     "simhash": [
                         int(hashlib.md5(bytes(p)).hexdigest()[:8], 16)
-                        for p in pdf["payload"]
+                        for p in pdf["payload"][mask]
                     ],
                 }
             )

@@ -340,6 +340,43 @@ def test_audio_mean_rounds_half_up_at_exact_midpoint(spark):
     assert out[1]["byte_len"] == 128 and out[1]["peak_amplitude"] == 1
 
 
+def test_null_payload_decoder_robustness_contract(spark):
+    """mm fuzz axis finding: the decoders crashed on a NULL payload
+    (len(None) / np.frombuffer(None)). The pinned contract: an
+    undecodable/absent payload is DATA, not an exception — NULL in ->
+    NULL decoder outputs with the row surviving, no frames, no pHash —
+    and stays distinct from the EMPTY payload (byte_len 0, literal
+    silence, zero-dim 'image')."""
+    from etl_gardener_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcd" * 8)], "doc_id long, text string"
+    )
+    media = MM.attach_binary(docs, "text", "doc_id", modality="image")
+
+    img = {r["doc_id"]: r for r in MM.extract_image_features(media).collect()}
+    assert set(img) == {1, 2, 3}  # the NULL-payload row survives
+    assert all(img[1][c] is None for c in ("byte_len", "sha256", "width",
+                                           "height", "channels"))
+    assert img[2]["byte_len"] == 0 and img[2]["width"] == 0
+    assert img[3]["byte_len"] == 32
+
+    aud = {r["doc_id"]: r for r in MM.extract_audio_features(media).collect()}
+    assert all(aud[1][c] is None
+               for c in ("byte_len", "mean_amplitude", "peak_amplitude"))
+    assert aud[2]["byte_len"] == 0 and aud[2]["mean_amplitude"] == 0.0
+
+    rs = {r["doc_id"]: r for r in MM.resize_images(media).collect()}
+    assert set(rs) == {1, 2, 3}
+    assert rs[1]["resized_md5"] is None and rs[1]["width"] is None
+    assert rs[1]["out_width"] == 64  # requested dims stand even on NULL
+    assert rs[2]["resized_len"] == 64 * 48  # empty pads to target
+
+    frames = MM.sample_frames(media).collect()
+    assert not any(r["doc_id"] in (1, 2) for r in frames)  # no frames
+    assert sum(r["doc_id"] == 3 for r in frames) == 1  # 32//16=2, stride 4
+
+
 def test_decile_share_kernel_exact_beyond_int64_ceiling(spark):
     """The customer_value_deciles share kernel widened to DECIMAL(38,0)
     (round-5 advisor fix): 2 * cum_cents * 1e5 wraps int64 once total

@@ -23,13 +23,19 @@ with the shapes the generator never emits —
     the q1 date edge), orders with ZERO lineitems, orphan lineitems,
     customers without orders, negative/zero balances,
   * seed 0: EMPTY events/documents/embeddings (empty-input aggregates;
-    relational tables stay base).
+    relational tables stay base),
+  * multimodal axis (``mm<seed>`` args): ASCII-only corpora honoring
+    the mm stubs' documented code-point==byte contract, with NULL and
+    empty payloads, decoder modulo-boundary lengths, midpoint-mean
+    power-of-two lengths, and near-duplicate payloads — run against
+    ONLY the five mm_* queries the unicode axis skips (see gen_docs_mm).
 
 Every registry query with an oracle runs through
 tools/compare_strict.compare_frames on the fixture.
 
 Usage: python tools/fuzz_differential.py <seed> [name ...]
        python tools/fuzz_differential.py 1 2 3       # digits-only args = seeds
+       python tools/fuzz_differential.py mm1 mm2     # multimodal axis seeds
 Exit 1 on any strict mismatch (a real finding: triage, fix BOTH sides,
 then add the shape to tests/test_representation_boundaries.py).
 """
@@ -144,6 +150,86 @@ def gen_docs(rng: random.Random, n: int) -> dict:
         rows["source"].append(rng.choice(["src0", "src1", "src2"]))
         rows["n_chars"].append(len(text))
     return rows
+
+
+MM_NAMES = [
+    "mm_image_features",
+    "mm_frame_hashes",
+    "mm_resize_images",
+    "mm_audio_features",
+    "mm_phash_near_pairs",
+]
+
+_ASCII = "".join(chr(b) for b in range(32, 127)) + "\n\t"
+
+
+def gen_docs_mm(rng: random.Random, n: int) -> dict:
+    """ASCII-only corpus HONORING the mm stubs' documented contract
+    (code point == payload byte, substr == byte slice) while attacking
+    the byte-level shapes the fixed generator never emits:
+
+      * empty payloads and NULL payloads (decoder-robustness contract:
+        NULL in -> NULL features out, no frames, no pairs),
+      * byte lengths on the stub decoders' modulo boundaries
+        (640/480 -> width/height 0; 16 -> exact frame fit; 3072+-1 ->
+        the resize slice edge),
+      * power-of-two lengths whose byte sums land means on exact 6-dp
+        midpoints (the half-even vs half-up hazard class found at sf1),
+      * verbatim duplicate and 1-byte-flip near-duplicate payloads
+        (pHash hamming 0 / small),
+      * one long multi-thousand-frame payload per corpus.
+    """
+    boundary_lens = [640, 1280, 480, 960, 3072, 3071, 3073, 15, 16, 17, 1]
+    rows = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
+    texts: list[str] = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.04:
+            text = None
+        elif kind < 0.10:
+            text = ""
+        elif kind < 0.25:
+            text = "".join(rng.choice(_ASCII) for _ in range(rng.choice(boundary_lens)))
+        elif kind < 0.45:
+            # power-of-two lengths: mean = sum / 2**k hits exact 6-dp
+            # midpoints with positive probability (e.g. odd sum over 2)
+            text = "".join(
+                rng.choice(_ASCII) for _ in range(rng.choice([2, 4, 8, 16, 32, 64, 128]))
+            )
+        elif kind < 0.55 and texts:
+            text = rng.choice(texts)  # verbatim duplicate payload
+        elif kind < 0.62 and texts:
+            base_t = rng.choice(texts)
+            if base_t:
+                j = rng.randrange(len(base_t))
+                text = base_t[:j] + rng.choice(_ASCII) + base_t[j + 1 :]
+            else:
+                text = base_t
+        elif kind < 0.64:
+            text = "".join(rng.choice(_ASCII) for _ in range(rng.randint(5000, 20000)))
+        else:
+            text = "".join(rng.choice(_ASCII) for _ in range(rng.randint(1, 200)))
+        if text is not None:
+            texts.append(text)
+        rows["doc_id"].append(i)
+        rows["text"].append(text)
+        rows["lang"].append(rng.choice(["en", "de", "fr"]))
+        rows["source"].append(rng.choice(["src0", "src1", "src2"]))
+        rows["n_chars"].append(len(text) if text is not None else None)
+    return rows
+
+
+def build_mm_fixture(seed: int) -> str:
+    d = tempfile.mkdtemp(prefix=f"fuzz_mm_seed{seed}_")
+    for f in os.listdir(BASE):
+        shutil.copy(os.path.join(BASE, f), d)
+    rng = random.Random(10_000 + seed)
+    n = 0 if seed == 0 else rng.randint(120, 200)
+    pq.write_table(
+        pa.Table.from_pydict(gen_docs_mm(rng, n), schema=DOC_SCHEMA),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
 
 
 EMB_SCHEMA = pa.schema(
@@ -343,7 +429,15 @@ def main() -> int:
         print(__doc__)
         return 2
     seeds = [int(a) for a in args if a.isdigit()]
-    only = [a for a in args if not a.isdigit()]
+    # mm<seed> args run the multimodal axis: an ASCII-contract fixture
+    # (gen_docs_mm) against ONLY the mm_* queries the unicode axis skips.
+    mm_seeds = [
+        int(a[2:]) for a in args if a.startswith("mm") and a[2:].isdigit()
+    ]
+    only = [
+        a for a in args
+        if not a.isdigit() and not (a.startswith("mm") and a[2:].isdigit())
+    ]
 
     import __spark_entry__ as entrymod
     from etl_gardener_spark.session import get_spark
@@ -373,17 +467,20 @@ def main() -> int:
         "stream_warehouse_sink", "stream_scrub_split",
     }
     total_fail = 0
-    for seed in seeds:
-        d = build_fixture(seed)
+    runs = [(f"seed={s}", build_fixture, s, names) for s in seeds] + [
+        (f"mm_seed={s}", build_mm_fixture, s, only or MM_NAMES) for s in mm_seeds
+    ]
+    for label, builder, seed, run_names in runs:
+        d = builder(seed)
         con = duckdb.connect()
         for t in TABLES:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
         fails = []
         n_run = 0
-        for name in names:
+        for name in run_names:
             if name not in oracles:
                 continue
-            if seed == 0 and name in empty_skip:
+            if seed == 0 and builder is build_fixture and name in empty_skip:
                 continue
             n_run += 1
             try:
@@ -392,12 +489,12 @@ def main() -> int:
                 problems, nrows = [f"exception: {type(e).__name__}: {e}"[:300]], -1
             if problems:
                 fails.append((name, problems))
-                print(f"FAIL seed={seed} {name}: {problems}")
+                print(f"FAIL {label} {name}: {problems}")
             else:
-                print(f"pass seed={seed} {name}: {nrows} rows")
+                print(f"pass {label} {name}: {nrows} rows")
         con.close()
         shutil.rmtree(d, ignore_errors=True)
-        print(f"seed {seed}: {n_run - len(fails)}/{n_run} pass")
+        print(f"{label}: {n_run - len(fails)}/{n_run} pass")
         total_fail += len(fails)
     return 1 if total_fail else 0
 
