@@ -1,0 +1,181 @@
+"""Product quantization (PQ): compress embeddings to m sub-space codes
+and search over the codes with asymmetric distance computation (ADC).
+
+This is the memory-footprint path of large-scale similarity search
+(Jegou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — the IVF-PQ layout FAISS popularized): the corpus vector
+(d floats, 256 B at d=64) is replaced by m codebook indices (m bytes at
+k_sub <= 256), so a 100 TB float corpus becomes ~1.5 TB of codes that
+fit a far smaller cluster — and queries never touch raw corpus vectors:
+
+* **Encode** (one corpus pass, amortized): each vector's s-th sub-slice
+  is assigned to its nearest codebook entry — a narrow broadcast join
+  of |corpus| x k_sub rows folded by one map-side-combined min_by
+  aggregate per sub-space, exactly the IVF assignment shape
+  (similarity.cosine_topk_ivf). No shuffle of the raw vectors.
+* **Search** (per query batch): the query computes its m x k_sub
+  distance TABLE (tiny — broadcast), which is equi-joined to the
+  exploded code columns; the approximate distance is a SUM of m table
+  lookups. Corpus-side I/O is the code table only.
+
+Determinism discipline (the repo-wide exact-kernel rule): sub-space
+squared-L2 distances are doubles from an identical left-to-right
+index-order fold in both engines, then IMMEDIATELY quantized to integer
+micros with the floor kernel ``FLOOR(d * 1e6 + 0.5)``. Every downstream
+comparison — argmin for code assignment, reconstruction error, ADC
+ranking — is integer arithmetic, so no ROUND-midpoint or fold-order
+hazard exists anywhere in the operator.
+
+Codebooks here are deterministic corpus seeds (the first ``k_sub``
+vectors by id, like similarity.ivf_centroids): a production deployment
+trains per-sub-space k-means (operators/similarity.kmeans supplies the
+distributed trainer) — the plan shape, code layout, and search path are
+identical either way, while seeded codebooks keep every result
+oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.operators.similarity import ivf_centroids
+
+
+def _sub_dist_e6(vec: Column, cvec: Column, start: int, width: int) -> Column:
+    """Integer-micro squared-L2 distance between one sub-slice of ``vec``
+    and the same slice of ``cvec``: left-to-right index-order double fold
+    (bit-identical to the oracle's list_reduce over the same range), then
+    the floor half-up kernel. 1-based ``start`` per F.slice semantics."""
+    d = F.aggregate(
+        F.zip_with(
+            F.slice(vec, start, width),
+            F.slice(cvec, start, width),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def _codebook_df(
+    corpus: DataFrame, id_col: str, vec_col: str, k_sub: int
+) -> DataFrame:
+    """Seeded codebook as a tiny broadcastable relation (cid, cvec).
+    Explicit schema: an empty corpus yields zero seeds and inference
+    cannot type an empty local relation (differential-fuzz, seed 0)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids=k_sub)
+    return corpus.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid long, cvec array<double>"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+) -> DataFrame:
+    """Encode every corpus vector to ``m`` PQ codes plus its exact-integer
+    reconstruction error.
+
+    Output: (id_col, code_0..code_{m-1} long, recon_err double) where
+    recon_err is the sum of the chosen sub-space micro-distances / 1e6.
+    One broadcast join (|corpus| x k_sub narrow rows) + one hash
+    aggregate with ``m`` min_by's — map-side combined, no sort, no raw
+    vector shuffle; the argmin tie-break is (distance_e6 ASC, cid ASC).
+    """
+    cb = _codebook_df(corpus, id_col, vec_col, k_sub)
+    scored = corpus.select(id_col, vec_col).join(F.broadcast(cb))
+    for s in range(m):
+        scored = scored.withColumn(
+            f"__d{s}",
+            _sub_dist_e6(F.col(vec_col), F.col("cvec"), s * sub_dim + 1, sub_dim),
+        )
+    aggs = []
+    for s in range(m):
+        ordk = F.struct(F.col(f"__d{s}").alias("d"), F.col("cid").alias("c"))
+        val = F.struct(F.col("cid").alias("code"), F.col(f"__d{s}").alias("d"))
+        aggs.append(F.min_by(val, ordk).alias(f"__m{s}"))
+    out = scored.groupBy(id_col).agg(*aggs)
+    err = sum((F.col(f"__m{s}.d") for s in range(m)), F.lit(0).cast("long"))
+    return out.select(
+        id_col,
+        *[F.col(f"__m{s}.code").alias(f"code_{s}") for s in range(m)],
+        (err.cast("double") / F.lit(1e6)).alias("recon_err"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+) -> DataFrame:
+    """ADC top-k: rank corpus vectors by approximate (quantized) squared
+    L2 distance to each query, touching only the corpus CODES.
+
+    Output: (query_id, neighbor_id, score, rank) — score is the exact
+    integer-micro ADC distance / 1e6, rank by (score ASC, neighbor_id
+    ASC). The per-query m x k_sub distance table is a tiny broadcast;
+    the corpus side is the exploded code relation (m rows per vector),
+    so the heavy join is codes ⨝ table on (sub, code) — no raw corpus
+    vectors move, which is the entire point of PQ at 100 TB.
+    """
+    cb = _codebook_df(corpus, id_col, vec_col, k_sub)
+    codes = pq_encode(corpus, id_col, vec_col, m, sub_dim, k_sub).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("sc"),
+    ).select("neighbor_id", "sc.s", "sc.code")
+
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(cb))
+    for s in range(m):
+        qd = qd.withColumn(
+            f"__d{s}",
+            _sub_dist_e6(F.col("q_vec"), F.col("cvec"), s * sub_dim + 1, sub_dim),
+        )
+    table = qd.select(
+        "query_id",
+        F.col("cid").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"__d{s}").alias("de6"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("sd"),
+    ).select("query_id", "code", "sd.s", "sd.de6")
+
+    cand = (
+        codes.join(F.broadcast(table), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

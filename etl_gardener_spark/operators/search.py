@@ -117,11 +117,18 @@ def bm25_oracle_sql(
     k1: float = 1.2,
     b: float = 0.75,
     toks_cte: str = "d",
+    cte_name: str | None = None,
 ) -> str:
     """DuckDB mirror of `bm25_topk` over a CTE ``d(doc_id, toks)`` — the
     same expression tree (same literal order, same ln, same fixed-point
-    fold) so scores match bit-for-bit."""
+    fold) so scores match bit-for-bit. With ``cte_name`` the final ranked
+    SELECT is wrapped as one more CTE so a composite oracle (hybrid
+    retrieval) can keep building on it."""
     terms_sql = "[" + ",".join(f"'{t.lower()}'" for t in terms) + "]"
+    final = f"""SELECT doc, score, n_hit_terms,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
+    FROM per_doc QUALIFY rank <= {k}"""
+    tail = f", {cte_name} AS ({final})" if cte_name else final
     return f"""
     stats AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(len(toks)) AS avgdl
@@ -147,9 +154,7 @@ def bm25_oracle_sql(
       SELECT doc, CAST(SUM(w_e6) AS DOUBLE) / 1000000.0 AS score,
              CAST(COUNT(*) AS BIGINT) AS n_hit_terms
       FROM scored GROUP BY doc)
-    SELECT doc, score, n_hit_terms,
-           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc ASC) AS BIGINT) AS rank
-    FROM per_doc QUALIFY rank <= {k}
+    {tail}
     """
 
 
@@ -181,4 +186,60 @@ def topk_ngrams(
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(
+    lists: dict[str, DataFrame],
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists (Cormack, Clarke &
+    Buettcher, SIGIR 2009) — the standard way to combine lexical (BM25)
+    and vector (ANN) retrieval without score calibration, since only
+    RANKS cross the boundary.
+
+    Per-list contribution is the exact integer ``1e9 div (k_rrf + rank)``
+    (IntegralDivide — no float, so fusion scores are bit-stable and
+    fold-order-free); ``rrf_score`` divides back to a double for display.
+    Output: (id, <name>_rank for each input list — NULL when the doc
+    missed that list — rrf_score, rank), ties broken by id ASC.
+
+    Scale shape: the inputs are top-k lists (bounded by construction),
+    so the union + one hash aggregate + the global tie-break window all
+    run on O(sum of k's) rows regardless of corpus size — the corpus was
+    already reduced by each retriever.
+    """
+    parts = [
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.lit(name).alias("__src"),
+            F.col(rank_col).cast("long").alias("__r"),
+        )
+        for name, df in lists.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__id").agg(
+        F.sum(F.expr(f"1000000000 div ({k_rrf} + __r)")).alias("__e9"),
+        *[
+            F.max(F.when(F.col("__src") == name, F.col("__r"))).alias(
+                f"{name}_rank"
+            )
+            for name in lists
+        ],
+    )
+    w = Window.orderBy(F.col("__e9").desc(), F.col("__id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(
+            F.col("__id").alias(id_col),
+            *[f"{name}_rank" for name in lists],
+            (F.col("__e9").cast("double") / F.lit(1e9)).alias("rrf_score"),
+            "rank",
+        )
     )

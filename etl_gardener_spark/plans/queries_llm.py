@@ -1569,6 +1569,107 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dup_pairs(e, threshold=0.4, method="blocked")
 
 
+_PQ_M, _PQ_SUB, _PQ_KSUB = 4, 16, 16
+
+
+def _pq_subdist_sql(a: str, b: str, s: int, w: int = _PQ_SUB) -> str:
+    """Integer-micro squared-L2 distance over sub-space ``s`` — the exact
+    mirror of operators/pq._sub_dist_e6 (same index-order fold, same
+    floor half-up kernel), so PQ codes are bit-identical across engines."""
+    start = s * w + 1
+    diff = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    return (
+        f"CAST(FLOOR(list_reduce(list_transform(range({start}, {start + w}),"
+        f" i -> {diff} * {diff}), (x, y) -> x + y) * 1e6 + 0.5) AS BIGINT)"
+    )
+
+
+def _pq_ctes() -> str:
+    """Shared PQ oracle CTEs: seeded codebook, per-(vector, sub-space)
+    distances (one UNION ALL arm per sub-space), argmin code assignment
+    with the (de6 ASC, cid ASC) integer tie-break."""
+    arms = " UNION ALL ".join(
+        f"SELECT e.vec_id, c.cid, {s} AS s,"
+        f" {_pq_subdist_sql('e.embedding', 'c.cvec', s)} AS de6"
+        f" FROM embeddings e CROSS JOIN pqseeds c"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    pqseeds AS (SELECT vec_id AS cid, embedding AS cvec
+                FROM embeddings WHERE vec_id < {_PQ_KSUB}),
+    sd AS ({arms}),
+    pqcodes AS (
+      SELECT vec_id, s, cid AS code, de6 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY de6 ASC, cid ASC) AS rn FROM sd) t
+      WHERE rn = 1)"""
+
+
+@query(
+    "emb_pq_codes",
+    f"""
+    WITH {_pq_ctes()}
+    SELECT vec_id,
+           {", ".join(f"CAST(MAX(CASE WHEN s = {s} THEN code END) AS BIGINT)"
+                      f" AS code_{s}" for s in range(_PQ_M))},
+           CAST(SUM(de6) AS DOUBLE) / 1e6 AS recon_err
+    FROM pqcodes GROUP BY vec_id
+    """,
+    tags=("llm", "ann", "pq", "quantization"),
+)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode (operators/pq.py): every vector
+    compressed to 4 sub-space codebook codes (16 entries each — 2 bytes
+    total vs 256 B of floats) plus its exact-integer reconstruction
+    error. The 100 TB memory-footprint path of similarity search: one
+    broadcast-join corpus pass, codes assigned by a map-side-combined
+    min_by per sub-space, every comparison in integer micros."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_encode(
+        e, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB
+    )
+
+
+@query(
+    "emb_ann_topk_pq",
+    f"""
+    WITH {_pq_ctes()},
+    pqq AS (SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+    qd AS ({" UNION ALL ".join(
+        f"SELECT q.query_id, c.cid AS code, {s} AS s,"
+        f" {_pq_subdist_sql('q.q_vec', 'c.cvec', s)} AS de6"
+        f" FROM pqq q CROSS JOIN pqseeds c" for s in range(_PQ_M))}),
+    cand AS (
+      SELECT d.query_id, p.vec_id AS neighbor_id,
+             CAST(SUM(d.de6) AS DOUBLE) / 1e6 AS score
+      FROM pqcodes p JOIN qd d ON d.s = p.s AND d.code = p.code
+      WHERE p.vec_id <> d.query_id
+      GROUP BY 1, 2),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("llm", "ann", "pq"),
+)
+def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 (operators/pq.py): each query builds
+    its 4 x 16 micro-distance table (tiny broadcast) and corpus vectors
+    are ranked by the SUM of 4 integer table lookups over their CODES —
+    raw corpus vectors are never read at search time. Rank by (ADC
+    distance ASC, neighbor_id ASC); score is exact integers / 1e6."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_topk(
+        e, e.filter(F.col("vec_id") < 10),
+        k=5, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -2334,6 +2435,58 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micros so the ranking is bit-stable across engines."""
     d = load_table(spark, sf_dir, "documents")
     return SR.bm25_topk(d, "text", "doc_id", _BM25_TERMS, k=10)
+
+
+@query(
+    "doc_hybrid_rrf",
+    "WITH " + _DOCS_BODY + ","
+    + SR.bm25_oracle_sql(_BM25_TERMS, k=10, cte_name="lex")
+    + f""",
+    annq AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+    ann AS (
+      SELECT neighbor_id AS doc, rank FROM (
+        SELECT c.vec_id AS neighbor_id,
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6)
+                   DESC, c.vec_id ASC) AS BIGINT) AS rank
+        FROM embeddings c CROSS JOIN annq q WHERE c.vec_id <> 0) t
+      WHERE rank <= 10),
+    u AS (SELECT doc, 'lex' AS src, rank AS r FROM lex
+          UNION ALL
+          SELECT doc, 'ann' AS src, rank AS r FROM ann),
+    fused AS (
+      SELECT doc,
+             SUM(1000000000 // (60 + r)) AS e9,
+             MAX(CASE WHEN src = 'lex' THEN r END) AS lex_rank,
+             MAX(CASE WHEN src = 'ann' THEN r END) AS ann_rank
+      FROM u GROUP BY doc)
+    SELECT doc, lex_rank, ann_rank,
+           CAST(e9 AS DOUBLE) / 1e9 AS rrf_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY e9 DESC, doc ASC) AS BIGINT)
+             AS rank
+    FROM fused QUALIFY rank <= 10
+    """,
+    tags=("llm", "search", "hybrid", "ann"),
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/search.py
+    rrf_fuse): the BM25 top-10 lexical list fused with the exact-cosine
+    top-10 vector list for the query embedding (vec 0 stands in for the
+    encoded query; vec_id keys the same items as doc_id). Only RANKS
+    cross the fusion boundary — each contribution is the exact integer
+    1e9 div (60 + rank), so no score calibration and no float hazards —
+    and the fusion itself runs on O(k) rows however large the corpus:
+    each retriever already did its reduction (filtered postings pass /
+    broadcast-query corpus scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = SR.bm25_topk(d, "text", "doc_id", _BM25_TERMS, k=10).select(
+        "doc", "rank"
+    )
+    ann = SIM.cosine_topk(e, e.filter(F.col("vec_id") == 0), k=10).select(
+        F.col("neighbor_id").alias("doc"), "rank"
+    )
+    return SR.rrf_fuse({"lex": lex, "ann": ann}, topk=10)
 
 
 @query(

@@ -1,0 +1,112 @@
+"""Property tests for product quantization (operators/pq.py) and
+reciprocal-rank fusion (operators/search.rrf_fuse)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.operators import pq as PQ
+from etl_gardener_spark.operators.search import rrf_fuse
+
+M, SUB, KSUB, DIM = 4, 4, 4, 16
+
+
+def _vecs(n, seed=7):
+    rng = random.Random(seed)
+    return [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(DIM)]) for i in range(n)
+    ]
+
+
+def _sub_de6(a, b, s):
+    d = 0.0
+    for i in range(s * SUB, s * SUB + SUB):
+        d += (a[i] - b[i]) * (a[i] - b[i])
+    import math
+
+    return math.floor(d * 1e6 + 0.5)
+
+
+def test_pq_encode_matches_python_reference_and_seeds_self_code(spark):
+    rows = _vecs(40)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in PQ.pq_encode(df, m=M, sub_dim=SUB, k_sub=KSUB).collect()
+    }
+    assert set(out) == set(range(40))
+    seeds = rows[:KSUB]
+    for vid, vec in rows:
+        err = 0
+        for s in range(M):
+            # python argmin with the (de6, cid) tie-break
+            best = min(
+                (( _sub_de6(vec, svec, s), sid) for sid, svec in seeds)
+            )
+            assert out[vid][f"code_{s}"] == best[1], (vid, s)
+            err += best[0]
+        assert out[vid]["recon_err"] == err / 1e6, vid
+    # a seed vector reconstructs itself exactly: own code, zero error
+    for sid, _ in seeds:
+        assert out[sid]["recon_err"] == 0.0
+        assert all(out[sid][f"code_{s}"] == sid for s in range(M))
+
+
+def test_pq_topk_is_adc_over_codes(spark):
+    rows = _vecs(30, seed=11)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = PQ.pq_topk(
+        df, df.filter(F.col("vec_id") < 3), k=5, m=M, sub_dim=SUB, k_sub=KSUB
+    ).collect()
+    seeds = rows[:KSUB]
+    codes = {
+        vid: [
+            min(((_sub_de6(vec, svec, s), sid) for sid, svec in seeds))[1]
+            for s in range(M)
+        ]
+        for vid, vec in rows
+    }
+    by_vec = dict(rows)
+    for q in range(3):
+        # python ADC: distance table lookup per sub-space code
+        scored = sorted(
+            (
+                sum(
+                    _sub_de6(by_vec[q], by_vec[codes[v][s]], s)
+                    for s in range(M)
+                )
+                / 1e6,
+                v,
+            )
+            for v, _ in rows
+            if v != q
+        )[:5]
+        mine = sorted(
+            (r["score"], r["neighbor_id"]) for r in got if r["query_id"] == q
+        )
+        assert mine == scored, q
+
+
+def test_rrf_fuse_exact_integer_contributions(spark):
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc long, rank long"
+    )
+    ann = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc long, rank long"
+    )
+    out = {
+        r["doc"]: r
+        for r in rrf_fuse({"lex": lex, "ann": ann}, topk=10).collect()
+    }
+    # doc 20: 1e9//62 + 1e9//61 — in both lists, ranks kept per source
+    assert out[20]["lex_rank"] == 2 and out[20]["ann_rank"] == 1
+    assert out[20]["rrf_score"] == (10**9 // 62 + 10**9 // 61) / 1e9
+    # single-list docs carry a NULL rank for the list they missed
+    assert out[10]["ann_rank"] is None
+    assert out[10]["rrf_score"] == (10**9 // 61) / 1e9
+    assert out[40]["lex_rank"] is None
+    # fusion order: 20 (both lists) first; tie-breaks never needed here
+    ranks = {d: r["rank"] for d, r in out.items()}
+    assert ranks[20] == 1 and ranks[10] == 2
+    # 30 (lex rank 3) vs 40 (ann rank 2): 1e9//63 < 1e9//62
+    assert ranks[40] == 3 and ranks[30] == 4

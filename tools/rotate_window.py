@@ -80,7 +80,8 @@ QUEUES: dict[int, list[str]] = {
         "debounce_events", "error_streaks", "top_orders_with_ties",
         "weekly_mixture_drift", "event_type_affinity", "props_key_census",
         "dq_quarantine_promotion", "weekly_user_cms_rollup",
-        "doc_bloom_decontaminate",
+        "doc_bloom_decontaminate", "emb_pq_codes", "emb_ann_topk_pq",
+        "doc_hybrid_rrf",
         # pool exhausted past this point: re-cert the heaviest families
         # (pair generators, streaming, rank ops) round-robin
         "doc_minhash_lsh_pairs", "doc_jaccard_pairs", "doc_simhash_pairs",
@@ -91,7 +92,6 @@ QUEUES: dict[int, list[str]] = {
         "stream_session_window", "stream_stream_attrib",
         "stream_warehouse_sink", "sessionize", "revenue_gini",
         "customer_value_deciles", "customer_rfm_segments",
-        "doc_span_dedup", "corpus_training_ready", "emb_training_ready",
     ],
 }
 
