@@ -211,6 +211,112 @@ def mixture_sample(
     return df.join(keep_ids, id_col, "left_semi")
 
 
+def dsir_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = 1024,
+    keep_frac: float = 0.2,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    arXiv:2302.03169): score every candidate document by the
+    log-likelihood ratio of a hashed-n-gram bag-of-words model fit on a
+    small TARGET set vs the candidate pool, then keep the top
+    ``keep_frac`` — the standard cheap way to skew a web-scale corpus
+    toward a quality/domain target without a trained classifier.
+
+    Tokens hash to ``n_buckets`` md5 buckets (engine-portable, no RNG);
+    per-bucket add-1-smoothed log weights ``ln p_t(b) - ln p_s(b)`` are
+    doubles from an identical expression tree in both engines, quantized
+    to integer micros ONCE (floor half-up); per-document scores are then
+    exact integer sums — fold-order-free, so the induced ranking is
+    bit-stable (the BM25 discipline).
+
+    Scale shape: the bucket table is a ``n_buckets``-row aggregate of
+    one exploded-token pass (map-side combined), broadcast back onto the
+    candidate token stream; per-doc scores are one keyed shuffle; the
+    exact global rank is `operators/rank.global_row_number` (range
+    partition + broadcast offsets — no single-partition window at 1e9
+    docs). Output: (id, n_toks, dsir_score, rank, selected).
+    """
+    from etl_gardener_spark.functions.text import ws_tokens
+    from etl_gardener_spark.operators.rank import global_row_number
+
+    bt = docs.select(
+        F.col(id_col).alias("__doc"),
+        is_target.alias("__t"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    ).select(
+        "__doc",
+        "__t",
+        (
+            F.conv(F.substring(F.md5("__tok"), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("__b"),
+    )
+    bc = bt.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long").alias("__ct"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(1)).cast("long").alias("__cs"),
+    )
+    tot = bc.agg(
+        F.sum("__ct").cast("long").alias("__nt"),
+        F.sum("__cs").cast("long").alias("__ns"),
+    )
+    w_tab = bc.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.floor(
+            (
+                F.log(
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.col("__nt") + F.lit(n_buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("__cs") + 1).cast("double")
+                    / (F.col("__ns") + F.lit(n_buckets)).cast("double")
+                )
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__w"),
+    )
+    ds = (
+        bt.filter(~F.col("__t"))
+        .join(F.broadcast(w_tab), "__b")
+        .groupBy("__doc")
+        .agg(
+            F.sum("__w").alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+    )
+    # left join back so token-less candidates still rank (score 0)
+    scored = (
+        docs.filter(~is_target)
+        .select(F.col(id_col).alias("__doc"))
+        .join(ds, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce("n_toks", F.lit(0).cast("long")).alias("n_toks"),
+            F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("__s"),
+        )
+    )
+    ranked = global_row_number(
+        scored, [F.col("__s").desc(), F.col(id_col).asc()], out_col="rank"
+    )
+    n_tot = scored.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return ranked.crossJoin(F.broadcast(n_tot)).select(
+        id_col,
+        "n_toks",
+        (F.col("__s").cast("double") / F.lit(1e6)).alias("dsir_score"),
+        F.col("rank").cast("long").alias("rank"),
+        (F.col("rank") <= F.ceil(F.lit(keep_frac) * F.col("__n"))).alias(
+            "selected"
+        ),
+    )
+
+
 def temperature_shares(
     sizes: Mapping[str, float], alpha: float = 0.3
 ) -> dict[str, float]:

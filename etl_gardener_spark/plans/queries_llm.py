@@ -3019,6 +3019,67 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_dsir_select",
+    f"""
+    {_DOCS_CTE},
+    tok0 AS (SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_t,
+                    unnest(toks) AS tokval
+             FROM d),
+    tok AS (SELECT doc_id, is_t,
+                   CAST({_h60("tokval")} % 1024 AS BIGINT) AS b
+            FROM tok0),
+    bc AS (SELECT b,
+                  SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+                  SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_s
+           FROM tok GROUP BY b),
+    tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+                   CAST(SUM(c_s) AS BIGINT) AS n_s FROM bc),
+    w AS (SELECT b,
+                 CAST(FLOOR((
+                     ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 1024 AS DOUBLE))
+                   - ln(CAST(c_s + 1 AS DOUBLE) / CAST(n_s + 1024 AS DOUBLE))
+                 ) * 1e6 + 0.5) AS BIGINT) AS w_e6
+          FROM bc CROSS JOIN tot),
+    ds AS (SELECT t.doc_id, SUM(w.w_e6) AS s_e6,
+                  CAST(COUNT(*) AS BIGINT) AS n_toks
+           FROM tok t JOIN w USING (b) WHERE NOT t.is_t GROUP BY t.doc_id),
+    scored AS (
+      SELECT c.doc_id,
+             COALESCE(ds.n_toks, 0) AS n_toks,
+             CAST(COALESCE(ds.s_e6, 0) AS BIGINT) AS s_e6
+      FROM (SELECT doc_id FROM documents
+            WHERE NOT COALESCE(source = 'src0', FALSE)) c
+      LEFT JOIN ds USING (doc_id)),
+    r AS (SELECT doc_id, n_toks, s_e6,
+                 CAST(ROW_NUMBER() OVER (ORDER BY s_e6 DESC, doc_id ASC)
+                      AS BIGINT) AS rank,
+                 COUNT(*) OVER () AS n
+          FROM scored)
+    SELECT doc_id, n_toks, CAST(s_e6 AS DOUBLE) / 1e6 AS dsir_score,
+           rank, rank <= CEIL(0.2 * n) AS selected
+    FROM r
+    """,
+    tags=("llm", "sampling", "selection"),
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance selection (operators/sampling.dsir_scores, after
+    Xie et al. 2023): hashed-unigram bag-of-words likelihood ratio of
+    the src0 target set vs the candidate pool, top 20% selected. Bucket
+    log-weights quantize to integer micros once; per-doc scores are
+    exact integer sums; the global rank is the range-partitioned exact
+    ranking (no single-partition window)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SP.dsir_scores(
+        d,
+        "text",
+        "doc_id",
+        F.col("source").eqNullSafe(F.lit("src0")),
+        n_buckets=1024,
+        keep_frac=0.2,
+    )
+
+
+@query(
     "stream_scrub_split",
     f"""
     WITH raw AS (SELECT doc_id, {_SYNTH_PII_SQL} AS t FROM documents)

@@ -329,3 +329,63 @@ def test_hash_split_on_group_key_is_group_atomic(spark):
         out.groupBy("grp").agg(F.countDistinct("split").alias("k")).collect()
     )
     assert all(r["k"] == 1 for r in per_group)
+
+
+def test_dsir_scores_match_python_reference(spark):
+    """dsir_scores vs a transparent python reference: same md5 buckets,
+    same add-1 smoothed ln ratio, same integer-micro quantization, same
+    (score desc, id asc) ranking and ceil(frac*n) selection."""
+    import hashlib
+
+    docs = [
+        (0, "good clean prose about spark", "t"),
+        (1, "good clean prose", "t"),
+        (2, "spam spam buy now", "c"),
+        (3, "good prose about spark joins", "c"),
+        (4, "buy now spam offer", "c"),
+        (5, "", "c"),  # token-less candidate still ranks with score 0
+        (6, "clean spark prose", "c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, grp string")
+    out = {
+        r["doc_id"]: r
+        for r in SP.dsir_scores(
+            df, "text", "doc_id", F.col("grp") == "t", n_buckets=64,
+            keep_frac=0.5,
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    ct, cs = {}, {}
+    for _, text, grp in docs:
+        for tok in text.split():
+            d = ct if grp == "t" else cs
+            d[bucket(tok)] = d.get(bucket(tok), 0) + 1
+    nt, ns = sum(ct.values()), sum(cs.values())
+    w = {
+        b: math.floor(
+            (
+                math.log((ct.get(b, 0) + 1) / (nt + 64))
+                - math.log((cs.get(b, 0) + 1) / (ns + 64))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in set(ct) | set(cs)
+    }
+    exp = {
+        i: sum(w[bucket(t)] for t in text.split())
+        for i, text, grp in docs
+        if grp == "c"
+    }
+    assert set(out) == set(exp)
+    for i, s_e6 in exp.items():
+        assert out[i]["dsir_score"] == s_e6 / 1e6, i
+        assert out[i]["n_toks"] == len(docs[i][1].split()), i
+    order = sorted(exp, key=lambda i: (-exp[i], i))
+    n_sel = math.ceil(0.5 * len(exp))
+    for rank, i in enumerate(order, start=1):
+        assert out[i]["rank"] == rank
+        assert out[i]["selected"] == (rank <= n_sel)

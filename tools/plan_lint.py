@@ -17,11 +17,13 @@ per-query gates in tests/test_plans.py pin individually:
      and the documented brute-force ANN baselines whose build side is
      the sampled query set (emb_ann_topk and the knn/negative-sample
      reports — the corpus-scale path is the LSH/IVF variants).
-     Three more sites joined the same audited class late in round 5:
+     Four more sites joined the same audited class late in round 5:
      emb_pq_codes / emb_ann_topk_pq (k_sub-row seeded PQ codebook and
-     the m x k_sub query distance table, both broadcast by construction)
-     and doc_hybrid_rrf (the BM25 one-row corpus-stats cross join it
-     inherits from doc_bm25_search).
+     the m x k_sub query distance table, both broadcast by construction),
+     doc_hybrid_rrf (the BM25 one-row corpus-stats cross join it
+     inherits from doc_bm25_search), and doc_dsir_select (the one-row
+     token-total and candidate-count aggregates crossed into the
+     n_buckets-row weight table).
 
 Queries whose result is a harness-necessitated local materialization
 (``createDataFrame(collect)``) present a LocalTableScan; the linter
