@@ -110,6 +110,72 @@ def pq_encode(
     )
 
 
+def _exploded_codes(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int,
+    k_sub: int,
+) -> DataFrame:
+    """(neighbor_id, s, code): the encoded corpus melted to one row per
+    sub-space — the relation ADC search actually reads (m small ints per
+    vector; raw vectors never appear downstream of this)."""
+    return (
+        pq_encode(corpus, id_col, vec_col, m, sub_dim, k_sub)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col(f"code_{s}").alias("code"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("sc"),
+        )
+        .select("neighbor_id", "sc.s", "sc.code")
+    )
+
+
+def _query_dist_table(
+    queries: DataFrame, cb: DataFrame, id_col: str, vec_col: str, m: int,
+    sub_dim: int,
+) -> DataFrame:
+    """(query_id, code, s, de6): each query's m x k_sub micro-distance
+    table — tiny, broadcast into the code join."""
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(cb))
+    for s in range(m):
+        qd = qd.withColumn(
+            f"__d{s}",
+            _sub_dist_e6(F.col("q_vec"), F.col("cvec"), s * sub_dim + 1, sub_dim),
+        )
+    return qd.select(
+        "query_id",
+        F.col("cid").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"__d{s}").alias("de6"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("sd"),
+    ).select("query_id", "code", "sd.s", "sd.de6")
+
+
+def _rank_adc(cand: DataFrame, k: int) -> DataFrame:
+    """Top-k per query by (ADC score ASC, neighbor_id ASC)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,51 +197,93 @@ def pq_topk(
     vectors move, which is the entire point of PQ at 100 TB.
     """
     cb = _codebook_df(corpus, id_col, vec_col, k_sub)
-    codes = pq_encode(corpus, id_col, vec_col, m, sub_dim, k_sub).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("sc"),
-    ).select("neighbor_id", "sc.s", "sc.code")
-
-    qd = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).join(F.broadcast(cb))
-    for s in range(m):
-        qd = qd.withColumn(
-            f"__d{s}",
-            _sub_dist_e6(F.col("q_vec"), F.col("cvec"), s * sub_dim + 1, sub_dim),
-        )
-    table = qd.select(
-        "query_id",
-        F.col("cid").alias("code"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(s).alias("s"), F.col(f"__d{s}").alias("de6"))
-                    for s in range(m)
-                ]
-            )
-        ).alias("sd"),
-    ).select("query_id", "code", "sd.s", "sd.de6")
-
+    codes = _exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub)
+    table = _query_dist_table(queries, cb, id_col, vec_col, m, sub_dim)
     cand = (
         codes.join(F.broadcast(table), ["s", "code"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").asc(), F.col("neighbor_id").asc()
+    return _rank_adc(cand, k)
+
+
+def pq_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IndexIVFPQ layout, ``by_residual=false``
+    variant — codes encode raw vectors, not cell residuals, keeping
+    every code oracle-reproducible): coarse cosine cells bound WHICH
+    codes a query reads (~nprobe/C of the corpus via the cell
+    equi-join), PQ codes bound HOW MUCH is read per vector (m bytes),
+    and ADC ranks candidates without touching raw vectors at all.
+
+    Build side (one corpus pass each, amortized across queries): cell
+    assignment by rounded-cosine argmax (similarity.kmeans_assign —
+    map-side-combined min_by, identical tie-break to the IVF-Flat
+    oracle) and the PQ code table. Query side: nprobe nearest cells +
+    the m x k_sub micro-distance table, both tiny broadcasts. Output:
+    (query_id, neighbor_id, score, rank) — exact-integer ADC score,
+    rank (score ASC, neighbor_id ASC).
+    """
+    from etl_gardener_spark.operators.similarity import (
+        cosine,
+        ivf_centroids,
+        kmeans_assign,
     )
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+
+    spark = corpus.sparkSession
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid long, cvec array<double>"
     )
+    cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    codes = _exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub).join(
+        cells, "neighbor_id"
+    )
+
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(F.broadcast(cents_df))
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("cid").alias("cell"),
+            F.round(
+                F.coalesce(cosine(F.col("q_vec"), F.col("cvec")), F.lit(-2.0)),
+                6,
+            ).alias("__s"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    cb = _codebook_df(corpus, id_col, vec_col, k_sub)
+    table = _query_dist_table(queries, cb, id_col, vec_col, m, sub_dim)
+    cand = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(table), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    return _rank_adc(cand, k)

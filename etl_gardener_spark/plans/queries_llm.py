@@ -1670,6 +1670,76 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """IVF-PQ: the certified IVF-Flat cell CTEs (asg/qprobe, identical
+    rounded-cosine + COALESCE(-2.0) tie-break) composed with the
+    certified PQ code CTEs; candidates come from the probed cells, the
+    score from the integer ADC lookup."""
+    cos_ec = _cosine_sql("e.embedding", "c.cvec")
+    qd_arms = " UNION ALL ".join(
+        f"SELECT q.query_id, c.cid AS code, {s} AS s,"
+        f" {_pq_subdist_sql('q.q_vec', 'c.cvec', s)} AS de6"
+        f" FROM pqq q CROSS JOIN pqseeds c"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH {_pq_ctes()},
+    cents AS (SELECT vec_id AS cid, embedding AS cvec
+              FROM embeddings WHERE vec_id < {n_centroids}),
+    asg AS (SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
+                   DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
+                   DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
+        WHERE rn <= {nprobe}),
+    pqq AS (SELECT vec_id AS query_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 10),
+    qd AS ({qd_arms}),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id
+      FROM qprobe q JOIN asg a ON q.cell = a.cell
+      WHERE a.vec_id <> q.query_id),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(d.de6) AS DOUBLE) / 1e6 AS score
+      FROM cand c
+      JOIN pqcodes p ON p.vec_id = c.neighbor_id
+      JOIN qd d ON d.query_id = c.query_id
+               AND d.s = p.s AND d.code = p.code
+      GROUP BY 1, 2),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM adc)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_ann_topk_ivfpq", _ivfpq_oracle(), tags=("llm", "ann", "ivf", "pq"))
+def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/pq.pq_topk_ivf — the FAISS IndexIVFPQ
+    layout, by_residual=false variant): coarse cosine cells bound WHICH
+    codes each query reads (~nprobe/C of the corpus via the cell
+    equi-join), PQ bounds the bytes per candidate (m codes, raw vectors
+    untouched at search time), ADC ranks by exact-integer distance.
+    The composite of the two certified index halves — cells identical
+    to emb_ann_topk_ivf's assignment, codes identical to emb_pq_codes."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=16, nprobe=4,
+        m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

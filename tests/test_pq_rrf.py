@@ -110,3 +110,33 @@ def test_rrf_fuse_exact_integer_contributions(spark):
     assert ranks[20] == 1 and ranks[10] == 2
     # 30 (lex rank 3) vs 40 (ann rank 2): 1e9//63 < 1e9//62
     assert ranks[40] == 3 and ranks[30] == 4
+
+
+def test_pq_topk_ivf_consistent_with_full_adc(spark):
+    """IVF-PQ returns exactly the full-ADC ranking restricted to the
+    query's probed cells: every returned neighbor lives in a probed
+    cell, and its score equals the unrestricted ADC score for that
+    (query, neighbor) pair — the composite adds candidate pruning, not
+    a different metric."""
+    rows = _vecs(36, seed=23)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    kw = dict(m=M, sub_dim=SUB, k_sub=KSUB)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in PQ.pq_topk(df, q, k=100, **kw).collect()
+    }
+    ivf = PQ.pq_topk_ivf(df, q, k=5, n_centroids=4, nprobe=2, **kw).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        assert full[key] == r["score"], key
+    # per query: ranks are 1..n without gaps and ordered by score
+    for qid in {r["query_id"] for r in ivf}:
+        mine = sorted(
+            (r["rank"], r["score"], r["neighbor_id"])
+            for r in ivf
+            if r["query_id"] == qid
+        )
+        assert [m[0] for m in mine] == list(range(1, len(mine) + 1))
+        assert mine == sorted(mine, key=lambda t: (t[1], t[2]))

@@ -81,7 +81,7 @@ QUEUES: dict[int, list[str]] = {
         "weekly_mixture_drift", "event_type_affinity", "props_key_census",
         "dq_quarantine_promotion", "weekly_user_cms_rollup",
         "doc_bloom_decontaminate", "emb_pq_codes", "emb_ann_topk_pq",
-        "doc_hybrid_rrf", "doc_dsir_select",
+        "doc_hybrid_rrf", "doc_dsir_select", "emb_ann_topk_ivfpq",
         # pool exhausted past this point: re-cert the heaviest families
         # (pair generators, streaming, rank ops) round-robin
         "doc_minhash_lsh_pairs", "doc_jaccard_pairs", "doc_simhash_pairs",
@@ -91,7 +91,7 @@ QUEUES: dict[int, list[str]] = {
         "stream_sessionize", "stream_dedup", "stream_hourly_rollup",
         "stream_session_window", "stream_stream_attrib",
         "stream_warehouse_sink", "sessionize",
-        "customer_value_deciles", "customer_rfm_segments",
+        "customer_rfm_segments",
     ],
 }
 
