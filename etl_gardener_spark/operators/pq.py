@@ -287,3 +287,40 @@ def pq_topk_ivf(
         .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
     )
     return _rank_adc(cand, k)
+
+
+def exact_l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """Exact top-k by squared L2 distance on the SAME per-sub-space
+    integer-micro grid ADC uses (sum of m floor-quantized sub-distances
+    of the TRUE sub-vectors) — the ground truth for PQ recall that
+    compares like with like. Brute force: corpus scan x broadcast
+    queries, one window per query group."""
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            )
+        )
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    de6 = None
+    for s in range(m):
+        d = _sub_dist_e6(
+            F.col("q_vec"), F.col("c_vec"), s * sub_dim + 1, sub_dim
+        )
+        de6 = d if de6 is None else de6 + d
+    cand = scored.select(
+        "query_id",
+        "neighbor_id",
+        (de6.cast("double") / F.lit(1e6)).alias("score"),
+    )
+    return _rank_adc(cand, k)

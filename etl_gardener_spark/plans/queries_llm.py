@@ -1632,16 +1632,20 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "emb_ann_topk_pq",
-    f"""
+_PQ_QD_ARMS = " UNION ALL ".join(
+    f"SELECT q.query_id, c.cid AS code, {s} AS s,"
+    f" {_pq_subdist_sql('q.q_vec', 'c.cvec', s)} AS de6"
+    f" FROM pqq q CROSS JOIN pqseeds c"
+    for s in range(_PQ_M)
+)
+
+
+def _pq_topk_oracle(k: int = 5) -> str:
+    return f"""
     WITH {_pq_ctes()},
     pqq AS (SELECT vec_id AS query_id, embedding AS q_vec
             FROM embeddings WHERE vec_id < 10),
-    qd AS ({" UNION ALL ".join(
-        f"SELECT q.query_id, c.cid AS code, {s} AS s,"
-        f" {_pq_subdist_sql('q.q_vec', 'c.cvec', s)} AS de6"
-        f" FROM pqq q CROSS JOIN pqseeds c" for s in range(_PQ_M))}),
+    qd AS ({_PQ_QD_ARMS}),
     cand AS (
       SELECT d.query_id, p.vec_id AS neighbor_id,
              CAST(SUM(d.de6) AS DOUBLE) / 1e6 AS score
@@ -1651,8 +1655,13 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY score ASC, neighbor_id ASC) AS BIGINT) AS rank
           FROM cand)
-    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= 5
-    """,
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query(
+    "emb_ann_topk_pq",
+    _pq_topk_oracle(),
     tags=("llm", "ann", "pq"),
 )
 def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1737,6 +1746,83 @@ def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 10),
         k=5, n_centroids=16, nprobe=4,
         m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+    )
+
+
+def _pq_recall_oracle(k: int = 5) -> str:
+    """Recall of the two PQ search paths vs the exact-L2 top-k on the
+    SAME per-sub-space integer grid — nests the certified pq/ivfpq
+    oracles as subqueries (the emb_ann_recall_report pattern)."""
+    exact_arms = " UNION ALL ".join(
+        f"SELECT q.query_id, c.vec_id AS neighbor_id,"
+        f" {_pq_subdist_sql('q.q_vec', 'c.embedding', s)} AS de6"
+        f" FROM embeddings c CROSS JOIN pqq q WHERE c.vec_id <> q.query_id"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH pqq AS (SELECT vec_id AS query_id, embedding AS q_vec
+                 FROM embeddings WHERE vec_id < 10),
+    exact_pairs AS (
+      SELECT query_id, neighbor_id, SUM(de6) AS d
+      FROM ({exact_arms}) GROUP BY 1, 2),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY d ASC, neighbor_id ASC) AS rk
+        FROM exact_pairs) t WHERE rk <= {k}),
+    pqr AS (SELECT query_id, neighbor_id FROM ({_pq_topk_oracle(k)}) t),
+    ivfpqr AS (SELECT query_id, neighbor_id FROM ({_ivfpq_oracle(k=k)}) t),
+    m AS (
+      SELECT 'pq' AS method,
+             CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(*) FROM pqr p JOIN exact b
+                   USING (query_id, neighbor_id)) AS BIGINT) AS n_matched
+      UNION ALL
+      SELECT 'ivfpq',
+             CAST((SELECT COUNT(*) FROM exact) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM ivfpqr i JOIN exact b
+                   USING (query_id, neighbor_id)) AS BIGINT))
+    SELECT method, n_exact, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
+    FROM m
+    """
+
+
+@query(
+    "emb_pq_recall_report",
+    _pq_recall_oracle(),
+    tags=("llm", "ann", "pq", "eval", "quality"),
+)
+def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality measurement (the quantization twin of
+    [[emb_ann_recall_report]]): what fraction of the exact-L2 top-5 —
+    computed on the same per-sub-space integer grid, so the comparison
+    isolates QUANTIZATION loss, not metric mismatch — do flat ADC and
+    IVF-PQ recover. The number that tells you whether m / k_sub /
+    nprobe are tuned before trusting the compressed index at scale."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    kw = dict(m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB)
+    exact = PQ.exact_l2_topk(e, probes, k=5, m=_PQ_M, sub_dim=_PQ_SUB).select(
+        "query_id", "neighbor_id"
+    )
+    flat = PQ.pq_topk(e, probes, k=5, **kw).select("query_id", "neighbor_id")
+    ivfpq = PQ.pq_topk_ivf(
+        e, probes, k=5, n_centroids=16, nprobe=4, **kw
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    rows = []
+    for method, approx in [("pq", flat), ("ivfpq", ivfpq)]:
+        matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        # recall of an empty probe set is undefined -> NULL (the SQL
+        # x/0 answer the oracle produces)
+        recall = round(matched / n_exact, 4) if n_exact else None
+        rows.append((method, n_exact, matched, recall))
+    return spark.createDataFrame(
+        rows, "method string, n_exact long, n_matched long, recall double"
     )
 
 

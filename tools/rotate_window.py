@@ -82,6 +82,7 @@ QUEUES: dict[int, list[str]] = {
         "dq_quarantine_promotion", "weekly_user_cms_rollup",
         "doc_bloom_decontaminate", "emb_pq_codes", "emb_ann_topk_pq",
         "doc_hybrid_rrf", "doc_dsir_select", "emb_ann_topk_ivfpq",
+        "emb_pq_recall_report",
         # pool exhausted past this point: re-cert the heaviest families
         # (pair generators, streaming, rank ops) round-robin
         "doc_minhash_lsh_pairs", "doc_jaccard_pairs", "doc_simhash_pairs",
@@ -91,7 +92,6 @@ QUEUES: dict[int, list[str]] = {
         "stream_sessionize", "stream_dedup", "stream_hourly_rollup",
         "stream_session_window", "stream_stream_attrib",
         "stream_warehouse_sink", "sessionize",
-        "customer_rfm_segments",
     ],
 }
 
