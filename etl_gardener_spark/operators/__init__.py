@@ -24,13 +24,15 @@ from etl_gardener_spark.operators.neardup import (
 )
 from etl_gardener_spark.operators.corpus import drop_duplicate_lines
 from etl_gardener_spark.operators.pca import pca_fit, pca_project
+from etl_gardener_spark.operators.pq import pq_encode, pq_topk, pq_topk_ivf
 from etl_gardener_spark.operators.sampling import (
+    dsir_scores,
     hash_split,
     mixture_sample,
     sample_cap_per_key,
     stratified_sample,
 )
-from etl_gardener_spark.operators.search import bm25_topk, topk_ngrams
+from etl_gardener_spark.operators.search import bm25_topk, rrf_fuse, topk_ngrams
 from etl_gardener_spark.operators.similarity import (
     incremental_semantic_dedup,
     incremental_topk,
@@ -60,7 +62,12 @@ __all__ = [
     "sample_cap_per_key",
     "mixture_sample",
     "bm25_topk",
+    "rrf_fuse",
     "topk_ngrams",
     "pca_fit",
     "pca_project",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_ivf",
+    "dsir_scores",
 ]
