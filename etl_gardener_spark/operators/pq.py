@@ -110,7 +110,7 @@ def pq_encode(
     )
 
 
-def _exploded_codes(
+def exploded_codes(
     corpus: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int,
     k_sub: int,
 ) -> DataFrame:
@@ -185,9 +185,14 @@ def pq_topk(
     m: int = 4,
     sub_dim: int = 16,
     k_sub: int = 16,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: rank corpus vectors by approximate (quantized) squared
     L2 distance to each query, touching only the corpus CODES.
+
+    ``codes`` accepts a precomputed/persisted `exploded_codes` relation —
+    a PQ index IS a materialized artifact, encoded once and searched
+    many times; passing it skips the encode pass entirely.
 
     Output: (query_id, neighbor_id, score, rank) — score is the exact
     integer-micro ADC distance / 1e6, rank by (score ASC, neighbor_id
@@ -197,7 +202,8 @@ def pq_topk(
     vectors move, which is the entire point of PQ at 100 TB.
     """
     cb = _codebook_df(corpus, id_col, vec_col, k_sub)
-    codes = _exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub)
+    if codes is None:
+        codes = exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub)
     table = _query_dist_table(queries, cb, id_col, vec_col, m, sub_dim)
     cand = (
         codes.join(F.broadcast(table), ["s", "code"])
@@ -219,6 +225,7 @@ def pq_topk_ivf(
     m: int = 4,
     sub_dim: int = 16,
     k_sub: int = 16,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IndexIVFPQ layout, ``by_residual=false``
     variant — codes encode raw vectors, not cell residuals, keeping
@@ -249,9 +256,9 @@ def pq_topk_ivf(
     cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
     )
-    codes = _exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub).join(
-        cells, "neighbor_id"
-    )
+    if codes is None:
+        codes = exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub)
+    codes = codes.join(cells, "neighbor_id")
 
     qscored = (
         queries.select(

@@ -1809,9 +1809,17 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = PQ.exact_l2_topk(e, probes, k=5, m=_PQ_M, sub_dim=_PQ_SUB).select(
         "query_id", "neighbor_id"
     )
-    flat = PQ.pq_topk(e, probes, k=5, **kw).select("query_id", "neighbor_id")
+    # encode ONCE and search both paths off the materialized index —
+    # the deployment shape (a PQ index is built once, queried many
+    # times); without the checkpoint each search re-runs the encode
+    codes = PQ.exploded_codes(e, "vec_id", "embedding", **kw).localCheckpoint(
+        eager=False
+    )
+    flat = PQ.pq_topk(e, probes, k=5, codes=codes, **kw).select(
+        "query_id", "neighbor_id"
+    )
     ivfpq = PQ.pq_topk_ivf(
-        e, probes, k=5, n_centroids=16, nprobe=4, **kw
+        e, probes, k=5, n_centroids=16, nprobe=4, codes=codes, **kw
     ).select("query_id", "neighbor_id")
     n_exact = exact.count()
     rows = []
