@@ -60,6 +60,27 @@ def _sub_dist_e6(vec: Column, cvec: Column, start: int, width: int) -> Column:
     return F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
+def _check_dim(vec_col: str, m: int, sub_dim: int) -> Column:
+    """Fail-fast dimension guard (round-6 advisor fix): a vector shorter
+    than ``m * sub_dim`` would make F.slice/zip_with pad with NULLs,
+    feeding a NULL micro-distance into the min_by ordering — a silent,
+    NULL-ordering-dependent code assignment. Executor-side assert_true
+    turns the mis-sized input into an immediate, named failure instead
+    (NULL vectors are left to the caller's null handling)."""
+    need = m * sub_dim
+    ok = F.col(vec_col).isNull() | (F.size(vec_col) >= need)
+    return F.when(
+        F.assert_true(
+            ok,
+            F.concat(
+                F.lit(f"pq: embedding shorter than m*sub_dim={need}: got "),
+                F.size(vec_col).cast("string"),
+            ),
+        ).isNull(),
+        F.col(vec_col),
+    )
+
+
 def _codebook_df(
     corpus: DataFrame, id_col: str, vec_col: str, k_sub: int
 ) -> DataFrame:
@@ -90,7 +111,9 @@ def pq_encode(
     vector shuffle; the argmin tie-break is (distance_e6 ASC, cid ASC).
     """
     cb = _codebook_df(corpus, id_col, vec_col, k_sub)
-    scored = corpus.select(id_col, vec_col).join(F.broadcast(cb))
+    scored = corpus.select(
+        id_col, _check_dim(vec_col, m, sub_dim).alias(vec_col)
+    ).join(F.broadcast(cb))
     for s in range(m):
         scored = scored.withColumn(
             f"__d{s}",
@@ -144,7 +167,8 @@ def _query_dist_table(
     """(query_id, code, s, de6): each query's m x k_sub micro-distance
     table — tiny, broadcast into the code join."""
     qd = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        _check_dim(vec_col, m, sub_dim).alias("q_vec"),
     ).join(F.broadcast(cb))
     for s in range(m):
         qd = qd.withColumn(

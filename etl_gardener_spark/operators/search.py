@@ -212,6 +212,8 @@ def rrf_fuse(
     run on O(sum of k's) rows regardless of corpus size — the corpus was
     already reduced by each retriever.
     """
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     parts = [
         df.select(
             F.col(id_col).alias("__id"),

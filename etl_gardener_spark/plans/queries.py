@@ -54,7 +54,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
 
 # Exact money-sum kernel — see functions/exact.py for the full rationale
-# (fold-order + ROUND-midpoint hazards of ROUND(SUM(double), k); the
+# (fold-order + ROUND-midpoint hazards of ROUND over a double SUM; the
 # micro-unit kernel is lossless for the <=6-dp money/value terms here).
 from etl_gardener_spark.functions.exact import (  # noqa: E402
     micro_display,
@@ -549,7 +549,7 @@ def load_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(ts AS DATE) AS date, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS sum_value
+           CAST(((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS sum_value
     FROM events
     WHERE event_id % 10 <> 0
        OR CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
@@ -1094,9 +1094,9 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.p_brand, n.n_name
     )
     SELECT brand, supp_nation,
-           CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue,
+           CAST(((2 * rev_e4 + 100) // (200) - (CASE WHEN (2 * rev_e4 + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS revenue,
            n_items,
-           CAST((2 * ret_e4 + n_items) // (2 * n_items) AS DOUBLE)
+           CAST(((2 * ret_e4 + n_items) // (2 * n_items) - (CASE WHEN (2 * ret_e4 + n_items) % (2 * n_items) < 0 THEN 1 ELSE 0 END)) AS DOUBLE)
              / 10000.0 AS avg_retail
     FROM agg
     """,
@@ -1147,12 +1147,12 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "brand",
             "supp_nation",
-            (F.expr("(2 * _rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+            (F.expr("((2 * _rev_e4 + 100) div (200) - (case when (2 * _rev_e4 + 100) % (200) < 0 then 1 else 0 end))").cast("double") / 100.0).alias(
                 "revenue"
             ),
             "n_items",
             (
-                F.expr("(2 * _ret_e4 + n_items) div (2 * n_items)").cast("double")
+                F.expr("((2 * _ret_e4 + n_items) div (2 * n_items) - (case when (2 * _ret_e4 + n_items) % (2 * n_items) < 0 then 1 else 0 end))").cast("double")
                 / 10000.0
             ).alias("avg_retail"),
         )
@@ -1594,9 +1594,11 @@ def loyal_buyers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pa AS (
       SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
       FROM lineitem GROUP BY l_partkey)
-    SELECT CAST((2 * SUM(CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5)
-                         AS HUGEINT)) + 70000)
-                // 140000 AS DOUBLE) / 100.0 AS avg_yearly
+    SELECT CAST(((2 * SUM(CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5)
+                          AS HUGEINT)) + 70000) // (140000)
+                 - (CASE WHEN (2 * SUM(CAST(FLOOR(l.l_extendedprice * 1e6 + 0.5)
+                               AS HUGEINT)) + 70000) % (140000) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS avg_yearly
     FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
     WHERE l.l_quantity < pa.lim
     """,
@@ -1618,7 +1620,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(micro_sum(F.col("l_extendedprice")).alias("__s"))
         .select(
             (
-                F.expr("(2 * __s + 70000) div 140000").cast("double") / 100.0
+                F.expr("((2 * __s + 70000) div (140000) - (case when (2 * __s + 70000) % (140000) < 0 then 1 else 0 end))").cast("double") / 100.0
             ).alias("avg_yearly")
         )
     )
@@ -1626,9 +1628,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "big_orders",
-    """
+    f"""
     WITH big AS (
-      SELECT l_orderkey, ROUND(sum(l_quantity), 2) AS qty
+      SELECT l_orderkey, {micro_sum_sql("l_quantity", 2)} AS qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
     SELECT c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total, big.qty
     FROM big
@@ -1648,9 +1650,12 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("__qty"))
+        .agg(
+            F.sum("l_quantity").alias("__qty"),
+            micro_sum(F.col("l_quantity")).alias("__s"),
+        )
         .filter(F.col("__qty") > 150)
-        .select("l_orderkey", F.round("__qty", 2).alias("qty"))
+        .select("l_orderkey", micro_display("__s", 2).alias("qty"))
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
@@ -2163,7 +2168,7 @@ def daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST((2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total
+           CAST(((2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (20000) - (CASE WHEN (2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) % (20000) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS total
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     tags=("analytics", "agg", "cube"),
@@ -2227,7 +2232,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_deciles",
     """
     WITH u AS (
-      SELECT user_id, CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS total
+      SELECT user_id, CAST(((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS total
       FROM events GROUP BY user_id)
     SELECT user_id, total,
            CAST(NTILE(10) OVER w AS BIGINT) AS decile,
@@ -2779,11 +2784,17 @@ def weekly_value_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM agg a CROSS JOIN tot)
     SELECT decile, n_customers,
            CAST(rev_e2 AS DOUBLE) / 100.0 AS revenue,
-           CAST((2 * CAST(rev_e2 AS HUGEINT) * 100000 + CAST(t AS HUGEINT))
-                // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 100000.0
+           CAST(((2 * CAST(rev_e2 AS HUGEINT) * 100000 + CAST(t AS HUGEINT))
+                 // (2 * CAST(t AS HUGEINT))
+                 - (CASE WHEN (2 * CAST(rev_e2 AS HUGEINT) * 100000
+                           + CAST(t AS HUGEINT)) % (2 * CAST(t AS HUGEINT)) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 100000.0
              AS rev_share,
-           CAST((2 * CAST(crev_e2 AS HUGEINT) * 100000 + CAST(t AS HUGEINT))
-                // (2 * CAST(t AS HUGEINT)) AS DOUBLE) / 100000.0
+           CAST(((2 * CAST(crev_e2 AS HUGEINT) * 100000 + CAST(t AS HUGEINT))
+                 // (2 * CAST(t AS HUGEINT))
+                 - (CASE WHEN (2 * CAST(crev_e2 AS HUGEINT) * 100000
+                           + CAST(t AS HUGEINT)) % (2 * CAST(t AS HUGEINT)) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 100000.0
              AS cum_share
     FROM cum
     """,
@@ -2840,11 +2851,15 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.crossJoin(F.broadcast(tot))
         .withColumn("crev_e2", F.sum("rev_e2").over(wc).cast("long"))
     )
+    from etl_gardener_spark.functions.exact import floor_div_expr
+
     share = lambda c: (  # noqa: E731
         F.expr(
-            f"(2 * cast({c} as decimal(38,0)) * 100000"
-            " + cast(t as decimal(38,0)))"
-            " div (2 * cast(t as decimal(38,0)))"
+            floor_div_expr(
+                f"2 * cast({c} as decimal(38,0)) * 100000"
+                " + cast(t as decimal(38,0))",
+                "2 * cast(t as decimal(38,0))",
+            )
         ).cast("double")
         / 100000.0
     )

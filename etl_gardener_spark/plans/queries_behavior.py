@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.exact import micro_display, micro_sum, micro_sum_sql
 from etl_gardener_spark.plans.queries import query
 from etl_gardener_spark.sources.tables import load_table
 
@@ -558,7 +559,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "session_window_rollup",
-    """
+    f"""
     WITH gaps AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
@@ -571,7 +572,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps)
     SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS session_value
+           {micro_sum_sql("value", 2)} AS session_value
     FROM sess GROUP BY user_id, sid
     """,
     tags=("analytics", "sessionize", "native-window"),
@@ -586,8 +587,9 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts a NEW session when the inter-event gap equals the gap exactly,
     while the lag-based oracle extends; the testdata's microsecond
     timestamps produce no exact-1800s gaps, so both agree (and
-    [[sessionize]] pins the lag-based formulation). session_value sums
-    in DECIMAL for fold-order determinism."""
+    [[sessionize]] pins the lag-based formulation). session_value
+    routes through the exact micro-unit kernel (functions/exact.py) —
+    order-free and engine-portable at every midpoint."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -597,12 +599,14 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
-                "session_value"
-            ),
+            micro_sum(F.col("value")).alias("__s"),
         )
         .select(
-            "user_id", "session_start", "session_end", "n_events", "session_value"
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            micro_display("__s", 2).alias("session_value"),
         )
     )
 
@@ -664,14 +668,14 @@ def scd2_user_attribute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sliding_1h_15m_rollup",
-    """
+    f"""
     WITH expanded AS (
       SELECT event_type, value,
              time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
                AS win_start
       FROM events, unnest([0, 1, 2, 3]) AS t(k))
     SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS total_value
+           {micro_sum_sql("value", 2)} AS total_value
     FROM expanded GROUP BY 1, 2
     """,
     tags=("analytics", "window", "sliding"),
@@ -684,7 +688,11 @@ def sliding_1h_15m_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementalize. The oracle mirrors the expansion arithmetically
     (time_bucket minus k*15min; DuckDB's 2000-01-01 bucket origin is
     15-minute-commensurate with Spark's 1970 epoch, so the grids
-    coincide). Sums accumulate in DECIMAL; counts are exact."""
+    coincide). Value totals route through the exact micro-unit kernel
+    (functions/exact.py) — this query and its streaming twin were the
+    last money aggregates on a ROUND-of-decimal-SUM display, the form
+    form whose midpoint behavior is engine-version-dependent (r5 driver
+    failure of the twin); counts are exact."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -693,12 +701,13 @@ def sliding_1h_15m_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
-                "total_value"
-            ),
+            micro_sum(F.col("value")).alias("__s"),
         )
         .select(
-            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            micro_display("__s", 2).alias("total_value"),
         )
     )
 
@@ -870,13 +879,13 @@ def value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bucketed_cohort_join",
-    """
+    f"""
     WITH dim AS (
       SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
       FROM events GROUP BY user_id)
     SELECT d.cohort_day, e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS total_value
+           {micro_sum_sql("e.value", 2)} AS total_value
     FROM events e JOIN dim d USING (user_id)
     GROUP BY d.cohort_day, e.event_type
     """,
@@ -912,9 +921,13 @@ def bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
-                "total_value"
-            ),
+            micro_sum(F.col("value")).alias("__s"),
+        )
+        .select(
+            "cohort_day",
+            "event_type",
+            "n",
+            micro_display("__s", 2).alias("total_value"),
         )
     )
     # Materialize before dropping the scratch tables: the result is tiny

@@ -19,6 +19,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_gardener_spark.functions import text as TX
+from etl_gardener_spark.functions.exact import (
+    floor_div_expr,
+    floor_div_sql,
+    half_up_display_expr,
+    half_up_display_sql,
+    micro_display,
+    micro_sum,
+    micro_sum_sql,
+)
 from etl_gardener_spark.operators import corpus as CP
 from etl_gardener_spark.operators import multimodal as MM
 from etl_gardener_spark.operators import neardup as ND
@@ -558,7 +567,7 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT term,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
            CAST(count(*) AS BIGINT) AS tf,
-           list_sort(list(DISTINCT doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS postings
     FROM t GROUP BY term
     """,
     tags=("llm", "text", "index"),
@@ -572,7 +581,13 @@ def doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(total tokens), the same cost any search indexer pays — and hot terms
     can reuse the salted two-phase pattern (operators/skew.py) by
     pre-aggregating per-doc tf map-side, which the partial hash aggregate
-    already does."""
+    already does.
+
+    Output contract (round-6 fix for the r5 driver failure): the posting
+    list is emitted as a SPACE-JOINED STRING, not array<string> — harness
+    canonicalizers sort result frames through pandas, which cannot hash
+    list-valued cells. Top-level output columns must be scalar; enforced
+    registry-wide by tools/plan_lint.py::lint_output_contract."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", TX.ws_tokens("text").alias("__toks"))
@@ -583,13 +598,15 @@ def doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("tf"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.sort_array(F.collect_set("doc_id")).alias("__postings"),
         )
         .select(
             "term",
-            F.size("postings").cast("long").alias("df"),
+            F.size("__postings").cast("long").alias("df"),
             "tf",
-            "postings",
+            F.array_join(
+                F.transform("__postings", lambda x: x.cast("string")), " "
+            ).alias("postings"),
         )
     )
 
@@ -1935,8 +1952,11 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     u AS (SELECT t.doc_id, unicode(substr(t.text, CAST(r.i AS INT), 1)) AS b
           FROM t, unnest(range(1, CAST(length(t.text) + 1 AS BIGINT))) AS r(i)),
     s AS (SELECT doc_id,
-                 CAST((2 * CAST(SUM(b) AS BIGINT) * 1000000 + COUNT(*))
-                      // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+                 CAST(((2 * CAST(SUM(b) AS BIGINT) * 1000000 + COUNT(*))
+                       // (2 * COUNT(*))
+                       - (CASE WHEN (2 * CAST(SUM(b) AS BIGINT) * 1000000
+                                 + COUNT(*)) % (2 * COUNT(*)) < 0
+                          THEN 1 ELSE 0 END)) AS DOUBLE) / 1000000.0
                    AS mean_amplitude,
                  CAST(MAX(b) AS BIGINT) AS peak_amplitude
           FROM u GROUP BY doc_id)
@@ -2031,7 +2051,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_hourly_rollup",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total_value
+           COUNT(*) AS n, CAST(((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (20000) - (CASE WHEN (2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) % (20000) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("llm", "streaming"),
@@ -2053,7 +2073,7 @@ def stream_hourly_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id)
     SELECT f.cohort_day, e.event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST((2 * SUM(CAST(FLOOR((e.value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total_value
+           CAST(((2 * SUM(CAST(FLOOR((e.value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (20000) - (CASE WHEN (2 * SUM(CAST(FLOOR((e.value) * 1e6 + 0.5) AS HUGEINT)) + 10000) % (20000) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS total_value
     FROM events e JOIN f USING (user_id)
     GROUP BY 1, 2
     """,
@@ -2112,7 +2132,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_warehouse_sink",
     """
     SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
-           COUNT(*) AS n, CAST((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total_value
+           COUNT(*) AS n, CAST(((2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (20000) - (CASE WHEN (2 * SUM(CAST(FLOOR((value) * 1e6 + 0.5) AS HUGEINT)) + 10000) % (20000) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY 1, 2
     """,
     tags=("llm", "streaming", "sink", "warehouse"),
@@ -2162,14 +2182,14 @@ def stream_warehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_sliding_rollup",
-    """
+    f"""
     WITH expanded AS (
       SELECT event_type, value,
              time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * k)
                AS win_start
       FROM events, unnest([0, 1, 2, 3]) AS t(k))
     SELECT win_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS total_value
+           {micro_sum_sql("value", 2)} AS total_value
     FROM expanded GROUP BY 1, 2
     """,
     tags=("llm", "streaming", "sliding"),
@@ -2179,7 +2199,11 @@ def stream_sliding_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     query: the watermark bounds the 4x overlapping-window state exactly
     as it does tumbling state, and a drained complete-mode run must
     equal the batch twin [[sliding_1h_15m_rollup]] and its oracle —
-    one logical window spec, two execution modes."""
+    one logical window spec, two execution modes. Value totals route
+    through the exact micro-unit kernel (functions/exact.py) like every
+    other money aggregate — the r5 driver failure of this query was the
+    ROUND-of-decimal-SUM display, whose double->DECIMAL cast and
+    decimal ROUND are engine-version-dependent at midpoints."""
     import uuid as _uuid
 
     from etl_gardener_spark.streaming.events import read_events_stream
@@ -2194,12 +2218,13 @@ def stream_sliding_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).alias(
-                "total_value"
-            ),
+            micro_sum(F.col("value")).alias("__s"),
         )
         .select(
-            F.col("w.start").alias("win_start"), "event_type", "n", "total_value"
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            micro_display("__s", 2).alias("total_value"),
         )
     )
     name = f"slide_{_uuid.uuid4().hex[:8]}"
@@ -2914,12 +2939,21 @@ from etl_gardener_spark.operators import pca as PC  # noqa: E402
     WITH x AS (
       SELECT unnest(embedding) AS v, unnest(range(0, len(embedding))) AS i
       FROM embeddings),
-    pv AS (SELECT i, var_pop(v) AS var FROM x GROUP BY i)
+    q AS (SELECT i, CAST(FLOOR(v * 1e6 + 0.5) AS HUGEINT) AS m FROM x),
+    pv AS (SELECT i, CAST(COUNT(*) AS HUGEINT) AS n,
+                  SUM(m) AS sx, SUM(m * m) AS sxx
+           FROM q GROUP BY i),
+    ve AS (SELECT i,
+                  {0} AS ve12
+           FROM pv)
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
-           ROUND(SUM(var), 4) AS total_var,
+           {1} AS total_var,
            TRUE AS pca_ok
-    FROM pv
-    """,
+    FROM ve
+    """.format(
+        floor_div_sql("2 * (n * sxx - sx * sx) + n * n", "2 * n * n"),
+        half_up_display_sql("SUM(ve12)", 12, 4),
+    ),
     tags=("llm", "pca", "bound-check"),
 )
 def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2927,11 +2961,19 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank PCA's eigenvalue sum must equal the total per-dimension
     population variance (trace of the covariance). Eigendecomposition is
     not SQL-expressible, so — like the HLL sketch rows — the oracle pins
-    the EXACT side (total variance, straight from the raw dims) and a
-    constant-TRUE bound flag; the Spark side emits the same total
-    variance plus ``pca_ok`` = |Σ eigenvalues − total_var| / total_var
-    < 1e-6. Green hash iff the distributed Gram/mean statistics and the
-    driver-side eigh reproduce the corpus variance exactly."""
+    the EXACT side (total variance) and a constant-TRUE bound flag; the
+    Spark side emits the same total variance plus ``pca_ok`` =
+    |Σ eigenvalues − total_var| / total_var < 1e-6 (the flag compares
+    against the RAW double trace, so quantization cannot flip it).
+
+    Round-6 representation fix (caught by the new plan_lint output
+    rule): the displayed total variance previously went through
+    ROUND over a 64-term double SUM of var_pop — fold-order-dependent
+    on BOTH engines. It now derives from exact integer micro-moments:
+    per-dim ve12 = half-up((n·Σm² − (Σm)²) / n²) with m = floor(v·1e6
+    + 0.5) HUGEINT/DECIMAL(38,0), summed as integers and displayed at
+    4 dp through the sign-correct floor kernel — order-free and
+    bit-identical across engines."""
     e = load_table(spark, sf_dir, "embeddings")
     if e.limit(1).count() == 0:
         # empty corpus: nothing to decompose — the oracle's aggregate
@@ -2942,21 +2984,28 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = PC.pca_fit(e, "embedding", k=64)
     ev_sum = float(sum(model.explained_var))
     counts = e.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    tv = (
-        e.select(
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "i", "v"
+    exploded = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+    ).withColumn("m", F.floor(F.col("v") * 1e6 + F.lit(0.5)).cast("decimal(38,0)"))
+    pv = exploded.groupBy("i").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("m").alias("sx"),
+        F.sum(F.col("m") * F.col("m")).alias("sxx"),
+        F.var_pop("v").alias("var"),
+    )
+    tv = pv.agg(
+        F.sum(
+            F.expr(
+                floor_div_expr("2 * (n * sxx - sx * sx) + n * n", "2 * n * n")
             )
-        )
-        .groupBy("i")
-        .agg(F.var_pop("v").alias("var"))
-        .agg(F.sum("var").alias("tv"))
+        ).alias("__sve"),
+        F.sum("var").alias("tv_raw"),
     )
     return counts.crossJoin(F.broadcast(tv)).select(
         "n_vecs",
-        F.round(F.col("tv"), 4).alias("total_var"),
+        F.expr(half_up_display_expr("__sve", 12, 4)).alias("total_var"),
         (
-            F.abs(F.lit(ev_sum) - F.col("tv")) / F.col("tv") < 1e-6
+            F.abs(F.lit(ev_sum) - F.col("tv_raw")) / F.col("tv_raw") < 1e-6
         ).alias("pca_ok"),
     )
 

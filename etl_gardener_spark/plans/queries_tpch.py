@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gardener_spark.functions.exact import (
+    floor_div_expr,
     micro_display,
     micro_sum,
     micro_sum_sql,
@@ -37,7 +38,7 @@ from etl_gardener_spark.sources.tables import load_table
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -89,7 +90,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue",
     """
     SELECT c_custkey, c_name,
-           CAST((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue,
+           CAST(((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -136,7 +137,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_pair_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST((2 * SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue
+           CAST(((2 * SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((volume) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -281,7 +282,7 @@ def q11_part_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
              / 1e6 / CAST(COUNT(*) AS DOUBLE) AS a
       FROM customer WHERE c_acctbal > 0)
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
-           CAST((2 * SUM(CAST(FLOOR((c_acctbal) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS totacctbal
+           CAST(((2 * SUM(CAST(FLOOR((c_acctbal) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((c_acctbal) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS totacctbal
     FROM customer c, avg_bal
     WHERE c.c_acctbal > avg_bal.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -486,7 +487,7 @@ def q16_brand_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT CAST((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (2 * 100) AS DOUBLE) / 10000.0 AS revenue,
+    SELECT CAST(((2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) // (200) - (CASE WHEN (2 * SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1e6 + 0.5) AS HUGEINT)) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
@@ -535,7 +536,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderstatus, '<all>') AS status,
            COALESCE(o_orderpriority, '<all>') AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST((2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (2 * 10000) AS DOUBLE) / 100.0 AS total
+           CAST(((2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) // (20000) - (CASE WHEN (2 * SUM(CAST(FLOOR((o_totalprice) * 1e6 + 0.5) AS HUGEINT)) + 10000) % (20000) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -718,9 +719,12 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q17_small_quantity_part_revenue",
     """
-    SELECT CAST((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                         * 10000 AS HUGEINT) + 7)
-                // 14 AS DOUBLE) / 10000.0 AS avg_yearly,
+    SELECT CAST(((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          * 10000 AS HUGEINT) + 7) // (14)
+                 - (CASE WHEN (2 * CAST(SUM(CAST(l_extendedprice
+                               AS DECIMAL(18,4))) * 10000 AS HUGEINT) + 7)
+                              % (14) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0 AS avg_yearly,
            CAST(COUNT(*) AS BIGINT) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
@@ -761,7 +765,7 @@ def q17_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).cast("long").alias("n_lines"),
         )
         .select(
-            (F.expr("(2 * __e4 + 7) div 14").cast("double") / 10000.0).alias(
+            (F.expr("((2 * __e4 + 7) div (14) - (case when (2 * __e4 + 7) % (14) < 0 then 1 else 0 end))").cast("double") / 10000.0).alias(
                 "avg_yearly"
             ),
             "n_lines",
@@ -815,9 +819,13 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
-           CAST((2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(18,4))) * 10000 AS HUGEINT) + 100)
-                // 200 AS DOUBLE) / 100.0 AS profit
+           CAST(((2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS HUGEINT) + 100)
+                 // (200)
+                 - (CASE WHEN (2 * CAST(SUM(CAST(l_extendedprice
+                               * (1 - l_discount) AS DECIMAL(18,4)))
+                               * 10000 AS HUGEINT) + 100) % (200) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS profit
     FROM lineitem, part, supplier, nation
     WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
       AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
@@ -858,7 +866,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "nation",
             "o_year",
-            (F.expr("(2 * __e4 + 100) div 200").cast("double") / 100.0).alias(
+            (F.expr("((2 * __e4 + 100) div (200) - (case when (2 * __e4 + 100) % (200) < 0 then 1 else 0 end))").cast("double") / 100.0).alias(
                 "profit"
             ),
         )
@@ -980,7 +988,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY n.n_name
     )
     SELECT nation,
-           CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+           CAST(((2 * rev_e4 + 100) // (200) - (CASE WHEN (2 * rev_e4 + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS revenue
     FROM agg
     """,
     tags=("analytics", "tpch", "join"),
@@ -1030,7 +1038,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "nation",
-            (F.expr("(2 * _rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+            (F.expr("((2 * _rev_e4 + 100) div (200) - (case when (2 * _rev_e4 + 100) % (200) < 0 then 1 else 0 end))").cast("double") / 100.0).alias(
                 "revenue"
             ),
         )
@@ -1049,7 +1057,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_discount BETWEEN 0.05 AND 0.07
         AND l_quantity < 24
     )
-    SELECT CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+    SELECT CAST(((2 * rev_e4 + 100) // (200) - (CASE WHEN (2 * rev_e4 + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS revenue
     FROM agg
     """,
     tags=("analytics", "tpch", "filter-agg"),
@@ -1080,7 +1088,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_rev_e4")
         )
         .select(
-            (F.expr("(2 * _rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+            (F.expr("((2 * _rev_e4 + 100) div (200) - (case when (2 * _rev_e4 + 100) % (200) < 0 then 1 else 0 end))").cast("double") / 100.0).alias(
                 "revenue"
             )
         )
@@ -1099,7 +1107,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       GROUP BY 1, 2, 3)
     SELECT s_suppkey, s_name, nation,
-           CAST((2 * rev_e4 + 100) // 200 AS DOUBLE) / 100.0 AS revenue,
+           CAST(((2 * rev_e4 + 100) // (200) - (CASE WHEN (2 * rev_e4 + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS revenue,
            CAST(RANK() OVER (ORDER BY rev_e4 DESC) AS BIGINT) AS global_rank,
            CAST(RANK() OVER (PARTITION BY nation ORDER BY rev_e4 DESC)
                 AS BIGINT) AS nation_rank
@@ -1136,7 +1144,7 @@ def supplier_league_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "s_name",
         "nation",
-        (F.expr("(2 * rev_e4 + 100) div 200").cast("double") / 100.0).alias(
+        (F.expr("((2 * rev_e4 + 100) div (200) - (case when (2 * rev_e4 + 100) % (200) < 0 then 1 else 0 end))").cast("double") / 100.0).alias(
             "revenue"
         ),
         F.rank().over(wg).cast("long").alias("global_rank"),
@@ -1196,9 +1204,13 @@ def order_gap_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS discount_pct,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
-           CAST((2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                                   AS DECIMAL(18,4))) * 10000 AS BIGINT)
-                 + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+           CAST(((2 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))) * 10000 AS BIGINT) + 100)
+                 // (200)
+                 - (CASE WHEN (2 * CAST(SUM(CAST(l_extendedprice
+                               * (1 - l_discount) AS DECIMAL(18,4)))
+                               * 10000 AS BIGINT) + 100) % (200) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS revenue
     FROM lineitem
     GROUP BY 1
     """,
@@ -1224,8 +1236,11 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
             (
                 F.expr(
-                    "(2 * cast(sum(cast(l_extendedprice * (1 - l_discount)"
-                    " as decimal(18,4))) * 10000 as bigint) + 100) div 200"
+                    floor_div_expr(
+                        "2 * cast(sum(cast(l_extendedprice * (1 - l_discount)"
+                        " as decimal(18,4))) * 10000 as bigint) + 100",
+                        "200",
+                    )
                 ).cast("double")
                 / 100.0
             ).alias("revenue"),
@@ -1241,8 +1256,12 @@ def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey)
     SELECT n_lines,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST((2 * COUNT(*) * 10000 + (SELECT COUNT(*) FROM per))
-                // (2 * (SELECT COUNT(*) FROM per)) AS DOUBLE) / 10000.0
+           CAST(((2 * COUNT(*) * 10000 + (SELECT COUNT(*) FROM per))
+                 // (2 * (SELECT COUNT(*) FROM per))
+                 - (CASE WHEN (2 * COUNT(*) * 10000
+                           + (SELECT COUNT(*) FROM per))
+                              % (2 * (SELECT COUNT(*) FROM per)) < 0
+                    THEN 1 ELSE 0 END)) AS DOUBLE) / 10000.0
              AS share
     FROM per GROUP BY n_lines
     """,
@@ -1269,7 +1288,7 @@ def order_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             # exact half-up integer ratio kernel — ROUND(n/t, 4) is the
             # repr-midpoint hazard (functions/exact.py)
             (
-                F.expr("(2 * n_orders * 10000 + t) div (2 * t)").cast("double")
+                F.expr("((2 * n_orders * 10000 + t) div (2 * t) - (case when (2 * n_orders * 10000 + t) % (2 * t) < 0 then 1 else 0 end))").cast("double")
                 / 10000.0
             ).alias("share"),
         )
@@ -1297,7 +1316,7 @@ def order_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFram
                    - EXTRACT(month FROM cohort_month)) AS BIGINT)
              AS months_since,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-           CAST((2 * SUM(rev_e4) + 100) // 200 AS DOUBLE) / 100.0 AS revenue
+           CAST(((2 * SUM(rev_e4) + 100) // (200) - (CASE WHEN (2 * SUM(rev_e4) + 100) % (200) < 0 THEN 1 ELSE 0 END)) AS DOUBLE) / 100.0 AS revenue
     FROM monthly
     GROUP BY cohort_month, months_since
     """,
@@ -1340,7 +1359,7 @@ def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").cast("long").alias("n_customers"),
             (
-                F.expr("(2 * sum(rev_e4) + 100) div 200").cast("double")
+                F.expr("((2 * sum(rev_e4) + 100) div (200) - (case when (2 * sum(rev_e4) + 100) % (200) < 0 then 1 else 0 end))").cast("double")
                 / 100.0
             ).alias("revenue"),
         )

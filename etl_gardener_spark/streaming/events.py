@@ -70,14 +70,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "Spark TimestampType"
         )
     if ts_type.unit == "ns":
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        # Scope the legacy conf to the source DEFINITION: the parquet
+        # relation captures its read config at .load(), so the session
+        # value can be restored immediately — drains stay correct (pinned
+        # by tests/test_streaming_ingest.py::test_nanos_conf_restored)
+        # and the conf no longer leaks into later batch work.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, "false")
+        spark.conf.set(key, "true")
+        try:
+            raw = (
+                spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+            )
+        finally:
+            spark.conf.set(key, prev)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
         spark.readStream.schema(_EVENTS_TS_SCHEMA)

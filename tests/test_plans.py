@@ -631,3 +631,39 @@ def test_dynamic_partition_pruning_on_dim_filtered_join(spark, tmp_path):
     joined = fact.join(dim.hint("broadcast"), "date").groupBy("date").count()
     p = plan(joined)
     assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_output_contract_lint_catches_r5_failure_classes(spark):
+    """Round-6 verdict item 2: the output-contract lint must
+    retroactively catch BOTH round-5 driver failures — an array-typed
+    top-level column (doc_postings pre-fix) and a ROUND(SUM()) money
+    display (stream_sliding_rollup pre-fix) — and stay silent on the
+    fixed registry."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import plan_lint as PL
+
+    # (a) the pre-fix doc_postings output shape: array<string> postings
+    bad = spark.createDataFrame(
+        [("t", 1, 1, ["d1", "d2"])], "term string, df long, tf long, postings array<string>"
+    )
+    v = PL.output_contract_violations(bad)
+    assert any("non-scalar" in x and "postings" in x for x in v), v
+    # bare DECIMAL display is also flagged
+    dec = spark.createDataFrame([(1,)], "x long").select(
+        F.col("x").cast("decimal(18,4)").alias("total")
+    )
+    assert any("DECIMAL" in x for x in PL.output_contract_violations(dec))
+    # scalar frames pass
+    ok = spark.createDataFrame([("t", 1, "d1 d2")], "term string, df long, postings string")
+    assert PL.output_contract_violations(ok) == []
+
+    # (b) the ROUND(SUM()) source rule: the regex matches both engines'
+    # pre-fix forms, and the CURRENT tree has zero hits
+    import re
+
+    pat = re.compile(r"F\.round\(\s*F\.sum\(|ROUND\(\s*SUM\(", re.IGNORECASE)
+    assert pat.search('F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)')
+    assert pat.search("ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)")
+    assert PL.source_rule_violations() == []

@@ -402,3 +402,66 @@ def test_decile_share_kernel_exact_beyond_int64_ceiling(spark):
     ).collect()
     for (c, t), row in zip(cases, got):
         assert row["share_e5"] == (2 * c * 100000 + t) // (2 * t), (c, t)
+
+
+def test_micro_display_sign_correct_half_up(spark):
+    """Round-6 advisor fix: the display kernel misrounded NEGATIVE group
+    sums toward zero by one last-digit unit (sum exactly -1.00 displayed
+    as -0.99) on BOTH engines at once — truncating `div`/`//` agree on
+    negatives, so the mirrored differential oracle could never see it.
+    The kernel now emulates FLOOR division (half-up toward +infinity);
+    this pins Spark's micro_sum/micro_display, DuckDB's micro_sum_sql,
+    and a Python floor-division reference to the same displayed value on
+    negative, midpoint, and positive sums."""
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.functions.exact import (
+        micro_display,
+        micro_sum,
+        micro_sum_sql,
+    )
+
+    # (group, per-row values): sums hit -1.00 exactly, the negative
+    # 2-dp midpoint -0.005, the positive midpoint 1.005, plain values
+    cases = {
+        "neg_exact": [-0.6, -0.4],          # sum -1.00   -> -1.00 (not -0.99)
+        "neg_mid": [-0.0025, -0.0025],      # sum -0.005  ->  0.00 (toward +inf)
+        "neg_mid2": [-0.01, -0.005],        # sum -0.015  -> -0.01 (toward +inf)
+        "neg_plain": [-2.37, -4.56],        # sum -6.93   -> -6.93
+        "pos_mid": [0.5025, 0.5025],        # sum  1.005  ->  1.01 (half-up)
+        "pos_plain": [1.23, 4.56],          # sum  5.79   ->  5.79
+    }
+    rows = [(k, v) for k, vals in cases.items() for v in vals]
+    sdf = spark.createDataFrame(rows, ["g", "value"])
+    got = {
+        r["g"]: r["total"]
+        for r in sdf.groupBy("g")
+        .agg(micro_sum(F.col("value")).alias("__s"))
+        .select("g", micro_display("__s", 2).alias("total"))
+        .collect()
+    }
+
+    def ref(vals):  # Python // IS floor division: the reference semantics
+        s = sum(int(__import__("math").floor(v * 1e6 + 0.5)) for v in vals)
+        return ((2 * s + 10_000) // 20_000) / 100.0
+
+    expected = {k: ref(v) for k, v in cases.items()}
+    assert got == expected, (got, expected)
+    assert expected["neg_exact"] == -1.00
+    assert expected["neg_mid"] == 0.00
+    assert expected["neg_mid2"] == -0.01
+    assert expected["pos_mid"] == 1.01
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "t", pa.Table.from_pylist([{"g": k, "value": v} for k, vals in cases.items() for v in vals])
+    )
+    oracle = {
+        k: v
+        for k, v in con.execute(
+            f"SELECT g, {micro_sum_sql('value', 2)} AS total FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert oracle == expected, (oracle, expected)

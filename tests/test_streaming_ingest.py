@@ -91,3 +91,26 @@ def test_jsonl_dlq_routes_corrupt_lines(spark, tmp_path):
         q2.stop()
     assert spark.read.parquet(good).count() == 2
     assert spark.read.parquet(dlq).count() == 2
+
+
+def test_nanos_conf_restored_after_stream_consumers(spark):
+    """Round-6 verdict item 5: read_events_stream scopes
+    spark.sql.legacy.parquet.nanosAsLong to the source definition and
+    restores the previous session value — a full define+start+drain
+    cycle must leave the conf untouched AND still produce rows (the
+    parquet relation captures its read config at .load())."""
+    from etl_gardener_spark.streaming.events import stream_hourly_rollup
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    sf = "/root/testdata/sf0.001"
+    # case 1: conf previously unset/false -> stays false after a drain
+    spark.conf.set(key, "false")
+    out = stream_hourly_rollup(spark, sf)
+    assert out.count() > 0
+    assert spark.conf.get(key) == "false"
+    # case 2: user had it true -> stays true
+    spark.conf.set(key, "true")
+    out = stream_hourly_rollup(spark, sf)
+    assert out.count() > 0
+    assert spark.conf.get(key) == "true"
+    spark.conf.unset(key)

@@ -6,24 +6,34 @@ per-query gates in tests/test_plans.py pin individually:
      |left| x |right|; never acceptable.
   2. An unpartitioned ``Window`` whose input is NOT bounded by an
      Aggregate below it — one task would sort the whole relation.
-  3. ``BroadcastNestedLoopJoin`` whose broadcast side is not a
-     provably-tiny relation (single-row aggregate / small literal
-     relation) — reported for manual audit rather than hard-failed.
-     The round-5 audit of all 26 reported sites found every build side
-     bounded by construction: 1-row global aggregates (corpus stats /
-     counts / scale factors: the mixture, tfidf, bm25, benford, decile,
-     census, q11/q22 family), k-row centroid tables (emb_kmeans,
-     emb_cluster_balance), a bounded minute spine (minute_gapfill),
-     and the documented brute-force ANN baselines whose build side is
-     the sampled query set (emb_ann_topk and the knn/negative-sample
-     reports — the corpus-scale path is the LSH/IVF variants).
-     Four more sites joined the same audited class late in round 5:
-     emb_pq_codes / emb_ann_topk_pq (k_sub-row seeded PQ codebook and
-     the m x k_sub query distance table, both broadcast by construction),
-     doc_hybrid_rrf (the BM25 one-row corpus-stats cross join it
-     inherits from doc_bm25_search), and doc_dsir_select (the one-row
-     token-total and candidate-count aggregates crossed into the
-     n_buckets-row weight table).
+  3. ``BroadcastNestedLoopJoin`` build sides — STRUCTURAL rule (round-6
+     verdict item 7, promoting the round-5 docstring audit to a gate):
+     every BNLJ's build subtree must contain a bounding node — an
+     aggregate (1-row / k-group relations: corpus stats, counts, scale
+     factors, centroid tables), a limit / TakeOrderedAndProject (sampled
+     ANN query sets), a LocalTableScan (seeded codebooks via
+     createDataFrame), a Sample, or a ReusedExchange whose original is
+     audited under the same plan. A BNLJ whose build side is an
+     unbounded scan is a hard violation — it would materialize
+     |probe| x |build| at corpus scale. The round-5 manual audit of all
+     26 sites (mixture, tfidf, bm25, benford, decile, census, q11/q22
+     one-row aggregates; emb_kmeans/emb_cluster_balance centroids;
+     minute_gapfill spine; brute-force ANN baselines on sampled query
+     sets; PQ codebooks; RRF corpus stats; DSIR weight tables) is what
+     this rule now checks mechanically on every run.
+  4. Output contract (round-6 verdict item 2 — both r5 driver failures
+     were representation bugs this rule class catches):
+       (a) no Array/Map/Struct TOP-LEVEL output column (harness
+           canonicalizers sort frames through pandas and cannot hash
+           list cells — r5 ``doc_postings``);
+       (b) no bare DECIMAL output column (the two engines may render
+           scale differently; display through the exact integer kernel
+           as DOUBLE instead);
+       (c) source rule, checked over plans/ + streaming/ and every
+           registered oracle: no ``F.round(F.sum(`` / ``ROUND(SUM(``
+           money display (the double->DECIMAL cast + decimal ROUND
+           midpoint hazard — r5 ``stream_sliding_rollup``); route
+           through functions/exact.py.
 
 Queries whose result is a harness-necessitated local materialization
 (``createDataFrame(collect)``) present a LocalTableScan; the linter
@@ -90,21 +100,114 @@ def unpartitioned_windows_without_agg(jplan) -> int:
     return bad
 
 
+# Physical node simple-name substrings that bound a BNLJ build side.
+_BNLJ_BOUNDED = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "LocalTableScan",
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "Sample",
+    "ReusedExchange",
+)
+
+
+def unbounded_bnlj_builds(jphys) -> list[str]:
+    """Structural BNLJ rule: for every BroadcastNestedLoopJoinExec,
+    the BUILD child's subtree must contain a bounding node
+    (_BNLJ_BOUNDED). Returns one description per violating node."""
+    bad: list[str] = []
+
+    def visit(node):
+        if node.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            return
+        side = node.buildSide().toString()
+        child = node.children().apply(0 if side == "BuildLeft" else 1)
+        found = [False]
+
+        def mark(n):
+            cls = n.getClass().getSimpleName()
+            if any(b in cls for b in _BNLJ_BOUNDED):
+                found[0] = True
+
+        _walk(child, mark)
+        if not found[0]:
+            bad.append(f"BNLJ build side ({side}) has no bounding node")
+
+    _walk(jphys, visit)
+    return bad
+
+
+def output_contract_violations(df) -> list[str]:
+    """Top-level output-schema rules (4a/4b in the module docstring):
+    scalar columns only, no bare DECIMAL."""
+    from pyspark.sql import types as T
+
+    bad: list[str] = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            bad.append(
+                f"non-scalar output column `{f.name}` "
+                f"({f.dataType.simpleString()}) — harness canonicalizers "
+                "cannot hash it; fold to a scalar (array_join / explode)"
+            )
+        if isinstance(f.dataType, T.DecimalType):
+            bad.append(
+                f"bare DECIMAL output column `{f.name}` "
+                f"({f.dataType.simpleString()}) — display through the "
+                "exact integer kernel as DOUBLE"
+            )
+    return bad
+
+
+def source_rule_violations() -> list[str]:
+    """Rule 4c: no ROUND(SUM(...)) money display anywhere in plans/,
+    streaming/, or any registered oracle SQL string."""
+    import glob
+    import re
+
+    bad: list[str] = []
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pat = re.compile(r"F\.round\(\s*F\.sum\(|ROUND\(\s*SUM\(", re.IGNORECASE)
+    files = sorted(
+        glob.glob(os.path.join(root, "etl_gardener_spark", "plans", "*.py"))
+        + glob.glob(os.path.join(root, "etl_gardener_spark", "streaming", "*.py"))
+    )
+    for path in files:
+        for i, line in enumerate(open(path), 1):
+            if pat.search(line):
+                rel = os.path.relpath(path, root)
+                bad.append(f"{rel}:{i}: ROUND(SUM()) display: {line.strip()[:80]}")
+    for name, entry in Q.REGISTRY.items():
+        sql = entry.oracle or ""
+        if pat.search(sql):
+            bad.append(f"oracle[{name}]: ROUND(SUM()) display in oracle SQL")
+    return bad
+
+
 def main() -> int:
     names = sys.argv[1:] or list(Q.REGISTRY)
     spark = get_spark()
     hard: list[str] = []
     soft: list[str] = []
     skipped: list[str] = []
+    hard.extend(source_rule_violations())
     for name in names:
         try:
             df = Q.REGISTRY[name].fn(spark, SF_DIR)
             qe = df._jdf.queryExecution()
             opt = qe.optimizedPlan()
-            phys = qe.executedPlan().toString()
+            jphys = qe.executedPlan()
+            phys = jphys.toString()
         except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
             hard.append(f"{name}: failed to plan: {e}")
             continue
+        # the output contract applies to EVERY query, local-result or not
+        for v in output_contract_violations(df):
+            hard.append(f"{name}: {v}")
         if "LocalTableScan" in phys and "Scan parquet" not in phys:
             skipped.append(name)
             continue
@@ -118,10 +221,16 @@ def main() -> int:
             )
         if "BroadcastNestedLoopJoin" in phys:
             soft.append(name)
+            for v in unbounded_bnlj_builds(jphys):
+                hard.append(f"{name}: {v}")
     print(f"linted {len(names)} queries at {SF_DIR}")
-    print(f"  local-result (plan ran in body, not audited here): {len(skipped)}")
+    print(f"  local-result (plan ran in body, output contract still checked):"
+          f" {len(skipped)}")
     if soft:
-        print(f"  BroadcastNestedLoopJoin present ({len(soft)}, audit list):")
+        print(
+            f"  BroadcastNestedLoopJoin present ({len(soft)};"
+            " all build sides structurally bounded):"
+        )
         for n in sorted(soft):
             print(f"    - {n}")
     if hard:
@@ -129,7 +238,11 @@ def main() -> int:
         for h in hard:
             print(f"  !! {h}")
         return 1
-    print("no hard violations (no cartesians, every global window bounded)")
+    print(
+        "no hard violations (no cartesians, every global window bounded,"
+        " every BNLJ build side bounded, scalar non-decimal outputs,"
+        " no ROUND(SUM()) displays)"
+    )
     return 0
 
 
