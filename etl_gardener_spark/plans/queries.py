@@ -2520,7 +2520,7 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # counts only CORRECTNESS_r*.json artifacts from EARLIER rounds, so the
 # driver's own artifact for this round (written after round close)
 # cannot retroactively falsify the ≥70% first-time policy.
-DRIVER_WINDOW_ROUND = 5
+DRIVER_WINDOW_ROUND = 6
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     # — permanent, never rotates
@@ -2536,51 +2536,45 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # round-4 additions, never in any window
-    "customer_value_deciles",
-    "revenue_gini",
-    "order_value_cume_profile",
-    "customer_rfm_segments",
-    "doc_span_dedup",
-    "doc_dup_span_coverage",
-    "doc_incremental_line_dedup",
-    "ship_lag_quantile_sketch",
-    "weekly_value_histogram_rollup",
-    # recall / leakage measurement suite
-    "doc_lsh_recall_report",
-    "emb_ann_recall_report",
-    "emb_split_leakage",
-    "bench_contamination_report",
-    # text profiling + corpus composition
-    "doc_sample_split",
-    "doc_profile",
+    # round-6 rotating slots (36/38 first-timers; tools/rotate_window.py)
+    "q7_nation_pair_volume",
+    "q11_part_concentration",
+    "q13_order_count_distribution",
+    "q15_top_revenue_supplier",
+    "q16_brand_supplier_cnt",
+    "q17_small_quantity_part_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_segments",
+    "orders_grouping_sets",
+    "top_supplier_per_nation",
+    "supplier_league_table",
+    "lateral_top2_per_nation",
+    "customers_without_big_orders",
+    "nation_yoy_revenue_growth",
+    "cohort_retention",
+    "retention_cohorts",
+    "revenue_cohorts",
+    "purchase_gap_stats",
+    "order_gap_percentiles_by_segment",
+    "discount_band_effectiveness",
+    "order_basket_size_distribution",
+    "rolling_7d_active_users",
+    "event_transitions",
+    "top_event_paths",
+    "dau_mau_stickiness",
+    "session_conversion_rate",
+    "session_error_counts",
+    "ab_variant_conversion",
+    "revenue_pareto",
+    "top_percentile_orders",
+    "ship_lag_percentiles",
+    "value_outliers_by_type",
+    "value_mad_by_type",
+    "heavy_hitter_terms",
+    "dq_benford_value",
     "doc_postings",
-    "doc_bigram_merges",
-    "doc_lm_score",
-    "doc_perplexity_filter",
-    "doc_token_entropy",
-    "doc_langid_confusion",
-    "doc_domain_cap",
-    "doc_mixture_report",
-    "doc_shard_manifest",
-    "doc_span_overlap_stats",
-    # embedding diagnostics
-    "emb_pca_whiten",
-    "emb_label_cohesion",
-    "emb_knn_label_agreement",
-    "emb_norm_outliers",
-    "emb_training_ready",
-    # multimodal
-    "mm_resize_images",
-    # streaming topologies
-    "stream_static_enrich",
-    "stream_stream_attrib",
-    "stream_warehouse_sink",
     "stream_sliding_rollup",
-    # warehouse health + TPC-H decision-support shapes
-    "warehouse_health_summary",
-    "q4_late_ship_priority",
-    "q10_returned_revenue",
+    "sliding_1h_15m_rollup",
 ]
 
 

@@ -70,12 +70,18 @@ QUEUES: dict[int, list[str]] = {
         "session_error_counts", "ab_variant_conversion",
         "revenue_pareto", "top_percentile_orders", "ship_lag_percentiles",
         "value_outliers_by_type", "value_mad_by_type",
-        "heavy_hitter_terms", "user_hour_entropy",
-        "events_dow_hour_heatmap", "hourly_seasonal_anomalies",
-        "dq_benford_value",
+        "heavy_hitter_terms", "dq_benford_value",
+        # the two r5 driver-red rows, re-windowed after their round-6
+        # representation fixes, plus the batch twin of the streaming one
+        # (never driver-certified) — displacing three first-timers
+        # (user_hour_entropy, events_dow_hour_heatmap,
+        # hourly_seasonal_anomalies) to round 7
+        "doc_postings", "stream_sliding_rollup", "sliding_1h_15m_rollup",
     ],
     7: [
-        "session_window_rollup", "sliding_1h_15m_rollup",
+        "session_window_rollup",
+        "user_hour_entropy", "events_dow_hour_heatmap",
+        "hourly_seasonal_anomalies",
         "scd2_user_attribute", "snapshot_apply_roundtrip",
         "debounce_events", "error_streaks", "top_orders_with_ties",
         "weekly_mixture_drift", "event_type_affinity", "props_key_census",
@@ -91,7 +97,6 @@ QUEUES: dict[int, list[str]] = {
         "emb_semantic_dedup", "emb_ann_topk_ivf", "emb_ann_topk_lsh",
         "stream_sessionize", "stream_dedup", "stream_hourly_rollup",
         "stream_session_window", "stream_stream_attrib",
-        "stream_warehouse_sink", "sessionize",
     ],
 }
 
