@@ -121,16 +121,18 @@ def row_lines(rows, cols):
     return sorted("\x1f".join(strict_canon(r[i]) for i in order) for r in rows)
 
 
-def compare_frames(sdf, con, oracle: str) -> tuple[list[str], int]:
+def compare_frames(sdf, con, oracle) -> tuple[list[str], int]:
     """Strict (type + bit-exact value) comparison of a Spark DataFrame
     against a DuckDB oracle query; returns (problem strings, spark row
     count) — empty problems = PASS. Reused by the boundary-fixture tests
     so adversarial fixtures get exactly the certification-grade
-    comparison."""
+    comparison. ``oracle`` is a SQL string, or a callable(con) returning
+    an Arrow table (PY_ORACLES — linear references for the queries whose
+    SQL oracle is super-linear)."""
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
     s_kinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
-    tbl = con.execute(oracle).arrow()
+    tbl = oracle(con) if callable(oracle) else con.execute(oracle).arrow()
     d_cols = tbl.schema.names
     d_kinds = {f.name: arrow_kind(f.type) for f in tbl.schema}
     problems: list[str] = []
@@ -153,6 +155,58 @@ def compare_frames(sdf, con, oracle: str) -> tuple[list[str], int]:
             diff_d = [x for x in dl if x not in set(sl)][:2]
             problems.append(f"values; spark-only={diff_s} duck-only={diff_d}")
     return problems, len(s_rows)
+
+
+def _pack_sequences_reference(con) -> pa.Table:
+    """Linear next-fit reference for doc_pack_sequences (round-6 verdict
+    item 6): the registry's recursive-CTE oracle replays the fold
+    rank-by-rank and re-scans the token table on every recursion step —
+    quadratic, which had excluded this one query from the sf1 sweep.
+    This reference uses the IDENTICAL tokenization SQL for n_tokens,
+    then performs the next-fit fold in plain Python (one pass), so the
+    strict sweep covers the query at every SF with no exclusion.
+    Semantics pinned equal to operators/packing.py by
+    tests/test_packing_properties.py."""
+    from etl_gardener_spark.plans.queries_llm import _DOCS_BODY, _PACK_CAPACITY
+
+    rows = con.execute(
+        "WITH "
+        + _DOCS_BODY
+        + " SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens"
+        " FROM d ORDER BY lang NULLS LAST, doc_id"
+    ).fetchall()
+    out = {"doc_id": [], "lang": [], "n_tokens": [], "bin_id": []}
+    cur = object()  # sentinel: never equal to a lang value
+    bin_id = fill = 0
+    for doc_id, lang, nt in rows:
+        if lang != cur:  # new stratum
+            cur, bin_id, fill = lang, 0, nt
+        elif fill + nt > _PACK_CAPACITY:
+            bin_id, fill = bin_id + 1, nt
+        else:
+            fill += nt
+        out["doc_id"].append(doc_id)
+        out["lang"].append(lang)
+        out["n_tokens"].append(nt)
+        out["bin_id"].append(bin_id)
+    return pa.table(
+        out,
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_tokens", pa.int64()),
+                ("bin_id", pa.int64()),
+            ]
+        ),
+    )
+
+
+# Linear Python references used IN PLACE of the registry oracle by this
+# sweep. Keys must stay registered with a (driver-facing) SQL oracle —
+# the driver certifies them at sf0.01 where the SQL cost is fine; the
+# reference is what lets the LOCAL sweep run them at sf0.1/sf1 too.
+PY_ORACLES = {"doc_pack_sequences": _pack_sequences_reference}
 
 
 def main() -> int:
@@ -178,7 +232,9 @@ def main() -> int:
             print(f"ok?   {name}: no oracle (rows-only), {sdf.count()} rows")
             continue
         try:
-            problems, n_rows = compare_frames(sdf, con, oracles[name])
+            problems, n_rows = compare_frames(
+                sdf, con, PY_ORACLES.get(name, oracles[name])
+            )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures += 1
