@@ -667,3 +667,35 @@ def test_output_contract_lint_catches_r5_failure_classes(spark):
     assert pat.search('F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)')
     assert pat.search("ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)")
     assert PL.source_rule_violations() == []
+
+
+def test_age_based_rotation_prefers_red_and_stale_rows():
+    """Round-6 verdict item 8: the round-8+ endgame rotation selects by
+    driver-evidence AGE from the committed CORRECTNESS artifacts. Pins:
+    a RED row does not count as green evidence (the r5 doc_postings /
+    stream_sliding_rollup failures must rank as never-certified), parity
+    rows never enter the rotating slots, and the queue is exactly 38."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import rotate_window as RW
+
+    from etl_gardener_spark.plans import queries as Q
+
+    lg = RW.last_green_round(6)
+    # the two r5 driver-red rows have rows in CORRECTNESS_r05.json but no
+    # GREEN row anywhere before round 6
+    assert lg.get("doc_postings", 0) == 0
+    assert lg.get("stream_sliding_rollup", 0) == 0
+    # a green r5 row counts
+    assert lg.get("dedup_keep_best") == 5
+
+    q = RW.age_queue(6, list(Q.REGISTRY))
+    assert len(q) == 38 and len(set(q)) == 38
+    assert not set(q) & set(RW.PARITY)
+    assert "doc_postings" in q and "stream_sliding_rollup" in q
+    # every selected query is at least as old as every unselected one
+    cand = [n for n in Q.REGISTRY if n not in RW.PARITY]
+    worst_in = max(lg.get(n, 0) for n in q)
+    best_out = min(lg.get(n, 0) for n in cand if n not in q)
+    assert worst_in <= best_out

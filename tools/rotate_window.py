@@ -3,9 +3,14 @@ DRIVER_WINDOW / DRIVER_WINDOW_ROUND) for a new round — one command
 instead of a hand edit of a 50-name literal.
 
     python tools/rotate_window.py <round> [name ...]
+    python tools/rotate_window.py <round> --age
 
 With no names, uses the embedded queue for that round (mirrors
-ROTATION.md). The tool:
+ROTATION.md). With ``--age`` (the round-8+ endgame policy), the 38
+rotating slots are computed from the committed CORRECTNESS artifacts:
+the queries whose most recent GREEN driver row is oldest (never
+windowed or last seen red = oldest of all), ties broken by registry
+order. The tool:
 
   1. keeps the 12 permanent SURVEY §2 parity rows,
   2. replaces the 38 rotating slots with the given names,
@@ -112,12 +117,63 @@ def certified_before(round_no: int) -> set[str]:
     return names
 
 
+def _row_green(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
+def last_green_round(round_no: int) -> dict[str, int]:
+    """name -> most recent round (< round_no) with a GREEN driver row.
+    A red row does not count — a query that failed its last window has
+    age 0 and therefore sorts to the front of the age queue."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) >= round_no:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if isinstance(row, dict) and _row_green(row):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def age_queue(round_no: int, registry: list[str]) -> list[str]:
+    """The round-8+ freshness selection (ROTATION.md): rank non-parity
+    queries by the round of their most recent GREEN driver row (never /
+    red = round 0, i.e. oldest), ties broken by registry order, and take
+    the 38 oldest. New queries and driver-red rows jump the queue by
+    construction."""
+    last = last_green_round(round_no)
+    candidates = [n for n in registry if n not in PARITY]
+    ranked = sorted(
+        range(len(candidates)),
+        key=lambda i: (last.get(candidates[i], 0), i),
+    )
+    return [candidates[i] for i in ranked[:38]]
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    round_no = int(sys.argv[1])
-    rotating = sys.argv[2:] or QUEUES.get(round_no, [])
+    use_age = "--age" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--age"]
+    round_no = int(argv[0])
+
+    sys.path.insert(0, ROOT)
+    from etl_gardener_spark.plans import queries as QmodEarly
+
+    if use_age:
+        rotating = age_queue(round_no, list(QmodEarly.REGISTRY))
+    else:
+        rotating = argv[1:] or QUEUES.get(round_no, [])
     if len(rotating) != 38:
         print(f"need exactly 38 rotating names, got {len(rotating)}")
         return 2
