@@ -823,3 +823,151 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    tau_e2: int = 80,
+    max_df: int | None = None,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs: ordered (id_a, id_b) with
+    C(a -> b) = |S_a ∩ S_b| / |S_a| >= tau_e2/100, over distinct hashed
+    word n-gram shingles (shingle_hash_sets).
+
+    Containment is the dedup relation Jaccard misses: a short document
+    quoted whole inside a long one has Jaccard ~|S_a|/|S_b| (tiny) but
+    containment 1.0 — the quote/superset/boilerplate-wrapper case every
+    pretraining-dedup pipeline needs alongside symmetric near-dup
+    (Broder's containment sketches are this measure).
+
+    Exact sparse algorithm, same inverted-index shape as jaccard_pairs:
+    explode distinct shingle hashes, self-equi-join (only co-occurring
+    docs meet — no corpus² term), count per ORDERED pair, join |S_a|,
+    then an exact INTEGER threshold (100·inter >= tau_e2·|S_a| — no
+    float compare at the boundary). The displayed ratio goes through the
+    sign-correct floor kernel at 4 dp.
+
+    ``max_df``: optional document-frequency cap — shingles present in
+    more than max_df documents are dropped from the index before the
+    join (both the |S_a| denominator and the intersection, mirrored in
+    any oracle). This is the skew lever at corpus scale: boilerplate
+    shingles otherwise contribute (docs-per-shingle)² join fan-in while
+    carrying no near-dup signal.
+
+    Output: (id_a, id_b, inter, n_a, containment) — both directions of a
+    pair can appear (asymmetry is the point).
+    """
+    from etl_gardener_spark.functions.exact import floor_div_expr
+
+    sh = (
+        hashes
+        if hashes is not None
+        else shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(
+            eager=True
+        )
+    )
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("__h"))
+    if max_df is not None:
+        keep = (
+            ex.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__h")
+        )
+        ex = ex.join(keep, "__h")
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    a = ex.select(F.col(id_col).alias("id_a"), "__h")
+    b = ex.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .filter(F.col("inter") * 100 >= F.lit(tau_e2) * F.col("n_a"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            (
+                F.expr(
+                    floor_div_expr("2 * inter * 10000 + n_a", "2 * n_a")
+                ).cast("double")
+                / 10000.0
+            ).alias("containment"),
+        )
+    )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    train_label: str = "train",
+    eval_label: str = "test",
+    n: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Train/eval contamination report: for every EVAL document that
+    shares >= min_shared distinct hashed n-gram shingles with any TRAIN
+    document (under the deterministic md5 hash_split), one row
+
+        (test_id, n_train_dups, max_shared, n_test_shingles)
+
+    — how many train documents collide with it and the largest shared
+    count. The decontamination question every eval harness asks
+    ("did the benchmark leak into the training split?") as one
+    inverted-index join: explode eval-side shingles, equi-join the
+    train-side index (co-occurrence only), aggregate per (test, train)
+    pair, threshold, aggregate per test doc. Cost is the same
+    inverted-index bound as jaccard_pairs restricted to cross-split
+    collisions; the hash split itself is a per-row projection
+    (sampling.hash_split), so the report composes with any corpus
+    without a new shuffle of the corpus itself.
+    """
+    from etl_gardener_spark.operators.sampling import hash_split
+
+    labeled = hash_split(df.select(id_col, text_col), id_col, weights)
+    # Three consumers (train index, eval index, eval set sizes) hang off
+    # the shingle relation — materialize once, like jaccard_pairs does,
+    # instead of re-tokenizing and re-hashing the corpus per branch
+    # (measured 11.8 s -> see SCALE.md round-6 ladder).
+    sh = (
+        shingle_hash_sets(labeled, text_col, id_col, n)
+        .join(labeled.select(id_col, "split"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    ex = sh.select(F.col(id_col), "split", F.explode("sh").alias("__h"))
+    tr = ex.filter(F.col("split") == train_label).select(
+        F.col(id_col).alias("train_id"), "__h"
+    )
+    te = ex.filter(F.col("split") == eval_label).select(
+        F.col(id_col).alias("test_id"), "__h"
+    )
+    pair = (
+        te.join(tr, "__h")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    n_sh = sh.filter(F.col("split") == eval_label).select(
+        F.col(id_col).alias("test_id"),
+        F.size("sh").cast("long").alias("n_test_shingles"),
+    )
+    return (
+        pair.groupBy("test_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_dups"),
+            F.max("shared").cast("long").alias("max_shared"),
+        )
+        .join(n_sh, "test_id")
+        .select("test_id", "n_train_dups", "max_shared", "n_test_shingles")
+    )

@@ -1062,6 +1062,85 @@ def doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
 
 
+@query(
+    "doc_containment_pairs",
+    f"""
+    {{_DOCS_CTE}},
+    sh AS (SELECT doc_id, {{_SHINGLE_HASHES}} AS sh FROM d
+           WHERE len(toks) >= 3),
+    g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM g x JOIN g y ON x.g = y.g AND x.doc_id <> y.doc_id
+              GROUP BY 1, 2),
+    sz AS (SELECT doc_id AS id_a, CAST(len(sh) AS BIGINT) AS n_a FROM sh)
+    SELECT p.id_a, p.id_b, p.inter, s.n_a,
+           CAST({{_CONT_DIV}} AS DOUBLE) / 10000.0 AS containment
+    FROM pairs p JOIN sz s USING (id_a)
+    WHERE p.inter * 100 >= 80 * s.n_a
+    """.format(
+        _DOCS_CTE=_DOCS_CTE,
+        _SHINGLE_HASHES=_SHINGLE_HASHES,
+        _CONT_DIV=floor_div_sql("2 * p.inter * 10000 + s.n_a", "2 * s.n_a"),
+    ),
+    tags=("llm", "dedup", "containment"),
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: ordered pairs where >= 80% of
+    doc a's distinct 3-gram shingles also occur in doc b — the
+    quote/superset/boilerplate-wrapper relation symmetric Jaccard misses
+    (a short doc quoted whole inside a long one has Jaccard
+    ~|a|/|b| but containment 1.0; Broder's containment measure). Exact
+    inverted-index join (operators/neardup.containment_pairs): only
+    co-occurring docs meet, integer threshold at the boundary, ratio
+    displayed through the sign-correct floor kernel. The max_df knob
+    (not set here) drops boilerplate shingles at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.containment_pairs(d, "text", "doc_id", n=3, tau_e2=80)
+
+
+@query(
+    "doc_split_leakage",
+    f"""
+    {{_DOCS_CTE}},
+    lab AS (SELECT doc_id, toks,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT % 1000000 < 900000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM d),
+    sh AS (SELECT doc_id, split, {{_SHINGLE_HASHES}} AS sh FROM lab
+           WHERE len(toks) >= 3),
+    g AS (SELECT doc_id, split, unnest(sh) AS g FROM sh),
+    pair AS (SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+                    CAST(COUNT(*) AS BIGINT) AS shared
+             FROM g te JOIN g tr ON te.g = tr.g
+             WHERE te.split = 'test' AND tr.split = 'train'
+             GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    rep AS (SELECT test_id, CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+                   CAST(MAX(shared) AS BIGINT) AS max_shared
+            FROM pair GROUP BY 1)
+    SELECT r.test_id, r.n_train_dups, r.max_shared,
+           CAST(len(sh.sh) AS BIGINT) AS n_test_shingles
+    FROM rep r JOIN sh ON sh.doc_id = r.test_id
+    """.format(_DOCS_CTE=_DOCS_CTE, _SHINGLE_HASHES=_SHINGLE_HASHES),
+    tags=("llm", "dedup", "decontamination", "split"),
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination report over the deterministic md5 hash
+    split (90/10): for every eval document sharing >= 2 distinct 3-gram
+    shingle hashes with any train document, how many train documents
+    collide and the largest shared count — the 'did the benchmark leak
+    into the training set?' audit as one cross-split inverted-index
+    join (operators/neardup.split_leakage_report). The split label is a
+    per-row projection (sampling.hash_split), so the report adds no
+    corpus shuffle beyond the same index join the near-dup family
+    already pays."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.split_leakage_report(
+        d, "text", "doc_id", {"train": 0.9, "test": 0.1}, n=3, min_shared=2
+    )
+
+
 _HEX_TO_INT = (
     "CAST(list_sum(list_transform(string_split(substr(md5(tok), 1, 8), ''),"
     " (c, i) -> (strpos('0123456789abcdef', c) - 1) * 16 ** (8 - i)))"

@@ -471,3 +471,82 @@ def test_winnow_fingerprints_sample_span_hashes(spark):
                .collect()[0]["sh"])
     assert fp <= full
     assert 0 < len(fp) < len(full)
+
+
+def _py_shingle_hashes(text, n=3):
+    import hashlib
+    import re as _re
+
+    toks = [t for t in _re.split(r"\s+", text.strip().lower()) if t]
+    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh
+    }
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    """containment_pairs (round 6): ordered pairs with
+    |S_a ∩ S_b| / |S_a| >= 0.8 — asymmetric, so the contained-quote
+    direction appears while the superset direction does not. Brute-force
+    reference over Python-computed 60-bit shingle hashes."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),       # 4 shingles
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma delta epsilon zeta"),        # dup of 1
+        (4, "unrelated words entirely different content here"),
+        (5, "one two"),                                    # too short
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["containment"])
+        for r in ND.containment_pairs(df, "text", "doc_id", tau_e2=80).collect()
+    }
+    sets = {i: _py_shingle_hashes(t) for i, t in rows if len(t.split()) >= 3}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * 100 >= 80 * len(sa):
+                disp = ((2 * inter * 10000 + len(sa)) // (2 * len(sa))) / 1e4
+                want[(a, b)] = (inter, len(sa), disp)
+    assert got == want, (got, want)
+    # doc 1 is fully contained in doc 2; the reverse is not
+    assert (1, 2) in got and (2, 1) not in got
+
+
+def test_split_leakage_report_bruteforce(spark):
+    """split_leakage_report: brute-force the same md5 hash split and
+    cross-split shingle collisions in Python."""
+    import hashlib
+
+    rows = [(i, f"alpha beta gamma delta {i} epsilon zeta eta") for i in range(40)]
+    # plant an exact duplicate text across many ids so collisions exist
+    rows += [(100 + i, "alpha beta gamma delta shared epsilon zeta eta") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["test_id"]: (r["n_train_dups"], r["max_shared"], r["n_test_shingles"])
+        for r in ND.split_leakage_report(
+            df, "text", "doc_id", {"train": 0.9, "test": 0.1}, min_shared=2
+        ).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    split = {i: ("train" if bucket(i) < 900_000 else "test") for i, _ in rows}
+    sets = {i: _py_shingle_hashes(t) for i, t in rows}
+    want = {}
+    for t, st in sets.items():
+        if split[t] != "test":
+            continue
+        hits = [
+            len(st & sets[tr])
+            for tr in sets
+            if split[tr] == "train" and len(st & sets[tr]) >= 2
+        ]
+        if hits:
+            want[t] = (len(hits), max(hits), len(st))
+    assert out == want, (out, want)
+    assert want, "fixture must actually produce leakage rows"
