@@ -1364,3 +1364,211 @@ def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    """,
+    tags=("analytics", "tpch", "exists", "anti-join"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the double correlated EXISTS / NOT EXISTS:
+    suppliers who were the SOLE late shipper on a finalized multi-supplier
+    order. 'Late' adapts to this schema's columns (no commit/receipt
+    dates): shipped more than 60 days after the order date.
+
+    Plan: the EXISTS becomes a LEFT SEMI join (another supplier touched
+    the order), the NOT EXISTS a LEFT ANTI join against the late-lines
+    relation (another supplier was ALSO late) — both equi-joins on
+    l_orderkey with the supplier-inequality as a residual condition, so
+    at 100 TB each is one hash shuffle on the order key, no correlated
+    re-execution per row (Catalyst decorrelates the same way; stated
+    here because the reference's engine would run the subquery per
+    row). Supplier dim broadcasts into the final count."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    l1 = (
+        late.join(
+            l2,
+            (late.l_orderkey == l2.k2) & (late.l_suppkey != l2.s2),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3),
+            "leftanti",
+        )
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "q20_majority_share_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, SUM(qty) AS total FROM sp GROUP BY 1),
+    big AS (
+      SELECT DISTINCT sp.l_suppkey
+      FROM sp
+      JOIN pt ON pt.l_partkey = sp.l_partkey
+      JOIN part p ON p.p_partkey = sp.l_partkey AND p.p_name LIKE '%bolt%'
+      WHERE 2 * sp.qty > pt.total)
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM big)
+    """,
+    tags=("analytics", "tpch", "semi-join"),
+)
+def q20_majority_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — the nested semi-join chain: European suppliers
+    who shipped the MAJORITY of some 'bolt' part's 1996 volume (the
+    availqty predicate adapts to this schema: 2·supplier_qty >
+    part_total, an exact integer compare — no float threshold at the
+    boundary).
+
+    Plan: two stacked keyed aggregates (supplier-part, then part) on the
+    date-pruned fact — the part total REUSES the first aggregate rather
+    than rescanning lineitem — a broadcast part-name filter, and the
+    final IN as a LEFT SEMI join into the (tiny) supplier dim. Nothing
+    rescans the fact twice and the only wide shuffle is the first
+    aggregate's."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    big = (
+        sp.join(pt, "l_partkey")
+        .join(F.broadcast(p), sp.l_partkey == p.p_partkey)
+        .filter(2 * F.col("qty") > F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(big, s.s_suppkey == big.l_suppkey, "leftsemi")
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY 1, 2),
+    eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE')
+    SELECT e.s_name, e.s_acctbal, e.n_name AS nation,
+           p.p_partkey, p.p_brand, ps.cost
+    FROM part p
+    JOIN ps ON ps.partkey = p.p_partkey
+    JOIN eur e ON e.s_suppkey = ps.suppkey
+    WHERE p.p_size = 11 AND p.p_type = 'ECONOMY'
+      AND ps.cost = (SELECT MIN(ps2.cost)
+                     FROM ps ps2 JOIN eur e2 ON e2.s_suppkey = ps2.suppkey
+                     WHERE ps2.partkey = p.p_partkey)
+    """,
+    tags=("analytics", "tpch", "correlated-subquery"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the correlated min-cost-supplier subquery. This
+    schema has no partsupp table, so supply cost derives from shipment
+    history: per (part, supplier) the minimum observed unit price
+    (l_extendedprice / l_quantity — one deterministic IEEE division,
+    identical on both engines; MIN over identical doubles is exact, no
+    sum ever forms). For size-11 ECONOMY parts, emit the European
+    supplier(s) achieving the part's minimum cost.
+
+    Plan: the correlated scalar subquery decorrelates into a per-part
+    MIN aggregate joined back on (partkey, cost) equality — exact
+    double equality of values produced by the same expression, so no
+    epsilon. All dims broadcast; the only wide work is the one
+    (part, supplier) aggregate over the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 11) & (F.col("p_type") == "ECONOMY")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pse = ps.join(eur, ps.suppkey == eur.s_suppkey)
+    mins = pse.groupBy("partkey").agg(F.min("cost").alias("mincost"))
+    return (
+        pse.join(mins, "partkey")
+        .filter(F.col("cost") == F.col("mincost"))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select(
+            "s_name",
+            "s_acctbal",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            "cost",
+        )
+    )
