@@ -1631,7 +1631,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH big AS (
       SELECT l_orderkey, {micro_sum_sql("l_quantity", 2)} AS qty
-      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR((l_quantity) * 1e6 + 0.5) AS HUGEINT))
+             > 150000000)
     SELECT c.c_name, o.o_orderkey, ROUND(o.o_totalprice, 2) AS total, big.qty
     FROM big
     JOIN orders o ON o.o_orderkey = big.l_orderkey
@@ -1648,13 +1650,14 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # One exact aggregate serves both the HAVING threshold and the
+    # display: the >150 filter compares the SAME micro-unit sum
+    # (150 * 1e6), so no second (double) sum column is carried — and the
+    # exact compare cannot misjudge a within-ulp-of-150 double sum.
     big = (
         li.groupBy("l_orderkey")
-        .agg(
-            F.sum("l_quantity").alias("__qty"),
-            micro_sum(F.col("l_quantity")).alias("__s"),
-        )
-        .filter(F.col("__qty") > 150)
+        .agg(micro_sum(F.col("l_quantity")).alias("__s"))
+        .filter(F.col("__s") > 150 * 1_000_000)
         .select("l_orderkey", micro_display("__s", 2).alias("qty"))
     )
     return (
