@@ -882,11 +882,21 @@ def containment_pairs(
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_a"))
     a = ex.select(F.col(id_col).alias("id_a"), "__h")
     b = ex.select(F.col(id_col).alias("id_b"), "__h")
-    inter = (
+    # The intersection count is SYMMETRIC: aggregate each unordered pair
+    # once (id_a < id_b — half the pair-join and groupBy volume), then
+    # emit both directions before the per-direction |S_a| threshold.
+    half = (
         a.join(b, "__h")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    inter = half.unionByName(
+        half.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "inter",
+        )
     )
     return (
         inter.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")

@@ -1549,7 +1549,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    ps = li.groupBy(
+    # The min-cost subquery is PER PART, so the (part, supplier)
+    # aggregate only needs lineitem rows of qualifying parts — push the
+    # part predicate below the wide shuffle as a broadcast SEMI join
+    # (the selective-dimension pushdown classic q2 plans hinge on; the
+    # oracle aggregates all parts first and filters after, which is
+    # equal per part but would shuffle the whole fact at 100 TB).
+    li_q = li.join(
+        F.broadcast(p.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "leftsemi",
+    )
+    ps = li_q.groupBy(
         F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     eur = (
