@@ -790,3 +790,107 @@ def bloom_decontaminate(
         .cast("long")
         .alias("n_maybe_hits"),
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Intra-document repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models" — the Gopher repetition filters): per
+    document with >= 3 tokens,
+
+      (id, n_tokens, top_bigram, top_bigram_count,
+       top_bigram_char_frac, dup_trigram_frac)
+
+    where top_bigram is the most frequent word 2-gram (count DESC, then
+    lexicographic — total order, hash-stable), top_bigram_char_frac is
+    the fraction of the document's token characters covered by its
+    occurrences (count x len(bigram) / total token chars — all integer
+    until the final floor-kernel display at 4 dp), and dup_trigram_frac
+    is the fraction of 3-gram OCCURRENCES whose 3-gram repeats within
+    the document. Repetitive machine-generated text scores high on both;
+    the thresholds (Gopher drops docs with top-2-gram char fraction
+    > 0.20 or dup-3-gram fraction > 0.18 among others) stay with the
+    caller.
+
+    Plan shape: one shingle explode per n, per-(doc, gram) hash
+    aggregates (map-side combined), a per-doc WindowGroupLimit top-1 for
+    the bigram, and one per-doc aggregate for the trigram fractions —
+    everything keyed on the document, so the whole computation
+    partitions by doc_id and scales linearly in corpus tokens with no
+    cross-document shuffle."""
+    from etl_gardener_spark.functions.exact import floor_div_expr
+    from etl_gardener_spark.functions.text import shingles_of, ws_tokens
+
+    t = (
+        df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
+        .filter(F.size("__toks") >= 3)
+        .select(
+            id_col,
+            "__toks",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform("__toks", lambda x: F.length(x).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("doc_chars"),
+        )
+    )
+    bc = (
+        t.select(
+            id_col, F.explode(shingles_of(F.col("__toks"), 2)).alias("bg")
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c").desc(), F.col("bg").asc()
+    )
+    top = (
+        bc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("bg").alias("top_bigram"),
+            F.col("c").alias("top_bigram_count"),
+        )
+    )
+    ta = (
+        t.select(
+            id_col, F.explode(shingles_of(F.col("__toks"), 3)).alias("tg")
+        )
+        .groupBy(id_col, "tg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("__dup"),
+            F.sum("c").cast("long").alias("__tot"),
+        )
+    )
+    return (
+        t.select(id_col, "n_tokens", "doc_chars")
+        .join(top, id_col)
+        .join(ta, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "top_bigram",
+            "top_bigram_count",
+            (
+                F.expr(
+                    floor_div_expr(
+                        "2 * top_bigram_count * length(top_bigram) * 10000"
+                        " + doc_chars",
+                        "2 * doc_chars",
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("top_bigram_char_frac"),
+            (
+                F.expr(
+                    floor_div_expr("2 * __dup * 10000 + __tot", "2 * __tot")
+                ).cast("double")
+                / 10000.0
+            ).alias("dup_trigram_frac"),
+        )
+    )

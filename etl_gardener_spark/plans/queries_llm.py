@@ -1100,6 +1100,60 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_repetition_signals",
+    f"""
+    {{_DOCS_CTE}},
+    t AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_sum(list_transform(toks, s -> len(s))) AS BIGINT)
+                   AS doc_chars
+          FROM d WHERE len(toks) >= 3),
+    bg AS (SELECT doc_id, unnest({{_BI}}) AS bg FROM t),
+    bc AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, bg AS top_bigram, c AS top_bigram_count
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY c DESC, bg) AS rn FROM bc)
+            WHERE rn = 1),
+    tg AS (SELECT doc_id, unnest({{_TRI}}) AS tg FROM t),
+    tc AS (SELECT doc_id, tg, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tg GROUP BY 1, 2),
+    ta AS (SELECT doc_id,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup,
+                  CAST(SUM(c) AS BIGINT) AS tot
+           FROM tc GROUP BY 1)
+    SELECT t.doc_id, t.n_tokens, top.top_bigram, top.top_bigram_count,
+           CAST({{_FRAC1}} AS DOUBLE) / 10000.0 AS top_bigram_char_frac,
+           CAST({{_FRAC2}} AS DOUBLE) / 10000.0 AS dup_trigram_frac
+    FROM t JOIN top USING (doc_id) JOIN ta USING (doc_id)
+    """.format(
+        _DOCS_CTE=_DOCS_CTE,
+        _BI=_shingles_sql(2),
+        _TRI=_shingles_sql(3),
+        _FRAC1=floor_div_sql(
+            "2 * top.top_bigram_count * len(top.top_bigram) * 10000"
+            " + t.doc_chars",
+            "2 * t.doc_chars",
+        ),
+        _FRAC2=floor_div_sql("2 * ta.dup * 10000 + ta.tot", "2 * ta.tot"),
+    ),
+    tags=("llm", "quality", "repetition"),
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition filters (Rae et al. 2021):
+    most frequent bigram, the fraction of token characters its
+    occurrences cover, and the fraction of trigram occurrences that
+    repeat within the document — the signals that separate repetitive
+    machine-generated text from prose. All counting is integer-exact
+    with a total-order tie-break (count DESC, bigram ASC); ratios
+    display through the sign-correct floor kernel at 4 dp. Everything
+    partitions by doc_id — no cross-document shuffle at any corpus
+    size (operators/corpus.repetition_signals)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.repetition_signals(d, "text", "doc_id")
+
+
+@query(
     "doc_split_leakage",
     f"""
     {{_DOCS_CTE}},

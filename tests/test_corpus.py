@@ -350,3 +350,45 @@ def test_bloom_prefilter_no_false_negatives_and_mergeable(spark):
         ).collect()
     }
     assert again == {i: r["n_maybe_hits"] for i, r in out.items()}
+
+
+def test_repetition_signals_known_answers(spark):
+    """repetition_signals (round 6, Gopher filters): crafted docs with
+    hand-computable answers — a fully repetitive doc saturates both
+    fractions, varied prose scores low, and the bigram tie-break is
+    lexicographic at equal counts."""
+    from etl_gardener_spark.operators.corpus import repetition_signals
+
+    rows = [
+        # "spam spam spam spam": bigrams 3x "spam spam" (count 3),
+        # trigrams 2x "spam spam spam" (both duplicated)
+        (1, "spam spam spam spam"),
+        # varied: every bigram/trigram unique
+        (2, "alpha beta gamma delta epsilon"),
+        # tie between bigrams "b c" and "a b"? counts: a b=1, b c=1,
+        # c a=1, a d=1 -> all count 1, tie-break picks "a b"
+        (3, "a b c a d"),
+        (4, "x y"),  # too short (< 3 tokens): no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_bigram"],
+            r["top_bigram_count"],
+            r["top_bigram_char_frac"],
+            r["dup_trigram_frac"],
+        )
+        for r in repetition_signals(df, "text", "doc_id").collect()
+    }
+    # doc 1: 4 tokens, 16 chars; top bigram "spam spam" (9 chars) x3
+    # -> 27/16 capped? no cap: 27/16 = 1.6875; dup trigrams 2/2 = 1.0
+    assert got[1] == (4, "spam spam", 3, 1.6875, 1.0)
+    # doc 2: all unique -> count 1; "alpha beta" first lexicographically
+    # among count-1 bigrams; frac 10/26 half-up at 4 dp = 0.3846;
+    # dup trigrams 0/3 = 0
+    assert got[2] == (5, "alpha beta", 1, 0.3846, 0.0)
+    # doc 3: tie at count 1 -> lexicographic "a b" (3 chars), chars 5
+    # -> 3/5 = 0.6; trigrams all unique
+    assert got[3] == (5, "a b", 1, 0.6, 0.0)
+    assert 4 not in got
