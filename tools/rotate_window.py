@@ -3,7 +3,11 @@ DRIVER_WINDOW / DRIVER_WINDOW_ROUND) for a new round — one command
 instead of a hand edit of a 50-name literal.
 
     python tools/rotate_window.py <round> [name ...]
-    python tools/rotate_window.py <round> --age
+    python tools/rotate_window.py <round> --age [--dry]
+
+``--dry`` prints the would-be rotating slots (with first-time flags)
+and writes nothing — preview the r8 age selection before committing
+to it.
 
 With no names, uses the embedded queue for that round (mirrors
 ROTATION.md). With ``--age`` (the round-8+ endgame policy), the 38
@@ -164,7 +168,8 @@ def main() -> int:
         print(__doc__)
         return 2
     use_age = "--age" in sys.argv
-    argv = [a for a in sys.argv[1:] if a != "--age"]
+    dry = "--dry" in sys.argv
+    argv = [a for a in sys.argv[1:] if a not in ("--age", "--dry")]
     round_no = int(argv[0])
 
     sys.path.insert(0, ROOT)
@@ -204,6 +209,15 @@ def main() -> int:
             f"{[n for n in rotating if n in certified]}"
         )
         return 2
+
+    if dry:
+        certified_note = sum(1 for n in rotating if n in certified)
+        print(f"DRY RUN — would rotate to round {round_no}:")
+        print(f"  rotating ({len(rotating)}; {len(fresh)} first-timers,"
+              f" {certified_note} re-certs):")
+        for n in rotating:
+            print(f"    {n}{'' if n in certified else '  [first-time]'}")
+        return 0
 
     with open(QUERIES_PY) as f:
         src = f.read()
