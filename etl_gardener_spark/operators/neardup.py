@@ -981,3 +981,72 @@ def split_leakage_report(
         .join(n_sh, "test_id")
         .select("test_id", "n_train_dups", "max_shared", "n_test_shingles")
     )
+
+
+def containment_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Persistable inverted index for containment checks: one row per
+    (store_id, shingle hash) — exactly the relation
+    :func:`incremental_containment` probes. Written as a parquet table
+    bucketed/partitioned on the hash at deployment, so a daily ingest
+    joins against it without rebuilding history (same store discipline
+    as minhash_store / line_hash_store)."""
+    return (
+        shingle_hash_sets(df, text_col, id_col, n)
+        .select(F.col(id_col).alias("store_id"), F.explode("sh").alias("__h"))
+    )
+
+
+def incremental_containment(
+    batch: DataFrame,
+    store_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    tau_e2: int = 80,
+) -> DataFrame:
+    """Ingest-time containment screen: for each INCOMING document, the
+    store documents that contain >= tau_e2/100 of its distinct shingles
+    — 'is this new document mostly already in the corpus?', the
+    asymmetric version of incremental_minhash_dedup's question, WITHOUT
+    rescanning stored text (only the compact (store_id, hash) index is
+    read).
+
+    Output: (batch_id, store_id, inter, n_batch, containment), where
+    containment = inter / n_batch through the sign-correct floor kernel.
+    By construction equals the full-corpus containment_pairs restricted
+    to batch->store ordered pairs — which is what the oracle states.
+
+    Scale shape: the batch side explodes O(batch tokens) rows; the join
+    hits only index entries sharing a hash (inverted-index bound), and
+    the per-pair aggregate is keyed on (batch_id, store_id). Cost is
+    O(batch) + collision fan-in, independent of corpus history size.
+    """
+    from etl_gardener_spark.functions.exact import floor_div_expr
+
+    ex_b = shingle_hash_sets(batch, text_col, id_col, n).select(
+        F.col(id_col).alias("batch_id"), F.explode("sh").alias("__h")
+    )
+    sizes = ex_b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch")
+    )
+    inter = (
+        ex_b.join(store_index, "__h")
+        .groupBy("batch_id", "store_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes, "batch_id")
+        .filter(F.col("inter") * 100 >= F.lit(tau_e2) * F.col("n_batch"))
+        .select(
+            "batch_id",
+            "store_id",
+            "inter",
+            "n_batch",
+            (
+                F.expr(
+                    floor_div_expr("2 * inter * 10000 + n_batch", "2 * n_batch")
+                ).cast("double")
+                / 10000.0
+            ).alias("containment"),
+        )
+    )

@@ -1100,6 +1100,51 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_incremental_containment",
+    f"""
+    {{_DOCS_CTE}},
+    sh AS (SELECT doc_id, {{_SHINGLE_HASHES}} AS sh FROM d
+           WHERE len(toks) >= 3),
+    g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    pairs AS (SELECT b.doc_id AS batch_id, s.doc_id AS store_id,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM g b JOIN g s ON b.g = s.g
+              WHERE b.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+              GROUP BY 1, 2),
+    sz AS (SELECT doc_id AS batch_id, CAST(len(sh) AS BIGINT) AS n_batch
+           FROM sh WHERE doc_id % 2 = 1)
+    SELECT p.batch_id, p.store_id, p.inter, s.n_batch,
+           CAST({{_DIV}} AS DOUBLE) / 10000.0 AS containment
+    FROM pairs p JOIN sz s USING (batch_id)
+    WHERE p.inter * 100 >= 80 * s.n_batch
+    """.format(
+        _DOCS_CTE=_DOCS_CTE,
+        _SHINGLE_HASHES=_SHINGLE_HASHES,
+        _DIV=floor_div_sql("2 * p.inter * 10000 + s.n_batch", "2 * s.n_batch"),
+    ),
+    tags=("llm", "dedup", "containment", "incremental"),
+)
+def doc_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time containment screen against a PERSISTED index
+    (operators/neardup.incremental_containment): even doc_ids play the
+    stored corpus — collapsed to its compact (store_id, shingle-hash)
+    inverted index — and odd doc_ids the incoming batch; each batch doc
+    reports the store docs containing >= 80% of its distinct shingles,
+    WITHOUT rescanning stored text. By construction equals full-corpus
+    containment restricted to batch->store ordered pairs (the oracle's
+    statement). Completes the incremental family
+    ([[doc_incremental_dedup]] MinHash, [[doc_incremental_line_dedup]],
+    [[emb_incremental_semantic_dedup]]) with the asymmetric measure;
+    per-batch cost is O(batch) + index collision fan-in, independent of
+    corpus history size."""
+    d = load_table(spark, sf_dir, "documents")
+    store = ND.containment_index(d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    return ND.incremental_containment(
+        d.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id", tau_e2=80
+    )
+
+
+@query(
     "doc_repetition_signals",
     f"""
     {{_DOCS_CTE}},

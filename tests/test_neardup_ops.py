@@ -550,3 +550,33 @@ def test_split_leakage_report_bruteforce(spark):
             want[t] = (len(hits), max(hits), len(st))
     assert out == want, (out, want)
     assert want, "fixture must actually produce leakage rows"
+
+
+def test_incremental_containment_equals_full_restriction(spark):
+    """incremental_containment == containment_pairs restricted to
+    batch->store ordered pairs (the contract the oracle states), on a
+    corpus with planted quote/superset relations across the split."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),            # store
+        (2, "unrelated store words entirely different here"),  # store
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # batch: contains 0? no — 0 in 1
+        (3, "alpha beta gamma delta epsilon zeta"),            # batch: dup of 0
+        (5, "totally novel batch content nothing shared"),     # batch
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    store = ND.containment_index(df.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    got = {
+        (r["batch_id"], r["store_id"]): (r["inter"], r["n_batch"], r["containment"])
+        for r in ND.incremental_containment(
+            df.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id", tau_e2=80
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["containment"])
+        for r in ND.containment_pairs(df, "text", "doc_id", tau_e2=80).collect()
+        if r["id_a"] % 2 == 1 and r["id_b"] % 2 == 0
+    }
+    assert got == full, (got, full)
+    # doc 3 (dup of store doc 0) must be flagged; doc 5 must not appear
+    assert (3, 0) in got and got[(3, 0)][2] == 1.0
+    assert not any(b == 5 for b, _ in got)
