@@ -35,7 +35,7 @@ share: ``floor(n / d) = n div d - (1 if n % d < 0 else 0)`` for d > 0
 For non-negative sums this is bit-identical to the old kernel; for
 negative sums it yields true half-up-toward-+inf (-1.00 -> -1.00,
 -0.005 -> 0.00 at 2 dp). Property-pinned in
-tests/test_exact_kernel.py::test_micro_display_sign_correct_half_up.
+tests/test_representation_boundaries.py::test_micro_display_sign_correct_half_up.
 """
 
 from __future__ import annotations

@@ -802,14 +802,25 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     where top_bigram is the most frequent word 2-gram (count DESC, then
     lexicographic — total order, hash-stable), top_bigram_char_frac is
-    the fraction of the document's token characters covered by its
-    occurrences (count x len(bigram) / total token chars — all integer
-    until the final floor-kernel display at 4 dp), and dup_trigram_frac
-    is the fraction of 3-gram OCCURRENCES whose 3-gram repeats within
-    the document. Repetitive machine-generated text scores high on both;
-    the thresholds (Gopher drops docs with top-2-gram char fraction
-    > 0.20 or dup-3-gram fraction > 0.18 among others) stay with the
-    caller.
+    a COUNT-WEIGHTED character ratio (count x len(bigram) / total token
+    chars — all integer until the final floor-kernel display at 4 dp),
+    and dup_trigram_frac is the fraction of 3-gram OCCURRENCES whose
+    3-gram repeats within the document.
+
+    NOTE on top_bigram_char_frac vs the paper: Gopher's metric is the
+    fraction of characters *covered* by top-2-gram occurrences (union
+    of spans, <= 1.0). This count-weighted variant double-counts
+    characters of overlapping occurrences and includes the bigram's
+    internal space in the numerator while the denominator excludes all
+    whitespace, so it CAN EXCEED 1.0 on degenerate inputs
+    ("a a a a ..." pins 1.6875 in tests). It orders documents the same
+    way on natural text, but the paper's 0.20 drop threshold is NOT
+    directly transferable — calibrate thresholds against this metric,
+    or post-process with least(frac, 1.0) if a bounded score is needed.
+    The count-weighted form is what keeps the kernel a pure integer
+    aggregate (no span-overlap resolution, which would need a per-doc
+    positional scan). Thresholding stays with the caller either way
+    (Gopher drops at top-2-gram fraction > 0.20, dup-3-gram > 0.18).
 
     Plan shape: one shingle explode per n, per-(doc, gram) hash
     aggregates (map-side combined), a per-doc WindowGroupLimit top-1 for

@@ -2523,7 +2523,7 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # counts only CORRECTNESS_r*.json artifacts from EARLIER rounds, so the
 # driver's own artifact for this round (written after round close)
 # cannot retroactively falsify the ≥70% first-time policy.
-DRIVER_WINDOW_ROUND = 6
+DRIVER_WINDOW_ROUND = 7
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     # — permanent, never rotates
@@ -2539,45 +2539,45 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # round-6 rotating slots (36/38 first-timers; tools/rotate_window.py)
-    "q7_nation_pair_volume",
-    "q11_part_concentration",
-    "q13_order_count_distribution",
-    "q15_top_revenue_supplier",
-    "q16_brand_supplier_cnt",
-    "q17_small_quantity_part_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_segments",
-    "orders_grouping_sets",
-    "top_supplier_per_nation",
-    "supplier_league_table",
-    "lateral_top2_per_nation",
-    "customers_without_big_orders",
-    "nation_yoy_revenue_growth",
-    "cohort_retention",
-    "retention_cohorts",
-    "revenue_cohorts",
-    "purchase_gap_stats",
-    "order_gap_percentiles_by_segment",
-    "discount_band_effectiveness",
-    "order_basket_size_distribution",
-    "rolling_7d_active_users",
-    "event_transitions",
-    "top_event_paths",
-    "dau_mau_stickiness",
-    "session_conversion_rate",
-    "session_error_counts",
-    "ab_variant_conversion",
-    "revenue_pareto",
-    "top_percentile_orders",
-    "ship_lag_percentiles",
-    "value_outliers_by_type",
-    "value_mad_by_type",
-    "heavy_hitter_terms",
-    "dq_benford_value",
-    "doc_postings",
-    "stream_sliding_rollup",
-    "sliding_1h_15m_rollup",
+    # round-7 rotating slots (28/38 first-timers; tools/rotate_window.py)
+    "session_window_rollup",
+    "user_hour_entropy",
+    "events_dow_hour_heatmap",
+    "hourly_seasonal_anomalies",
+    "scd2_user_attribute",
+    "snapshot_apply_roundtrip",
+    "debounce_events",
+    "error_streaks",
+    "top_orders_with_ties",
+    "weekly_mixture_drift",
+    "event_type_affinity",
+    "props_key_census",
+    "dq_quarantine_promotion",
+    "weekly_user_cms_rollup",
+    "doc_bloom_decontaminate",
+    "emb_pq_codes",
+    "emb_ann_topk_pq",
+    "doc_hybrid_rrf",
+    "doc_dsir_select",
+    "emb_ann_topk_ivfpq",
+    "emb_pq_recall_report",
+    "doc_containment_pairs",
+    "doc_split_leakage",
+    "q21_waiting_suppliers",
+    "q20_majority_share_suppliers",
+    "q2_min_cost_supplier",
+    "doc_repetition_signals",
+    "doc_incremental_containment",
+    "doc_minhash_lsh_pairs",
+    "doc_jaccard_pairs",
+    "doc_simhash_pairs",
+    "doc_winnow_pairs",
+    "mm_phash_near_pairs",
+    "emb_near_dup_pairs",
+    "doc_dup_clusters",
+    "doc_pagerank",
+    "emb_kmeans",
+    "emb_semantic_dedup",
 ]
 
 

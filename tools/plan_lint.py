@@ -111,14 +111,17 @@ _BNLJ_BOUNDED = (
     "LocalLimit",
     "CollectLimit",
     "Sample",
-    "ReusedExchange",
 )
 
 
 def unbounded_bnlj_builds(jphys) -> list[str]:
     """Structural BNLJ rule: for every BroadcastNestedLoopJoinExec,
     the BUILD child's subtree must contain a bounding node
-    (_BNLJ_BOUNDED). Returns one description per violating node."""
+    (_BNLJ_BOUNDED). A ReusedExchangeExec is NOT itself bounding: it is
+    a leaf whose ``child()`` points at the original exchange, so the
+    check recurses into that original's subtree — an unbounded
+    broadcast that happens to be reused fails the gate like any other.
+    Returns one description per violating node."""
     bad: list[str] = []
 
     def visit(node):
@@ -130,6 +133,10 @@ def unbounded_bnlj_builds(jphys) -> list[str]:
 
         def mark(n):
             cls = n.getClass().getSimpleName()
+            if "ReusedExchange" in cls:
+                # resolve to the reused original and keep scanning there
+                _walk(n.child(), mark)
+                return
             if any(b in cls for b in _BNLJ_BOUNDED):
                 found[0] = True
 

@@ -98,14 +98,19 @@ QUEUES: dict[int, list[str]] = {
         "doc_bloom_decontaminate", "emb_pq_codes", "emb_ann_topk_pq",
         "doc_hybrid_rrf", "doc_dsir_select", "emb_ann_topk_ivfpq",
         "emb_pq_recall_report",
+        # round-6 additions (registry 217 -> 224), absorbed here so the
+        # never-certified pool empties this round (r6 verdict item 1)
+        "doc_containment_pairs", "doc_split_leakage",
+        "q21_waiting_suppliers", "q20_majority_share_suppliers",
+        "q2_min_cost_supplier", "doc_repetition_signals",
+        "doc_incremental_containment",
         # pool exhausted past this point: re-cert the heaviest families
-        # (pair generators, streaming, rank ops) round-robin
+        # (pair generators, graph, clustering) round-robin; the rest of
+        # the r6-era re-cert list flows into the r8 age queue
         "doc_minhash_lsh_pairs", "doc_jaccard_pairs", "doc_simhash_pairs",
         "doc_winnow_pairs", "mm_phash_near_pairs", "emb_near_dup_pairs",
         "doc_dup_clusters", "doc_pagerank", "emb_kmeans",
-        "emb_semantic_dedup", "emb_ann_topk_ivf", "emb_ann_topk_lsh",
-        "stream_sessionize", "stream_dedup", "stream_hourly_rollup",
-        "stream_session_window", "stream_stream_attrib",
+        "emb_semantic_dedup",
     ],
 }
 
@@ -170,7 +175,14 @@ def main() -> int:
     use_age = "--age" in sys.argv
     dry = "--dry" in sys.argv
     argv = [a for a in sys.argv[1:] if a not in ("--age", "--dry")]
+    if not argv or not argv[0].lstrip("-").isdigit():
+        print(__doc__)
+        return 2
     round_no = int(argv[0])
+    if use_age and argv[1:]:
+        print("--age computes the slots itself; explicit names "
+              f"{argv[1:]} would be ignored — pass one or the other")
+        return 2
 
     sys.path.insert(0, ROOT)
     from etl_gardener_spark.plans import queries as QmodEarly
