@@ -260,12 +260,44 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_auto_params(
+    n_docs: int, threshold: float, max_hashes: int = 144
+) -> tuple[int, int]:
+    """Deterministic (num_hashes, bands) keyed on CORPUS SIZE and the
+    Jaccard threshold — the self-correcting answer to banding-collision
+    onset (SCALE.md sf3 ladder, α=1.36 at fixed tuning).
+
+    Rows-per-band bounds the spurious-collision mass: a band collides on
+    a non-duplicate pair with probability ≈ s^rows, so the expected
+    spurious candidates are ~bands·n²·E[s^rows]; holding rows =
+    ⌈log10(n)⌉ keeps that near-linear in n as the corpus grows (each 10×
+    growth adds one row). Bands then re-center the S-curve on the
+    threshold via the standard t ≈ (1/bands)^(1/rows) relation, capped
+    so num_hashes = bands·rows stays within ``max_hashes`` (signature
+    cost per doc is linear in it; 144 ≳ the datasketch-style 128-perm
+    default). Deterministic — record the choice with the signature
+    store, exactly as ``lsh_tuning`` prescribes, so incremental batches
+    probe with the same banding forever.
+    """
+    import math
+
+    if n_docs < 0:
+        raise ValueError(f"n_docs must be >= 0, got {n_docs}")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    rows = max(2, math.ceil(math.log10(max(n_docs, 10))))
+    rows = min(rows, max_hashes // 2)
+    bands = round((1.0 / threshold) ** rows)
+    bands = max(1, min(bands, max_hashes // rows))
+    return bands * rows, bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    num_hashes: int = 12,
-    bands: int = 4,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     n: int = 3,
     threshold: float = 0.5,
     hashes: DataFrame | None = None,
@@ -278,10 +310,23 @@ def minhash_lsh_pairs(
     join reads the same materialized sets. Running ``minhash_signature``
     and ``jaccard_pairs`` separately would shingle the corpus twice.
 
+    ``num_hashes``/``bands`` default to ``lsh_auto_params(count, t)`` —
+    banding keyed on corpus size, so collision onset self-corrects as
+    the corpus grows (one count job when both are None). Pass both
+    explicitly to reproduce a recorded tuning (the registry oracle pins
+    12/4); passing exactly one of the two is an error since the pair is
+    chosen jointly.
+
     ``hashes``: pass an already-materialized `shingle_hash_sets` output
     to share one shingling pass across pipelines (e.g. the LSH recall
     report runs this AND the exact PPJoin over the same corpus).
     """
+    if (num_hashes is None) != (bands is None):
+        raise ValueError(
+            "pass both num_hashes and bands, or neither (auto-tuned)"
+        )
+    if num_hashes is None:
+        num_hashes, bands = lsh_auto_params(df.count(), threshold)
     sh = (
         hashes
         if hashes is not None

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.localrel import local_df
+
 from etl_gardener_spark.operators.similarity import ivf_centroids
 
 
@@ -88,7 +90,8 @@ def _codebook_df(
     Explicit schema: an empty corpus yields zero seeds and inference
     cannot type an empty local relation (differential-fuzz, seed 0)."""
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids=k_sub)
-    return corpus.sparkSession.createDataFrame(
+    return local_df(
+        corpus.sparkSession,
         [(cid, vec) for cid, vec in cents], "cid long, cvec array<double>"
     )
 
@@ -274,8 +277,8 @@ def pq_topk_ivf(
 
     spark = corpus.sparkSession
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    cents_df = spark.createDataFrame(
-        [(cid, vec) for cid, vec in cents], "cid long, cvec array<double>"
+    cents_df = local_df(
+        spark, [(cid, vec) for cid, vec in cents], "cid long, cvec array<double>"
     )
     cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")

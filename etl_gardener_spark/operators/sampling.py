@@ -25,6 +25,8 @@ from typing import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.localrel import local_df
+
 #: modulus for split bucketing — 1e6 buckets ≈ 0.0001% quantization of
 #: requested fractions; the 32-bit md5 prefix is uniform over it.
 SPLIT_MOD = 1_000_000
@@ -184,8 +186,8 @@ def mixture_sample(
     if any(v <= 0 for v in target_shares.values()):
         raise ValueError("target shares must be positive")
     spark = df.sparkSession
-    targets = spark.createDataFrame(
-        sorted(target_shares.items()), [strat_col, "__share"]
+    targets = local_df(
+        spark, sorted(target_shares.items()), [strat_col, "__share"]
     )
     in_spec = df.join(F.broadcast(targets), strat_col)
     counts = in_spec.groupBy(strat_col, "__share").agg(

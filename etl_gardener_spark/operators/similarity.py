@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.localrel import local_df
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Float64 dot product, left-to-right fold (deterministic)."""
@@ -335,7 +337,8 @@ def embedding_near_dup_pairs(
     if method == "blocked":
         spark = df.sparkSession
         b_n = num_blocks
-        pair_keys = spark.createDataFrame(
+        pair_keys = local_df(
+            spark,
             [(i, j) for i in range(b_n) for j in range(i, b_n)],
             "ga int, gb int",
         )
@@ -494,7 +497,8 @@ def cosine_topk_ivf(
     # explicit schema: an EMPTY corpus yields zero centroids, and schema
     # inference cannot type an empty local relation (differential-fuzz,
     # seed 0) — downstream joins then correctly produce zero results
-    cents_df = spark.createDataFrame(
+    cents_df = local_df(
+        spark,
         [(cid, vec) for cid, vec in cents],
         "cid long, cvec array<double>",
     )
@@ -680,7 +684,8 @@ def kmeans_fit(
     )
     # explicit schema: empty corpus -> zero seed centroids (see
     # cosine_topk_ivf note)
-    cents = spark.createDataFrame(
+    cents = local_df(
+        spark,
         sorted((int(r[0]), [float(x) for x in r[1]]) for r in seeds),
         "cid long, cvec array<double>",
     )
@@ -711,14 +716,27 @@ def kmeans_fit(
     return final, cents
 
 
+def semdedup_auto_k(
+    n_vecs: int, target_cluster_size: int = 1024, k_min: int = 8
+) -> int:
+    """The k∝n contract, executable: enough clusters that the expected
+    cluster holds ~``target_cluster_size`` vectors. With k fixed, the
+    within-cluster GEMM is O(n²/k) — quadratic in corpus size (measured
+    α=1.87 on the sf1→sf3 ladder, SCALE.md); with k = n/target it is
+    O(n·target), linear. Floor of ``k_min`` keeps tiny corpora from
+    degenerating to one cluster."""
+    return max(k_min, n_vecs // target_cluster_size)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     n_iter: int = 2,
     threshold: float = 0.4,
     round_digits: int = 6,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus with
     deterministic Lloyd k-means, then compare vectors ONLY within their
@@ -738,9 +756,16 @@ def semantic_dedup(
     smaller-id similar neighbor) is a greedy min-id policy: deterministic,
     one pass, no iteration to fixpoint — the same policy as
     exact_dup_groups' keep_id.
+
+    ``k=None`` (the default) applies the k∝n contract via
+    ``semdedup_auto_k`` — one count job, then k = max(8, n/target).
+    Pass an explicit k only when reproducing a fixed clustering (the
+    registry oracle pins k=8 for bit-exact replay).
     """
     import numpy as np
 
+    if k is None:
+        k = semdedup_auto_k(df.count(), target_cluster_size)
     assign = kmeans(df, id_col, vec_col, k, n_iter, round_digits).localCheckpoint(
         eager=False
     )

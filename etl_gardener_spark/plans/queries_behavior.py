@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.localrel import local_df
+
 from etl_gardener_spark.functions.exact import micro_display, micro_sum, micro_sum_sql
 from etl_gardener_spark.plans.queries import query
 from etl_gardener_spark.sources.tables import load_table
@@ -324,7 +326,7 @@ def dq_quarantine_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = acc.unionByName(quar)
-    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    result = local_df(spark, out.collect(), schema=out.schema)
     _sh.rmtree(root, ignore_errors=True)
     return result
 
@@ -934,7 +936,7 @@ def bucketed_cohort_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cohorts x types) and the bucketed copy of events must not outlive
     # the query (repeated bench runs would otherwise accrete a full
     # events copy per invocation in /tmp).
-    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    result = local_df(spark, out.collect(), schema=out.schema)
     for t in (tf_name, td_name):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     _sh.rmtree(root, ignore_errors=True)

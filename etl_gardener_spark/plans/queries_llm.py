@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.localrel import local_df
+
 from etl_gardener_spark.functions import text as TX
 from etl_gardener_spark.functions.exact import (
     floor_div_expr,
@@ -2001,8 +2003,14 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     kw = dict(m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB)
-    exact = PQ.exact_l2_topk(e, probes, k=5, m=_PQ_M, sub_dim=_PQ_SUB).select(
-        "query_id", "neighbor_id"
+    # ground truth is computed ONCE per (corpus, query-set, k) and
+    # reused by every consumer (the count + one join per method below
+    # are three actions; without the checkpoint each re-runs the full
+    # exact-L2 GEMM over the corpus — r6 verdict item 4)
+    exact = (
+        PQ.exact_l2_topk(e, probes, k=5, m=_PQ_M, sub_dim=_PQ_SUB)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     # encode ONCE and search both paths off the materialized index —
     # the deployment shape (a PQ index is built once, queried many
@@ -2024,8 +2032,9 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # x/0 answer the oracle produces)
         recall = round(matched / n_exact, 4) if n_exact else None
         rows.append((method, n_exact, matched, recall))
-    return spark.createDataFrame(
-        rows, "method string, n_exact long, n_matched long, recall double"
+    return local_df(
+        spark, rows,
+        "method string, n_exact long, n_matched long, recall double"
     )
 
 
@@ -2222,7 +2231,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)
 
 
 @query(
@@ -2349,7 +2358,8 @@ def stream_warehouse_sink_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = wh.read(spark, "join", "exp", "hourly")
         # Materialize before the tempdirs are removed (the returned frame
         # must not re-read the deleted warehouse files).
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             out.select("hour", "event_type", "n", "total_value").collect(),
             schema=out.select("hour", "event_type", "n", "total_value").schema,
         )
@@ -2418,7 +2428,7 @@ def stream_sliding_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)
 
 
 @query(
@@ -2489,7 +2499,7 @@ def stream_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)
 
 
 _PHASH32 = (
@@ -3156,8 +3166,9 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     if e.limit(1).count() == 0:
         # empty corpus: nothing to decompose — the oracle's aggregate
         # shape (one row: 0 vecs, NULL variance, constant-TRUE flag)
-        return spark.createDataFrame(
-            [(0, None, True)], "n_vecs long, total_var double, pca_ok boolean"
+        return local_df(
+            spark, [(0, None, True)],
+            "n_vecs long, total_var double, pca_ok boolean"
         )
     model = PC.pca_fit(e, "embedding", k=64)
     ev_sum = float(sum(model.explained_var))
@@ -3220,8 +3231,8 @@ def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     if e.limit(1).count() == 0:
         # empty corpus: invariants hold vacuously — mirror the oracle's
         # k rows of (component, 0, TRUE, TRUE, TRUE)
-        return spark.createDataFrame(
-            [(i, 0, True, True, True) for i in range(k)],
+        return local_df(
+            spark, [(i, 0, True, True, True) for i in range(k)],
             "component long, n_vecs long, mean_ok boolean, "
             "var_ok boolean, decorrelated boolean",
         )
@@ -3525,7 +3536,7 @@ def stream_scrub_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phone",
             "split",
         )
-        return spark.createDataFrame(out.collect(), schema=out.schema)
+        return local_df(spark, out.collect(), schema=out.schema)
     finally:
         _shutil.rmtree(root, ignore_errors=True)
         _shutil.rmtree(ckpt, ignore_errors=True)
@@ -4078,7 +4089,13 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (query, neighbor)."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
-    brute = SIM.cosine_topk(e, probes, k=5).select("query_id", "neighbor_id")
+    # exact ground truth computed ONCE and checkpointed — three actions
+    # consume it (count + one join per method); see emb_pq_recall_report
+    brute = (
+        SIM.cosine_topk(e, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     lsh = SIM.cosine_topk_lsh(e, probes, k=5, num_planes=4, dim=_DIM).select(
         "query_id", "neighbor_id"
     )
@@ -4093,8 +4110,9 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # x/0 answer the oracle produces; differential-fuzz, seed 0)
         recall = round(matched / n_brute, 4) if n_brute else None
         rows.append((method, n_brute, matched, recall))
-    return spark.createDataFrame(
-        rows, "method string, n_brute long, n_matched long, recall double"
+    return local_df(
+        spark, rows,
+        "method string, n_brute long, n_matched long, recall double"
     )
 
 
@@ -4184,8 +4202,8 @@ def dq_table_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _CONTRACT_TABLES:
         df = load_table(spark, sf_dir, t)
         rows.append((t, len(df.columns), df.count()))
-    return spark.createDataFrame(
-        rows, "tbl string, n_cols long, n_rows long"
+    return local_df(
+        spark, rows, "tbl string, n_cols long, n_rows long"
     )
 
 

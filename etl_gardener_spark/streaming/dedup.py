@@ -24,6 +24,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_gardener_spark.functions.localrel import local_df
+
 from etl_gardener_spark.streaming.events import read_events_stream
 
 
@@ -52,4 +54,4 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)

@@ -22,6 +22,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from etl_gardener_spark.functions.localrel import local_df
 from pyspark.sql import types as T
 
 # Streaming needs an explicit schema. The testdata's ts column has shipped
@@ -150,7 +152,7 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     # Materialize before the in-memory sink table goes away.
     out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    result = local_df(spark, out.collect(), schema=out.schema)
     return result
 
 
@@ -211,7 +213,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)
 
 
 def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,7 +269,7 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)
 
 
 def stream_dedup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,4 +312,4 @@ def stream_dedup_vs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = spark.table(name)
-    return spark.createDataFrame(out.collect(), schema=out.schema)
+    return local_df(spark, out.collect(), schema=out.schema)

@@ -244,10 +244,14 @@ def test_incremental_minhash_equals_full_corpus_pairs(spark):
             t = t + " extra tail token"
         rows.append((i, t))
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # the signature store pins its tuning (12 hashes / 4 bands) when
+    # written; the full-corpus reference must probe with the SAME
+    # banding rather than the corpus-size auto-tune, exactly as an
+    # incremental deployment records it (lsh_auto_params docstring)
     full_pairs = {
         (r.id_a, r.id_b)
         for r in ND.minhash_lsh_pairs(
-            docs, "text", "doc_id", threshold=0.5
+            docs, "text", "doc_id", num_hashes=12, bands=4, threshold=0.5
         ).collect()
     }
     store_docs = docs.filter(F.col("doc_id") % 2 == 0)
