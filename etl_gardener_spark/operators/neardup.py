@@ -269,15 +269,22 @@ def lsh_auto_params(
 
     Rows-per-band bounds the spurious-collision mass: a band collides on
     a non-duplicate pair with probability ≈ s^rows, so the expected
-    spurious candidates are ~bands·n²·E[s^rows]; holding rows =
-    ⌈log10(n)⌉ keeps that near-linear in n as the corpus grows (each 10×
-    growth adds one row). Bands then re-center the S-curve on the
-    threshold via the standard t ≈ (1/bands)^(1/rows) relation, capped
-    so num_hashes = bands·rows stays within ``max_hashes`` (signature
-    cost per doc is linear in it; 144 ≳ the datasketch-style 128-perm
-    default). Deterministic — record the choice with the signature
-    store, exactly as ``lsh_tuning`` prescribes, so incremental batches
-    probe with the same banding forever.
+    spurious candidates are ~bands·n²·E[s^rows]. The schedule rows =
+    max(3, ⌈log10(n)⌉ − 2) holds rows=3 through ~100k docs — the r7
+    sf1→sf3 ladder measured NO collision onset there (α 0.97 at 12/4
+    once the 32-slice local-relation overhead was removed; the r6 α=1.36
+    reading was partly that overhead) — then adds one row per further
+    corpus decade, ahead of the birthday term. Bands re-center the
+    S-curve on the threshold via the standard t ≈ (1/bands)^(1/rows)
+    relation (at t=0.5, rows=3 that is 8 bands — the pinned 12/4
+    tuning's capture probability at the threshold is only 0.41; the
+    extra bands buy threshold-centered recall for 2× signature cost),
+    capped so num_hashes = bands·rows stays within ``max_hashes``
+    (signature cost per doc is linear in it; 144 ≳ the
+    datasketch-style 128-perm default). Deterministic — record the
+    choice with the signature store, exactly as ``lsh_tuning``
+    prescribes, so incremental batches probe with the same banding
+    forever.
     """
     import math
 
@@ -285,7 +292,7 @@ def lsh_auto_params(
         raise ValueError(f"n_docs must be >= 0, got {n_docs}")
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
-    rows = max(2, math.ceil(math.log10(max(n_docs, 10))))
+    rows = max(3, math.ceil(math.log10(max(n_docs, 10))) - 2)
     rows = min(rows, max_hashes // 2)
     bands = round((1.0 / threshold) ** rows)
     bands = max(1, min(bands, max_hashes // rows))

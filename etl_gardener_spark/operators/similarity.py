@@ -639,6 +639,75 @@ def kmeans_assign(
     return scored.groupBy(id_col).agg(F.min_by(F.col("cid"), ordk).alias("cid"))
 
 
+def kmeans_assign_gemm(
+    df: DataFrame,
+    cents_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """``kmeans_assign`` computed as one numpy GEMM per Arrow batch:
+    same (id, cid) contract, same rounded-cosine argmax with min-cid
+    tie-break, same NULL/zero-norm → −2 sentinel.
+
+    Why it exists: the Catalyst assignment is a k-way broadcast
+    nested-loop whose per-pair score is an interpreted lambda fold —
+    O(n·k·d) lambda evaluations. That is fine at fixed small k, but the
+    SemDeDup k∝n contract makes k grow with the corpus, and the
+    assignment becomes the quadratic term (r7 ladder: auto-k α=2.02
+    through the fold path). Here the scores for a batch are one
+    ``M @ C.T`` BLAS call (centroids broadcast as a k×d ndarray; k is
+    O(n/target) rows of d doubles — the same driver-size class as any
+    broadcast build side).
+
+    Float caveat, stated rather than hidden: numpy's matmul uses
+    pairwise summation while the Catalyst/oracle fold is sequential, so
+    a dot product can differ in the last ulp BEFORE the 6-dp round.
+    Identical-at-6dp holds on every corpus this repo certifies (the
+    within-cluster GEMM in ``semantic_dedup`` has always taken the same
+    risk and strict-passes); the pinned-k oracle-replay path keeps the
+    fold. tests/test_localrel_autotune.py asserts auto(=GEMM) ==
+    pinned(=fold) end-to-end."""
+    import numpy as np
+
+    rows = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in cents_df.collect()
+    )
+    if not rows:
+        return df.select(
+            F.col(id_col), F.lit(0).cast("long").alias("cid")
+        ).filter(F.lit(False))
+    cids = np.array([c for c, _ in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vecs = [
+                v if v is not None else [0.0] * cmat.shape[1]
+                for v in pdf[vec_col]
+            ]
+            mat = np.array(vecs, dtype=np.float64)
+            vnorm = np.sqrt((mat * mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = (mat @ cmat.T) / np.outer(vnorm, cnorm)
+            scores = np.where(np.isfinite(scores), scores, -2.0)
+            np.round(scores, round_digits, out=scores)
+            # cids is ascending and argmax returns the FIRST max, so
+            # ties break to the smallest cid — the min_by(ordk) winner
+            best = scores.argmax(axis=1)
+            yield pd.DataFrame({id_col: ids, "cid": cids[best]})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _assign, schema=f"{id_col} long, cid long"
+    )
+
+
 def kmeans(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -646,6 +715,7 @@ def kmeans(
     k: int = 8,
     n_iter: int = 2,
     round_digits: int = 6,
+    assign: str = "fold",
 ) -> DataFrame:
     """Distributed Lloyd k-means over an embedding column: (id, cluster).
 
@@ -659,8 +729,10 @@ def kmeans(
     corpus size, which is what makes Lloyd scale: the only full-data
     operations are a map (assign) and a map-side-combined sum (update).
     """
-    assign, _cents = kmeans_fit(df, id_col, vec_col, k, n_iter, round_digits)
-    return assign
+    out, _cents = kmeans_fit(
+        df, id_col, vec_col, k, n_iter, round_digits, assign=assign
+    )
+    return out
 
 
 def kmeans_fit(
@@ -670,12 +742,22 @@ def kmeans_fit(
     k: int = 8,
     n_iter: int = 2,
     round_digits: int = 6,
+    assign: str = "fold",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means returning BOTH the final assignment (id, cluster_id)
     and the fitted centroid relation (cid, cvec). The centroid relation
     is the persistable model an incremental pipeline stores next to the
     corpus assignments, so later batches can be routed to the same
-    clusters without re-training (``incremental_semantic_dedup``)."""
+    clusters without re-training (``incremental_semantic_dedup``).
+
+    ``assign``: 'fold' (default) scores each (vector, centroid) pair
+    with the sequential Catalyst fold — bit-identical to the SQL oracle,
+    the pinned-k replay path; 'gemm' routes every assignment pass
+    through ``kmeans_assign_gemm`` — O(n·k·d) BLAS instead of O(n·k·d)
+    interpreted lambdas, the k∝n path (see its float caveat)."""
+    if assign not in ("fold", "gemm"):
+        raise ValueError(f"assign must be 'fold' or 'gemm', got {assign!r}")
+    assign_fn = kmeans_assign if assign == "fold" else kmeans_assign_gemm
     spark = df.sparkSession
     seeds = (
         df.select(F.col(id_col), F.col(vec_col))
@@ -692,11 +774,11 @@ def kmeans_fit(
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
     for _ in range(n_iter):
-        assign = kmeans_assign(vecs, cents, id_col, vec_col, round_digits)
+        cur = assign_fn(vecs, cents, id_col, vec_col, round_digits)
         # update: element-wise mean per cluster, rebuilt into an array
         # ordered by dimension; empty clusters drop out (their cid simply
         # stops attracting points — Lloyd's standard degenerate case)
-        exploded = vecs.join(assign, id_col).select(
+        exploded = vecs.join(cur, id_col).select(
             "cid", F.posexplode(vec_col).alias("pos", "val")
         )
         cents = (
@@ -710,7 +792,7 @@ def kmeans_fit(
                 ).alias("cvec")
             )
         ).localCheckpoint(eager=True)
-    final = kmeans_assign(vecs, cents, id_col, vec_col, round_digits).select(
+    final = assign_fn(vecs, cents, id_col, vec_col, round_digits).select(
         F.col(id_col), F.col("cid").alias("cluster_id")
     )
     return final, cents
@@ -764,11 +846,17 @@ def semantic_dedup(
     """
     import numpy as np
 
+    # auto-k routes the assignment through the GEMM path: with k∝n the
+    # Catalyst per-pair fold becomes the quadratic term (O(n·k·d)
+    # interpreted lambdas — r7 ladder measured α=2.02); pinned k keeps
+    # the fold for bit-exact oracle replay
+    method = "fold"
     if k is None:
         k = semdedup_auto_k(df.count(), target_cluster_size)
-    assign = kmeans(df, id_col, vec_col, k, n_iter, round_digits).localCheckpoint(
-        eager=False
-    )
+        method = "gemm"
+    assign = kmeans(
+        df, id_col, vec_col, k, n_iter, round_digits, assign=method
+    ).localCheckpoint(eager=False)
     v = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
 
     def _cluster_dups(pdf):

@@ -1032,6 +1032,28 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_minhash_lsh_auto_pairs",
+    # lsh_auto_params(n, 0.5) = (24 hashes, 8 bands) for EVERY corpus
+    # up to 100k docs (the rows floor), which covers sf0.01/0.1/1 and
+    # all fuzz fixtures — this static oracle is exact there. Sweeps on
+    # >100k-doc fixtures route through the dynamic PY_ORACLES entry in
+    # tools/compare_strict.py, which recomputes the banding from
+    # COUNT(*) and regenerates the same parameterized SQL.
+    _minhash_oracle(num_hashes=24, bands=8),
+    tags=("llm", "dedup", "lsh", "autotune"),
+)
+def doc_minhash_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-tuned twin of [[doc_minhash_lsh_pairs]]: banding chosen
+    by neardup.lsh_auto_params from the corpus size and threshold
+    instead of pinned 12/4 — threshold-centered capture (probability at
+    s=0.5 is 0.50 vs the pinned tuning's 0.41) with rows-per-band
+    growing one per corpus decade past 100k docs. The production
+    default; the pinned query remains the recorded-tuning replay."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.minhash_lsh_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query(
     "doc_jaccard_pairs",
     f"""
     {_DOCS_CTE},

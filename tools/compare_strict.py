@@ -206,7 +206,24 @@ def _pack_sequences_reference(con) -> pa.Table:
 # sweep. Keys must stay registered with a (driver-facing) SQL oracle —
 # the driver certifies them at sf0.01 where the SQL cost is fine; the
 # reference is what lets the LOCAL sweep run them at sf0.1/sf1 too.
-PY_ORACLES = {"doc_pack_sequences": _pack_sequences_reference}
+def _minhash_auto_reference(con) -> "pa.Table":
+    """Dynamic oracle for doc_minhash_lsh_auto_pairs: recompute the
+    auto banding from the fixture's doc count (the registered static
+    SQL pins (24, 8), exact for any corpus <= 100k docs — every local
+    SF and fuzz fixture — but a >100k sweep fixture steps the rows
+    schedule), then run the SAME parameterized SQL generator."""
+    from etl_gardener_spark.operators.neardup import lsh_auto_params
+    from etl_gardener_spark.plans.queries_llm import _minhash_oracle
+
+    n = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    num_hashes, bands = lsh_auto_params(int(n), 0.5)
+    return con.execute(_minhash_oracle(num_hashes, bands)).arrow()
+
+
+PY_ORACLES = {
+    "doc_pack_sequences": _pack_sequences_reference,
+    "doc_minhash_lsh_auto_pairs": _minhash_auto_reference,
+}
 
 
 def main() -> int:

@@ -136,6 +136,14 @@ def gen_docs(rng: random.Random, n: int) -> dict:
             text = ""
         elif kind < 0.1:
             text = rng.choice(WORDS)
+        elif kind < 0.18 and rows["text"]:
+            # cross-document near-dup: reuse an earlier doc's text
+            # verbatim (Jaccard 1.0) or with one token appended (high
+            # containment/Jaccard) — the capture shapes the pair
+            # generators (minhash/jaccard/simhash/winnow/containment)
+            # never see from purely random texts
+            src = rng.choice(rows["text"])
+            text = src if rng.random() < 0.5 else (src + " " + rng.choice(WORDS)).strip()
         else:
             lines = []
             for _ in range(rng.randint(1, 5)):
@@ -442,7 +450,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from etl_gardener_spark.session import get_spark
     from tests.conftest import TABLES
-    from tools.compare_strict import compare_frames
+    from tools.compare_strict import PY_ORACLES, compare_frames
 
     spark = get_spark(app_name="fuzz-differential")
     qs = entrymod.queries()
@@ -484,7 +492,13 @@ def main() -> int:
                 continue
             n_run += 1
             try:
-                problems, nrows = compare_frames(qs[name](spark, d), con, oracles[name])
+                # PY_ORACLES: data-dependent oracles (auto-tuned banding
+                # reads the fixture's doc count) and linear references —
+                # same routing as the strict sweep
+                problems, nrows = compare_frames(
+                    qs[name](spark, d), con,
+                    PY_ORACLES.get(name, oracles[name]),
+                )
             except Exception as e:  # noqa: BLE001 - a crash IS a finding
                 problems, nrows = [f"exception: {type(e).__name__}: {e}"[:300]], -1
             if problems:
