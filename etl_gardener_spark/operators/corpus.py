@@ -905,3 +905,62 @@ def repetition_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before it
+    (smaller id = earlier): the fraction of a document's distinct hashed
+    n-gram shingles whose FIRST occurrence (min doc id) is this
+    document.
+
+    The curriculum/dedup-triage signal between exact dedup and pair
+    generation: novelty ~1 means fresh content, ~0 means the document is
+    assembled from already-seen text (template spam, quote farms) even
+    when no single pair clears a near-dup threshold. Deduplicating
+    training data this way (keep first, score the rest by what they
+    add) is the streaming view of MinHash dedup's min-id survivor rule.
+
+    Output: (id, n_shingles, n_novel, novelty) over documents with >= n
+    tokens; novelty displays through the sign-correct floor kernel at
+    4 dp (integers until the final divide).
+
+    Plan shape: one shingle explode, one groupBy(h) min aggregate (the
+    first-occurrence index — map-side combined), one equi-join back on
+    the shingle hash, one per-doc aggregate. Everything keys on the
+    shingle hash or the doc id: no pair join, no corpus² term, and the
+    first-occurrence index is exactly the relation an incremental
+    ingest persists (same store shape as line_hash_store) so tomorrow's
+    batch scores against it at batch cost.
+    """
+    from etl_gardener_spark.functions.exact import floor_div_expr
+
+    sh = shingle_hash_sets(df, text_col, id_col, n)
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("__h"))
+    firsts = ex.groupBy("__h").agg(F.min(id_col).alias("__first"))
+    return (
+        ex.join(firsts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            (
+                F.expr(
+                    floor_div_expr(
+                        "2 * n_novel * 10000 + n_shingles", "2 * n_shingles"
+                    )
+                ).cast("double")
+                / 10000.0
+            ).alias("novelty"),
+        )
+    )

@@ -1223,6 +1223,46 @@ def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_ngram_novelty",
+    f"""
+    {{_DOCS_CTE}},
+    sh AS (SELECT doc_id, {{_SHINGLE_HASHES}} AS sh FROM d
+           WHERE len(toks) >= 3),
+    ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+    firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h),
+    agg AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM ex e JOIN firsts f USING (h) GROUP BY e.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST({{_NOVEL_DIV}} AS DOUBLE) / 10000.0 AS novelty
+    FROM agg
+    """.format(
+        _DOCS_CTE=_DOCS_CTE,
+        _SHINGLE_HASHES=_SHINGLE_HASHES,
+        _NOVEL_DIV=floor_div_sql(
+            "2 * n_novel * 10000 + n_shingles", "2 * n_shingles"
+        ),
+    ),
+    tags=("llm", "dedup", "quality", "incremental"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything ingested before it
+    (min-doc-id first occurrence over hashed 3-gram shingles) — the
+    curriculum/dedup-triage signal between exact dedup and pair
+    generation: ~0 means the document is assembled from already-seen
+    text even when no single near-dup pair clears a threshold. One
+    shingle explode + a first-occurrence index (the same persistable
+    store shape as line_hash_store) + one per-doc aggregate; integer
+    counts, floor-kernel display at 4 dp
+    (operators/corpus.ngram_novelty)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.ngram_novelty(d, "text", "doc_id", n=3)
+
+
+@query(
     "doc_split_leakage",
     f"""
     {{_DOCS_CTE}},
@@ -4135,6 +4175,106 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(
         spark, rows,
         "method string, n_brute long, n_matched long, recall double"
+    )
+
+
+def _dot_sql_dim(a: str, b: str, dim: int) -> str:
+    """Dim-bounded variant of _dot_sql: the fold runs over the first
+    ``dim`` components only (Matryoshka prefix truncation)."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _cosine_sql_dim(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot_sql_dim(a, b, dim)} / (SQRT({_dot_sql_dim(a, a, dim)})"
+        f" * SQRT({_dot_sql_dim(b, b, dim)})))"
+    )
+
+
+_MATRYOSHKA_DIMS = (16, 32)
+
+
+def _matryoshka_oracle(k: int = 5) -> str:
+    def brute(dim: int) -> str:
+        cos = _cosine_sql_dim("q.q_vec", "c.embedding", dim)
+        return f"""
+          SELECT t.query_id, t.vec_id AS neighbor_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY ROUND({cos}, 6) DESC, c.vec_id ASC) AS rk
+            FROM embeddings c,
+                 (SELECT vec_id AS query_id, embedding AS q_vec
+                  FROM embeddings WHERE vec_id < 10) q
+            WHERE c.vec_id <> q.query_id) t(query_id, vec_id, rk)
+          WHERE rk <= {k}
+        """
+
+    arms = "\n      UNION ALL\n".join(
+        f"""SELECT CAST({dim} AS BIGINT) AS dim,
+             CAST((SELECT COUNT(*) FROM fulltop) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(*) FROM t{dim} a JOIN fulltop b
+                   USING (query_id, neighbor_id)) AS BIGINT) AS n_matched"""
+        for dim in _MATRYOSHKA_DIMS
+    )
+    truncs = ",\n    ".join(
+        f"t{dim} AS ({brute(dim)})" for dim in _MATRYOSHKA_DIMS
+    )
+    return f"""
+    WITH fulltop AS ({brute(_DIM)}),
+    {truncs},
+    m AS ({arms})
+    SELECT dim, n_exact, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
+    FROM m
+    """
+
+
+@query(
+    "emb_matryoshka_recall_report",
+    _matryoshka_oracle(),
+    tags=("llm", "ann", "eval", "quality"),
+)
+def emb_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality report (Kusupati et al. 2022): what
+    fraction of the full-dimension exact cosine top-5 survives when the
+    index stores only the first 16 / 32 of 64 components — the number
+    that decides whether prefix-truncated embeddings (4×/2× cheaper
+    storage and GEMM at search time) are usable for THIS corpus before
+    re-embedding anything. Ground truth is computed once and
+    checkpointed (the shared-ground-truth pattern of
+    [[emb_ann_recall_report]]); each truncation arm is the same exact
+    brute-force search over sliced arrays, so the comparison isolates
+    truncation loss, not index approximation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    full = (
+        SIM.cosine_topk(e, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = full.count()
+    rows = []
+    for dim in _MATRYOSHKA_DIMS:
+        te = e.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        tp = probes.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        trunc = SIM.cosine_topk(te, tp, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        matched = trunc.join(full, ["query_id", "neighbor_id"]).count()
+        # empty corpus: recall undefined -> NULL (the SQL x/0 answer)
+        recall = round(matched / n_exact, 4) if n_exact else None
+        rows.append((dim, n_exact, matched, recall))
+    return local_df(
+        spark, rows,
+        "dim long, n_exact long, n_matched long, recall double"
     )
 
 

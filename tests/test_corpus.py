@@ -392,3 +392,49 @@ def test_repetition_signals_known_answers(spark):
     # -> 3/5 = 0.6; trigrams all unique
     assert got[3] == (5, "a b", 1, 0.6, 0.0)
     assert 4 not in got
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            # doc 0: 4 tokens -> 2 distinct trigrams, all first-seen
+            (0, "a b c d"),
+            # doc 1: verbatim copy of doc 0 -> 0 novel
+            (1, "a b c d"),
+            # doc 2: shares "b c d" with doc 0, adds "c d e" and "d e f"
+            (2, "b c d e f"),
+            # doc 3: too short for a trigram -> excluded
+            (3, "x y"),
+            # doc 4: fully fresh
+            (4, "p q r s"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in CP.ngram_novelty(df, "text", "doc_id", n=3).collect()
+    }
+    assert got[0] == (2, 2, 1.0)
+    assert got[1] == (2, 0, 0.0)
+    # "b c d" first seen in doc 0 -> 2 of 3 novel; 2/3 half-up 4dp
+    assert got[2] == (3, 2, 0.6667)
+    assert 3 not in got
+    assert got[4] == (2, 2, 1.0)
+
+
+def test_matryoshka_truncation_recall_bounds(spark):
+    from etl_gardener_spark.plans.queries_llm import (
+        emb_matryoshka_recall_report,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r["dim"]: r for r in emb_matryoshka_recall_report(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {16, 32}
+    for dim, r in rows.items():
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_matched"] <= r["n_exact"]
+    # prefix information is monotone in expectation; on the fixed test
+    # corpus the 32-dim prefix must not recall WORSE than the 16-dim one
+    assert rows[32]["recall"] >= rows[16]["recall"]
