@@ -936,8 +936,16 @@ def ngram_novelty(
     """
     from etl_gardener_spark.functions.exact import floor_div_expr
 
-    sh = shingle_hash_sets(df, text_col, id_col, n)
-    ex = sh.select(F.col(id_col), F.explode("sh").alias("__h"))
+    # one shingling pass: the exploded relation feeds BOTH the
+    # first-occurrence aggregate and the join's probe side — without the
+    # checkpoint Spark re-tokenizes and re-hashes the corpus for each
+    # (measured 2x task-s at sf0.1), the same discipline as
+    # minhash_lsh_pairs' shared shingle relation
+    ex = (
+        shingle_hash_sets(df, text_col, id_col, n)
+        .select(F.col(id_col), F.explode("sh").alias("__h"))
+        .localCheckpoint(eager=False)
+    )
     firsts = ex.groupBy("__h").agg(F.min(id_col).alias("__first"))
     return (
         ex.join(firsts, "__h")

@@ -1075,8 +1075,13 @@ def incremental_containment(
     """
     from etl_gardener_spark.functions.exact import floor_div_expr
 
-    ex_b = shingle_hash_sets(batch, text_col, id_col, n).select(
-        F.col(id_col).alias("batch_id"), F.explode("sh").alias("__h")
+    # one batch-shingling pass: the exploded batch feeds BOTH the
+    # denominator aggregate and the index probe join (without the
+    # checkpoint each re-tokenizes and re-hashes the batch)
+    ex_b = (
+        shingle_hash_sets(batch, text_col, id_col, n)
+        .select(F.col(id_col).alias("batch_id"), F.explode("sh").alias("__h"))
+        .localCheckpoint(eager=False)
     )
     sizes = ex_b.groupBy("batch_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_batch")
