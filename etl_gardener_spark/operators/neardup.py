@@ -1035,16 +1035,27 @@ def split_leakage_report(
     )
 
 
-def containment_index(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def containment_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    hashes: DataFrame | None = None,
+) -> DataFrame:
     """Persistable inverted index for containment checks: one row per
     (store_id, shingle hash) — exactly the relation
     :func:`incremental_containment` probes. Written as a parquet table
     bucketed/partitioned on the hash at deployment, so a daily ingest
     joins against it without rebuilding history (same store discipline
-    as minhash_store / line_hash_store)."""
-    return (
-        shingle_hash_sets(df, text_col, id_col, n)
-        .select(F.col(id_col).alias("store_id"), F.explode("sh").alias("__h"))
+    as minhash_store / line_hash_store). ``hashes``: reuse an existing
+    shingle_hash_sets relation instead of re-shingling."""
+    sh = (
+        hashes
+        if hashes is not None
+        else shingle_hash_sets(df, text_col, id_col, n)
+    )
+    return sh.select(
+        F.col(id_col).alias("store_id"), F.explode("sh").alias("__h")
     )
 
 
@@ -1055,6 +1066,7 @@ def incremental_containment(
     id_col: str,
     n: int = 3,
     tau_e2: int = 80,
+    hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Ingest-time containment screen: for each INCOMING document, the
     store documents that contain >= tau_e2/100 of its distinct shingles
@@ -1077,10 +1089,19 @@ def incremental_containment(
 
     # one batch-shingling pass: the exploded batch feeds BOTH the
     # denominator aggregate and the index probe join (without the
-    # checkpoint each re-tokenizes and re-hashes the batch)
+    # checkpoint each re-tokenizes and re-hashes the batch).
+    # ``hashes``: pass an already-materialized shingle_hash_sets output
+    # covering the batch to share one shingling pass with other
+    # pipelines (same convention as minhash_lsh_pairs/containment_pairs)
+    sh_b = (
+        hashes
+        if hashes is not None
+        else shingle_hash_sets(batch, text_col, id_col, n)
+    )
     ex_b = (
-        shingle_hash_sets(batch, text_col, id_col, n)
-        .select(F.col(id_col).alias("batch_id"), F.explode("sh").alias("__h"))
+        sh_b.select(
+            F.col(id_col).alias("batch_id"), F.explode("sh").alias("__h")
+        )
         .localCheckpoint(eager=False)
     )
     sizes = ex_b.groupBy("batch_id").agg(

@@ -1162,9 +1162,22 @@ def doc_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch cost is O(batch) + index collision fan-in, independent of
     corpus history size."""
     d = load_table(spark, sf_dir, "documents")
-    store = ND.containment_index(d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    # demo shape: store and batch are parity halves of ONE table, so
+    # shingle it once and split the materialized relation (a real
+    # deployment reads the store index from parquet instead)
+    sh = ND.shingle_hash_sets(d, "text", "doc_id", 3).localCheckpoint(
+        eager=False
+    )
+    store = ND.containment_index(
+        d, "text", "doc_id", hashes=sh.filter(F.col("doc_id") % 2 == 0)
+    )
     return ND.incremental_containment(
-        d.filter(F.col("doc_id") % 2 == 1), store, "text", "doc_id", tau_e2=80
+        d.filter(F.col("doc_id") % 2 == 1),
+        store,
+        "text",
+        "doc_id",
+        tau_e2=80,
+        hashes=sh.filter(F.col("doc_id") % 2 == 1),
     )
 
 
