@@ -1518,6 +1518,67 @@ def _cosine_sql(a: str, b: str) -> str:
 
 
 @query(
+    "doc_emb_dup_agreement",
+    f"""
+    {_DOCS_CTE},
+    sh AS (SELECT doc_id, {_SHINGLE_HASHES} AS sh FROM d
+           WHERE len(toks) >= 3),
+    g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM g x JOIN g y ON x.g = y.g AND x.doc_id < y.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.5)
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND({_cosine_sql("ea.embedding", "eb.embedding")}, 6) AS cosine,
+           (ROUND({_cosine_sql("ea.embedding", "eb.embedding")}, 6) >= 0.9)
+             AS modal_agree
+    FROM pairs p
+    JOIN embeddings ea ON ea.vec_id = p.id_a
+    JOIN embeddings eb ON eb.vec_id = p.id_b
+    """,
+    tags=("llm", "dedup", "multimodal", "quality"),
+)
+def doc_emb_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup consistency audit: for every exact text
+    near-dup pair (hashed-shingle Jaccard >= 0.5), the cosine between
+    the SAME documents' embeddings and whether the embedding modality
+    agrees it is a duplicate (rounded cosine >= 0.9). Text-dup pairs
+    whose embeddings disagree are the triage queue every multimodal
+    dedup pipeline reviews before trusting one modality to delete data
+    — stale embeddings, templated text around distinct payloads, or a
+    broken encoder all surface here. Cost: the text pair generator
+    bounds everything; the embedding lookup is two id equi-joins on a
+    pair set that is tiny relative to the corpus, so no vector ever
+    moves except for matched pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = ND.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    va = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    vb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    cos = F.round(SIM.cosine(F.col("__va"), F.col("__vb")), 6)
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            cos.alias("cosine"),
+            (cos >= 0.9).alias("modal_agree"),
+        )
+    )
+
+
+@query(
     "emb_label_cohesion",
     f"""
     WITH cent AS (
