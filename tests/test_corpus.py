@@ -438,3 +438,41 @@ def test_matryoshka_truncation_recall_bounds(spark):
     # prefix information is monotone in expectation; on the fixed test
     # corpus the 32-dim prefix must not recall WORSE than the 16-dim one
     assert rows[32]["recall"] >= rows[16]["recall"]
+
+
+def test_doc_emb_dup_agreement_pinned(spark):
+    from etl_gardener_spark.operators import neardup as ND
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "a b c d e"),  # verbatim dup of 0 -> jaccard 1.0
+            (2, "p q r s t"),  # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = ND.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    from pyspark.sql import functions as F
+    from etl_gardener_spark.operators.similarity import cosine
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0]),  # near-identical -> cosine ~1
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    cos = F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+    out = (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", "jaccard", cos.alias("cosine"),
+                (cos >= 0.9).alias("modal_agree"))
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"], r["jaccard"]) == (0, 1, 1.0)
+    assert r["cosine"] > 0.99 and r["modal_agree"] is True
