@@ -2523,7 +2523,7 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # counts only CORRECTNESS_r*.json artifacts from EARLIER rounds, so the
 # driver's own artifact for this round (written after round close)
 # cannot retroactively falsify the ≥70% first-time policy.
-DRIVER_WINDOW_ROUND = 7
+DRIVER_WINDOW_ROUND = 8
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     # — permanent, never rotates
@@ -2539,45 +2539,45 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # round-7 rotating slots (28/38 first-timers; tools/rotate_window.py)
-    "session_window_rollup",
-    "user_hour_entropy",
-    "events_dow_hour_heatmap",
-    "hourly_seasonal_anomalies",
-    "scd2_user_attribute",
-    "snapshot_apply_roundtrip",
-    "debounce_events",
-    "error_streaks",
-    "top_orders_with_ties",
-    "weekly_mixture_drift",
-    "event_type_affinity",
-    "props_key_census",
-    "dq_quarantine_promotion",
-    "weekly_user_cms_rollup",
-    "doc_bloom_decontaminate",
-    "emb_pq_codes",
-    "emb_ann_topk_pq",
-    "doc_hybrid_rrf",
-    "doc_dsir_select",
-    "emb_ann_topk_ivfpq",
-    "emb_pq_recall_report",
-    "doc_containment_pairs",
-    "doc_split_leakage",
-    "q21_waiting_suppliers",
-    "q20_majority_share_suppliers",
-    "q2_min_cost_supplier",
-    "doc_repetition_signals",
-    "doc_incremental_containment",
-    "doc_minhash_lsh_pairs",
-    "doc_jaccard_pairs",
-    "doc_simhash_pairs",
-    "doc_winnow_pairs",
-    "mm_phash_near_pairs",
-    "emb_near_dup_pairs",
-    "doc_dup_clusters",
-    "doc_pagerank",
-    "emb_kmeans",
-    "emb_semantic_dedup",
+    # round-8 rotating slots (4/38 first-timers; tools/rotate_window.py)
+    "doc_minhash_lsh_auto_pairs",
+    "doc_ngram_novelty",
+    "doc_emb_dup_agreement",
+    "emb_matryoshka_recall_report",
+    "compact_partition",
+    "cluster_partition",
+    "load_orc",
+    "refresh_rollup_days",
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "topk_per_group",
+    "asof_purchase_last_click",
+    "range_count_errors_before_purchase",
+    "daily_active_users",
+    "value_percentiles",
+    "rollup_revenue",
+    "moving_avg_value",
+    "hourly_rollup",
+    "salted_hourly_rollup",
+    "dq_lineitem_checks",
+    "props_variant_buckets",
+    "props_json_stats",
+    "minute_gapfill_ffill",
+    "daily_type_pivot",
+    "unpivot_daily_counts",
+    "loyal_buyers_setops",
+    "small_quantity_revenue",
+    "big_orders",
+    "value_dispersion",
+    "event_neighbors",
+    "purchaser_error_matrix",
+    "user_first_last_event",
+    "term_typo_pairs",
+    "value_trend_by_type",
+    "cube_orders",
+    "value_histogram",
+    "user_value_deciles",
+    "funnel_steps",
 ]
 
 
