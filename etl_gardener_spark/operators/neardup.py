@@ -326,14 +326,23 @@ def minhash_lsh_pairs(
 
     ``hashes``: pass an already-materialized `shingle_hash_sets` output
     to share one shingling pass across pipelines (e.g. the LSH recall
-    report runs this AND the exact PPJoin over the same corpus).
+    report runs this AND the exact PPJoin over the same corpus). The
+    pairs are computed over ``hashes``' coverage, so when BOTH auto
+    mode and ``hashes`` are in play the banding is keyed on
+    ``hashes.count()`` — the corpus the tuning actually applies to —
+    not ``df``, which may be a superset when the caller pre-filtered
+    the hash relation (the incremental-containment pattern). Without
+    ``hashes`` the key stays ``df.count()``, the full corpus size the
+    registered dynamic oracle recomputes from ``COUNT(*)``.
     """
     if (num_hashes is None) != (bands is None):
         raise ValueError(
             "pass both num_hashes and bands, or neither (auto-tuned)"
         )
     if num_hashes is None:
-        num_hashes, bands = lsh_auto_params(df.count(), threshold)
+        num_hashes, bands = lsh_auto_params(
+            (hashes if hashes is not None else df).count(), threshold
+        )
     sh = (
         hashes
         if hashes is not None

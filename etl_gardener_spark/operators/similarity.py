@@ -602,7 +602,18 @@ def kmeans_assign(
     Norms are staged on each join input (computed once per vector / per
     centroid, not once per pair — the projections sit below the join, so
     Catalyst cannot inline them into the per-pair score; bit-identical to
-    ``cosine()``, which divides the dot by the same norm product)."""
+    ``cosine()``, which divides the dot by the same norm product).
+
+    Rounding uses the portable floor kernel ``FLOOR(x*10^d + 0.5)``
+    (functions/exact.py), NOT Spark ROUND: the kernel is the same IEEE
+    expression tree in Catalyst, numpy, and DuckDB, so this fold path,
+    the GEMM path (``kmeans_assign_gemm``), and the SQL oracle pick
+    bit-identical argmax winners. Spark ROUND (shortest-repr HALF_UP)
+    vs numpy round (binary half-even) can flip the winner on a 6-dp
+    midpoint score — the repr-midpoint divergence class documented in
+    functions/exact.py; the ordering key stays the scaled integer (no
+    /10^d: injective for |cos| <= 2, one fewer op)."""
+    kscale = F.lit(float(10**round_digits))
     scored = (
         df.select(
             F.col(id_col),
@@ -623,15 +634,16 @@ def kmeans_assign(
             # NULL; -2 sits below any true cosine so the argmax is
             # deterministic on both engines without relying on their
             # (different) NULL-ordering defaults (differential-fuzz)
-            F.round(
+            F.floor(
                 F.coalesce(
                     F.try_divide(
                         _dot(F.col("__v"), F.col("cvec")),
                         F.col("__nv") * F.col("__nc"),
                     ),
                     F.lit(-2.0),
-                ),
-                round_digits,
+                )
+                * kscale
+                + F.lit(0.5)
             ).alias("__s"),
         )
     )
@@ -660,15 +672,24 @@ def kmeans_assign_gemm(
     O(n/target) rows of d doubles — the same driver-size class as any
     broadcast build side).
 
-    Float caveat, stated rather than hidden: numpy's matmul uses
-    pairwise summation while the Catalyst/oracle fold is sequential, so
-    a dot product can differ in the last ulp BEFORE the 6-dp round.
-    Identical-at-6dp holds on every corpus this repo certifies (the
-    within-cluster GEMM in ``semantic_dedup`` has always taken the same
-    risk and strict-passes); the pinned-k oracle-replay path keeps the
-    fold. tests/test_localrel_autotune.py asserts auto(=GEMM) ==
+    Float caveats, stated rather than hidden. (1) Summation order:
+    numpy's matmul uses pairwise summation while the Catalyst/oracle
+    fold is sequential, so a dot product can differ in the last ulp
+    BEFORE the 6-dp quantization. Identical-at-6dp holds on every
+    corpus this repo certifies (the within-cluster GEMM in
+    ``semantic_dedup`` has always taken the same risk and
+    strict-passes); the pinned-k oracle-replay path keeps the fold.
+    (2) Rounding mode — CLOSED: both paths now quantize with the same
+    portable floor kernel ``FLOOR(x*10^d + 0.5)`` (see the inline
+    comment), so given equal dot products the argmax winners are
+    bit-identical; previously this path used np.round (binary
+    half-even) against the fold's Spark ROUND (shortest-repr half-up),
+    which could flip the winner on a 6-dp midpoint score.
+    tests/test_localrel_autotune.py asserts auto(=GEMM) ==
     pinned(=fold) end-to-end."""
     import numpy as np
+
+    kscale = float(10**round_digits)
 
     rows = sorted(
         (int(r[0]), [float(x) for x in r[1]]) for r in cents_df.collect()
@@ -697,7 +718,12 @@ def kmeans_assign_gemm(
             with np.errstate(divide="ignore", invalid="ignore"):
                 scores = (mat @ cmat.T) / np.outer(vnorm, cnorm)
             scores = np.where(np.isfinite(scores), scores, -2.0)
-            np.round(scores, round_digits, out=scores)
+            # same floor kernel as the fold path: np.floor(x*10^d + 0.5)
+            # is the identical IEEE expression tree as Catalyst's
+            # FLOOR(x*10^d + 0.5), so fold and GEMM argmax bit-agree;
+            # np.round (binary half-even) vs Spark ROUND (shortest-repr
+            # half-up) could flip the winner on a 6-dp midpoint
+            np.floor(scores * kscale + 0.5, out=scores)
             # cids is ascending and argmax returns the FIRST max, so
             # ties break to the smallest cid — the min_by(ordk) winner
             best = scores.argmax(axis=1)

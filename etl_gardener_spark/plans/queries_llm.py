@@ -1045,8 +1045,10 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_minhash_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The auto-tuned twin of [[doc_minhash_lsh_pairs]]: banding chosen
     by neardup.lsh_auto_params from the corpus size and threshold
-    instead of pinned 12/4 — threshold-centered capture (probability at
-    s=0.5 is 0.50 vs the pinned tuning's 0.41) with rows-per-band
+    instead of pinned 12/4 — the capture S-curve is CENTERED on the
+    threshold (8 bands x 3 rows puts the characteristic point
+    t ~ (1/b)^(1/r) at ~0.50, where capture is 1-(1-0.5^3)^8 ~ 0.66,
+    vs the pinned 12/4 tuning's 0.41 at s=0.5) with rows-per-band
     growing one per corpus decade past 100k docs. The production
     default; the pinned query remains the recorded-tuning replay."""
     d = load_table(spark, sf_dir, "documents")
@@ -1641,11 +1643,15 @@ def _kmeans_ctes(
     subset separately."""
 
     def assign(name: str, cents: str, where: str = "TRUE") -> str:
+        # FLOOR(x*1e6 + 0.5), not ROUND: mirrors kmeans_assign /
+        # kmeans_assign_gemm, the same IEEE expression tree in all
+        # three engines (functions/exact.py hazard class)
         return f"""{name} AS (SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY ROUND(COALESCE(
-                     {_cosine_sql("e.embedding", "c.cvec")}, -2.0), 6)
+                   ORDER BY FLOOR(COALESCE(
+                     {_cosine_sql("e.embedding", "c.cvec")}, -2.0)
+                     * 1e6 + 0.5)
                      DESC, c.cid) AS rn
           FROM embeddings e, {cents} c WHERE {where}) WHERE rn = 1)"""
 
@@ -2013,10 +2019,12 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
-    """IVF-PQ: the certified IVF-Flat cell CTEs (asg/qprobe, identical
-    rounded-cosine + COALESCE(-2.0) tie-break) composed with the
-    certified PQ code CTEs; candidates come from the probed cells, the
-    score from the integer ADC lookup."""
+    """IVF-PQ: corpus cells (asg) mirror similarity.kmeans_assign —
+    the portable FLOOR(x*1e6 + 0.5) kernel — while the query probes
+    (qprobe) mirror pq.py's own F.round nprobe ranking (ROUND, same
+    COALESCE(-2.0) tie-break), composed with the certified PQ code
+    CTEs; candidates come from the probed cells, the score from the
+    integer ADC lookup."""
     cos_ec = _cosine_sql("e.embedding", "c.cvec")
     qd_arms = " UNION ALL ".join(
         f"SELECT q.query_id, c.cid AS code, {s} AS s,"
@@ -2031,7 +2039,7 @@ def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     asg AS (SELECT vec_id, cid AS cell FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                 ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
+                 ORDER BY FLOOR(COALESCE({cos_ec}, -2.0) * 1e6 + 0.5)
                    DESC, c.cid ASC) AS rn
         FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
     qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM (
