@@ -5001,3 +5001,119 @@ def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 additions: URL canonicalization + host-level dedup
+# ---------------------------------------------------------------------------
+
+from etl_gardener_spark.functions import urls as UR  # noqa: E402
+from etl_gardener_spark.operators import weburl as WB  # noqa: E402
+
+
+def _synth_url_spark():
+    """Deterministic messy-URL decoration of the synthetic docs (the
+    testdata carries no URL column — same convention as
+    ``_synth_pii_spark``): 8 mess variants keyed on doc_id, 40 page
+    groups, so canonicalization must merge case/port/slash/tracking/
+    fragment/userinfo noise while keeping real ?a=1 params and the
+    http-vs-https split apart. The SAME expression feeds the oracle."""
+    g = (F.col("doc_id") % 40).cast("string")
+    v = F.expr("(doc_id div 40) % 8")
+    d = F.col("doc_id").cast("string")
+    page = F.concat(F.lit("example-"), g, F.lit(".com/path/"), g)
+    return (
+        F.when(v == 0, F.concat(F.lit("https://WWW.Example-"), g,
+                                F.lit(".COM/path/"), g))
+        .when(v == 1, F.concat(F.lit("https://example-"), g,
+                               F.lit(".com:443/path/"), g))
+        .when(v == 2, F.concat(F.lit("https://"), page, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://"), page,
+                               F.lit("?utm_source=news&utm_medium=email")))
+        .when(v == 4, F.concat(F.lit("https://"), page,
+                               F.lit("?a=1&utm_campaign=x&fbclid=c"), d))
+        .when(v == 5, F.concat(F.lit("https://"), page, F.lit("#frag"), d))
+        .when(v == 6, F.concat(F.lit("HTTPS://u:pw@"), page))
+        .otherwise(F.concat(F.lit("http://example-"), g,
+                            F.lit(".com:80/path/"), g,
+                            F.lit("/?igshid=xyz&ref=home")))
+    )
+
+
+_SYNTH_URL_SQL = """(CASE (doc_id // 40) % 8
+    WHEN 0 THEN 'https://WWW.Example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.COM/path/' || CAST(doc_id % 40 AS VARCHAR)
+    WHEN 1 THEN 'https://example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.com:443/path/' || CAST(doc_id % 40 AS VARCHAR)
+    WHEN 2 THEN 'https://example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.com/path/' || CAST(doc_id % 40 AS VARCHAR) || '/'
+    WHEN 3 THEN 'https://example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.com/path/' || CAST(doc_id % 40 AS VARCHAR)
+                || '?utm_source=news&utm_medium=email'
+    WHEN 4 THEN 'https://example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.com/path/' || CAST(doc_id % 40 AS VARCHAR)
+                || '?a=1&utm_campaign=x&fbclid=c' || CAST(doc_id AS VARCHAR)
+    WHEN 5 THEN 'https://example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.com/path/' || CAST(doc_id % 40 AS VARCHAR)
+                || '#frag' || CAST(doc_id AS VARCHAR)
+    WHEN 6 THEN 'HTTPS://u:pw@example-' || CAST(doc_id % 40 AS VARCHAR)
+                || '.com/path/' || CAST(doc_id % 40 AS VARCHAR)
+    ELSE 'http://example-' || CAST(doc_id % 40 AS VARCHAR)
+         || '.com:80/path/' || CAST(doc_id % 40 AS VARCHAR)
+         || '/?igshid=xyz&ref=home' END)"""
+
+
+@query(
+    "doc_url_canonical_dedup",
+    f"""
+    WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS u FROM documents)
+    SELECT {UR.canonical_url_sql('u')} AS canonical_url,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM raw GROUP BY 1
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def doc_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed exact dedup (operators/weburl.url_dedup over
+    functions/urls.canonical_url) — the fetch-level first pass of a web
+    corpus: scheme/host case, default ports, userinfo, fragments,
+    tracking params, and trailing slashes all collapse to one canonical
+    name with the smallest doc_id as the keeper, while real query
+    params (?a=1) and a genuine scheme difference stay distinct. Pure
+    regexp canonicalization (Java/RE2-portable, mirrored in the oracle)
+    + ONE map-side-combined hash aggregate — no pairwise stage, scales
+    with groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _synth_url_spark().alias("u"))
+    return WB.url_dedup(raw, "u", "doc_id")
+
+
+@query(
+    "doc_host_profile",
+    f"""
+    WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS u FROM documents),
+    per_url AS (
+      SELECT {UR.url_host_sql('u')} AS host,
+             {UR.canonical_url_sql('u')} AS canonical_url,
+             COUNT(*) AS n
+      FROM raw GROUP BY 1, 2)
+    SELECT host,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_count
+    FROM per_url GROUP BY host
+    """,
+    tags=("llm", "dedup", "url", "profile"),
+)
+def doc_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host dedup profile (operators/weburl.host_profile): docs vs
+    distinct canonical URLs per canonical host — the relation host caps
+    and blocklists read (a host whose dup_count explodes serves one
+    page under many URLs). Two stacked partial aggregations: the wide
+    shuffle keys on the near-unique (host, canonical_url) composite,
+    the host rollup then touches only distinct URLs — no per-host row
+    explosion at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _synth_url_spark().alias("u"))
+    return WB.host_profile(raw, "u", "doc_id")
