@@ -893,6 +893,7 @@ def containment_pairs(
     n: int = 3,
     tau_e2: int = 80,
     max_df: int | None = None,
+    min_size: int | None = None,
     hashes: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment near-dup pairs: ordered (id_a, id_b) with
@@ -919,6 +920,14 @@ def containment_pairs(
     shingles otherwise contribute (docs-per-shingle)² join fan-in while
     carrying no near-dup signal.
 
+    ``min_size``: optional post-cap denominator floor — a doc whose
+    SURVIVING shingle set is smaller than min_size is excluded as an
+    ``id_a`` (it can still be the containing side ``id_b``). The cap's
+    standard companion: aggressively capped docs shrink to a handful
+    of rare shingles, and an 80%-of-almost-nothing threshold passes on
+    noise (measured on the driver corpus: cap=8 alone inflates sf0.1
+    pairs 512 -> 856; with min_size=10 the set is an honest 192).
+
     Output: (id_a, id_b, inter, n_a, containment) — both directions of a
     pair can appear (asymmetry is the point).
     """
@@ -941,6 +950,8 @@ def containment_pairs(
         )
         ex = ex.join(keep, "__h")
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    if min_size is not None:
+        sizes = sizes.filter(F.col("n_a") >= min_size)
     a = ex.select(F.col(id_col).alias("id_a"), "__h")
     b = ex.select(F.col(id_col).alias("id_b"), "__h")
     # The intersection count is SYMMETRIC: aggregate each unordered pair

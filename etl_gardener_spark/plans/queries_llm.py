@@ -1126,6 +1126,53 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_containment_capped",
+    f"""
+    {{_DOCS_CTE}},
+    sh AS (SELECT doc_id, {{_SHINGLE_HASHES}} AS sh FROM d
+           WHERE len(toks) >= 3),
+    g0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM g0 GROUP BY g),
+    g AS (SELECT g0.doc_id, g0.g FROM g0 JOIN dfreq USING (g)
+          WHERE dfreq.df <= 8),
+    pairs AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM g x JOIN g y ON x.g = y.g AND x.doc_id <> y.doc_id
+              GROUP BY 1, 2),
+    sz AS (SELECT doc_id AS id_a, CAST(COUNT(*) AS BIGINT) AS n_a
+           FROM g GROUP BY 1 HAVING COUNT(*) >= 10)
+    SELECT p.id_a, p.id_b, p.inter, s.n_a,
+           CAST({{_CONT_DIV}} AS DOUBLE) / 10000.0 AS containment
+    FROM pairs p JOIN sz s USING (id_a)
+    WHERE p.inter * 100 >= 80 * s.n_a
+    """.format(
+        _DOCS_CTE=_DOCS_CTE,
+        _SHINGLE_HASHES=_SHINGLE_HASHES,
+        _CONT_DIV=floor_div_sql("2 * p.inter * 10000 + s.n_a", "2 * s.n_a"),
+    ),
+    tags=("llm", "dedup", "containment", "maxdf"),
+)
+def doc_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[doc_containment_pairs]] in its SCALE-SAFE mode: the max_df
+    document-frequency cap (df <= 8 here) drops boilerplate shingles
+    from the inverted index BEFORE the pair join — the lever that
+    bounds the (docs-per-shingle)^2 fan-in the uncapped query's α=1.49
+    CPU floor comes from (tools/maxdf_demo.py measures a 3,749x
+    candidate cut on an adversarial boilerplate corpus) — paired with
+    its standard companion, a post-cap denominator floor (min_size=10)
+    so aggressively-capped docs can't pass an 80%-of-almost-nothing
+    threshold on residual noise. Both levers are mirrored exactly in
+    the oracle (cap on the exploded index, floor as HAVING on the
+    post-cap sizes), so inter/n_a/containment stay bit-exact. This is
+    the mode a 100 TB corpus runs; the uncapped twin remains the
+    exact-semantics reference."""
+    d = load_table(spark, sf_dir, "documents")
+    return ND.containment_pairs(
+        d, "text", "doc_id", n=3, tau_e2=80, max_df=8, min_size=10
+    )
+
+
+@query(
     "doc_incremental_containment",
     f"""
     {{_DOCS_CTE}},

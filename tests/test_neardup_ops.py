@@ -584,3 +584,49 @@ def test_incremental_containment_equals_full_restriction(spark):
     # doc 3 (dup of store doc 0) must be flagged; doc 5 must not appear
     assert (3, 0) in got and got[(3, 0)][2] == 1.0
     assert not any(b == 5 for b, _ in got)
+
+
+def test_containment_capped_bruteforce(spark):
+    """max_df + min_size (round 8): cap drops high-df shingles from
+    BOTH the intersection and the denominator; the post-cap size floor
+    excludes small-residual docs as id_a only. Brute-force reference
+    applies the same two levers to Python-computed shingle hash sets."""
+    boiler = " common1 common2 common3 common4"  # df = n_docs shingle mass
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta" + boiler),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            + boiler),
+        (3, "alpha beta gamma delta epsilon zeta" + boiler),
+        (4, "unrelated words entirely different content here" + boiler),
+        (5, "tiny snippet here now" + boiler),  # small post-cap residual
+    ]
+    max_df, min_size = 3, 4
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["inter"], r["n_a"], r["containment"])
+        for r in ND.containment_pairs(
+            df, "text", "doc_id", tau_e2=80, max_df=max_df, min_size=min_size
+        ).collect()
+    }
+    raw = {i: _py_shingle_hashes(t) for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter(h for s in raw.values() for h in s)
+    sets = {
+        i: {h for h in s if dfreq[h] <= max_df} for i, s in raw.items()
+    }
+    want = {}
+    for a, sa in sets.items():
+        if len(sa) < min_size:
+            continue  # floored as id_a ...
+        for b, sb in sets.items():
+            if a == b:
+                continue  # ... but any doc can still be id_b
+            inter = len(sa & sb)
+            if inter * 100 >= 80 * len(sa):
+                disp = ((2 * inter * 10000 + len(sa)) // (2 * len(sa))) / 1e4
+                want[(a, b)] = (inter, len(sa), disp)
+    assert got == want, (got, want)
+    # the boilerplate-only overlap (4 shared high-df shingles) must not
+    # create pairs once capped; the true dup pair survives the cap
+    assert (1, 3) in got and (4, 1) not in got
