@@ -96,6 +96,16 @@ def shingle_hash_sets(
     8-byte ints instead of ~20-byte strings: one md5 per shingle total,
     cheaper shuffles, codegen'd comparisons. DuckDB mirror of the fold:
     list_reduce over md5 hex chars, (x, y) -> x*16+y.
+
+    The md5 pass is the CPU floor of the whole dedup family. It is NOT
+    pre-spread across cores here: an r8 sweep (SCALE.md, partition-
+    floor experiment) measured a real fixed per-task cpu cost for these
+    nested-lambda expression trees that grows superlinearly with
+    concurrent task count (sf0.1 containment task-s: 3.6 at 1 scan
+    partition, 37.8 at 32), so round-robining a small under-partitioned
+    scan wins fractions of a wall-second on a few queries while taxing
+    every consumer's task-seconds. Warehouse-scale inputs arrive in
+    many splits and parallelize at the scan.
     """
     sh = shingle_sets(df, text_col, id_col, n)
     h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

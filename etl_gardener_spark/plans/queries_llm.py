@@ -2693,17 +2693,37 @@ def stream_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(spark, out.collect(), schema=out.schema)
 
 
-_PHASH32 = (
-    "list_reduce(list_transform(string_split(substr(md5(text),1,8), ''),"
+# 56-bit stub pHash (14 hex digits of md5): wide enough that 8-band
+# pigeonhole keys carry 7 bits (128 buckets/band — the r7 32-bit stub's
+# 4-bit keys went pairwise-dense past ~10k items), narrow enough that
+# the hex fold and the xor/bit_count pairing stay inside SIGNED 64-bit
+# arithmetic on both engines (a 64-bit fold overflows DuckDB's checked
+# BIGINT multiply when the top bit is set).
+_PHASH56 = (
+    "list_reduce(list_transform(string_split(substr(md5(text),1,14), ''),"
     " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
     " (x, y) -> x * 16 + y)"
+)
+
+
+# ≤2-bit deterministic "sensor noise" mask keyed on doc_id — what
+# separates two re-encodings of the same canonical image in a real
+# pHash. Identical expression in the Python stub and the oracle.
+_PHASH_NOISE = (
+    "((CAST(1 AS BIGINT) << ((doc_id * 7) % 56))"
+    " | (CAST(1 AS BIGINT) << ((doc_id * 13 + 3) % 56)))"
 )
 
 
 @query(
     "mm_phash_near_pairs",
     f"""
-    WITH h AS (SELECT doc_id, {_PHASH32} AS phash FROM documents)
+    WITH p AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN 'img-canvas-' || CAST(doc_id // 20 AS VARCHAR)
+                           ELSE text END AS text
+               FROM documents),
+    h AS (SELECT doc_id, xor({_PHASH56}, {_PHASH_NOISE}) AS phash FROM p)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id
@@ -2714,18 +2734,45 @@ _PHASH32 = (
 def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-item multimodal dedup: perceptual-hash near-duplicate pairs
     over binary payloads. The pHash is computed INSIDE mapInPandas over
-    the payload bytes (here the deterministic md5-fold stub — a real
-    pipeline swaps in DCT-based pHash after decode, same 32-bit output
-    contract), then the TEXT pipeline's SimHash banding operator
-    (neardup.simhash_near_pairs, 8-band pigeonhole, lossless for
-    hamming <= 7) finds candidate pairs unchanged — modality lives in
-    the UDF, the candidate-generation plan is shared. The oracle
+    the payload bytes (a deterministic 56-bit md5-fold stub XOR a
+    ≤2-bit doc_id-keyed noise mask — a real pipeline swaps in DCT-based
+    pHash after decode, same output contract), then the TEXT pipeline's
+    SimHash banding operator (neardup.simhash_near_pairs, 8-band
+    pigeonhole over bits=56 — 7-bit band keys, 128 buckets/band;
+    lossless for hamming <= 7) finds candidate pairs unchanged —
+    modality lives in the UDF, the candidate-generation plan is shared.
+
+    The near-dup structure is planted like every other synth decoration
+    (_synth_pii/_synth_url): every fifth doc's payload is a canonical
+    "image" shared by its block of four, and the noise mask makes the
+    four re-encodings differ by 2–4 hamming bits — found; everything
+    else hashes to 56 random bits — not found (genuine verbatim-text
+    dups in the data still collide at the base hash and surface too).
+    This replaces the r7 32-bit stub, which was output-bound quadratic
+    by the birthday bound (1.31M true pairs at sf1 from 4-bit band
+    keys, candidates ~500x true): at 56 bits the random mass is gone
+    and the true result is the planted n/20 groups — LINEAR in the
+    corpus, which is what a real 64-bit DCT pHash over a real corpus
+    looks like. 56 (not 64) bits keeps the hex fold and xor/bit_count
+    inside signed-64 arithmetic on both engines. The oracle
     brute-forces all pairs (quadratic, oracle-only)."""
     from etl_gardener_spark.operators import neardup as ND
     from etl_gardener_spark.operators.multimodal import attach_binary
 
     d = load_table(spark, sf_dir, "documents")
-    payloads = attach_binary(d, "text", "doc_id")
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("img-canvas-"),
+                F.expr("doc_id div 20").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    payloads = attach_binary(decorated, "text", "doc_id")
 
     def _phash(batches):
         import hashlib
@@ -2736,12 +2783,14 @@ def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # NULL payloads can't hash and can't pair — dropped here,
             # matching the oracle's NULL-propagating phash (mm fuzz axis)
             mask = pdf["payload"].notna()
+            ids = pdf["doc_id"][mask]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"][mask],
+                    "doc_id": ids,
                     "simhash": [
-                        int(hashlib.md5(bytes(p)).hexdigest()[:8], 16)
-                        for p in pdf["payload"][mask]
+                        int(hashlib.md5(bytes(p)).hexdigest()[:14], 16)
+                        ^ ((1 << ((i * 7) % 56)) | (1 << ((i * 13 + 3) % 56)))
+                        for i, p in zip(ids, pdf["payload"][mask])
                     ],
                 }
             )
@@ -2749,7 +2798,7 @@ def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = payloads.select("doc_id", "payload").mapInPandas(
         _phash, "doc_id long, simhash long"
     )
-    out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=7, bands=8)
+    out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=7, bands=8, bits=56)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
