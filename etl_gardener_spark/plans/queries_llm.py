@@ -2693,26 +2693,23 @@ def stream_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_df(spark, out.collect(), schema=out.schema)
 
 
-# 56-bit stub pHash (14 hex digits of md5): wide enough that 8-band
-# pigeonhole keys carry 7 bits (128 buckets/band — the r7 32-bit stub's
-# 4-bit keys went pairwise-dense past ~10k items), narrow enough that
-# the hex fold and the xor/bit_count pairing stay inside SIGNED 64-bit
-# arithmetic on both engines (a 64-bit fold overflows DuckDB's checked
-# BIGINT multiply when the top bit is set).
-_PHASH56 = (
-    "list_reduce(list_transform(string_split(substr(md5(text),1,14), ''),"
+# 60-bit stub pHash (15 hex digits of md5 — the same fold width as the
+# shingle kernel): wide enough that 4-band pigeonhole keys carry 15
+# bits (32k buckets/band), narrow enough that the hex fold and the
+# xor/bit_count pairing stay inside SIGNED 64-bit arithmetic on both
+# engines (a full 64-bit fold overflows DuckDB's checked BIGINT
+# multiply when the top bit is set).
+_PHASH60 = (
+    "list_reduce(list_transform(string_split(substr(md5(text),1,15), ''),"
     " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),"
     " (x, y) -> x * 16 + y)"
 )
 
 
-# ≤2-bit deterministic "sensor noise" mask keyed on doc_id — what
+# 1-bit deterministic "sensor noise" flip keyed on doc_id — what
 # separates two re-encodings of the same canonical image in a real
 # pHash. Identical expression in the Python stub and the oracle.
-_PHASH_NOISE = (
-    "((CAST(1 AS BIGINT) << ((doc_id * 7) % 56))"
-    " | (CAST(1 AS BIGINT) << ((doc_id * 13 + 3) % 56)))"
-)
+_PHASH_NOISE = "(CAST(1 AS BIGINT) << ((doc_id * 7) % 60))"
 
 
 @query(
@@ -2723,39 +2720,49 @@ _PHASH_NOISE = (
                            THEN 'img-canvas-' || CAST(doc_id // 20 AS VARCHAR)
                            ELSE text END AS text
                FROM documents),
-    h AS (SELECT doc_id, xor({_PHASH56}, {_PHASH_NOISE}) AS phash FROM p)
+    h AS (SELECT doc_id, xor({_PHASH60}, {_PHASH_NOISE}) AS phash FROM p)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
     FROM h a JOIN h b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.phash, b.phash)) <= 7
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
     """,
     tags=("llm", "multimodal", "dedup", "lsh"),
 )
 def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-item multimodal dedup: perceptual-hash near-duplicate pairs
     over binary payloads. The pHash is computed INSIDE mapInPandas over
-    the payload bytes (a deterministic 56-bit md5-fold stub XOR a
-    ≤2-bit doc_id-keyed noise mask — a real pipeline swaps in DCT-based
-    pHash after decode, same output contract), then the TEXT pipeline's
-    SimHash banding operator (neardup.simhash_near_pairs, 8-band
-    pigeonhole over bits=56 — 7-bit band keys, 128 buckets/band;
-    lossless for hamming <= 7) finds candidate pairs unchanged —
-    modality lives in the UDF, the candidate-generation plan is shared.
+    the payload bytes (a deterministic 60-bit md5-fold stub XOR a 1-bit
+    doc_id-keyed noise flip — a real pipeline swaps in DCT-based pHash
+    after decode, same output contract), then the TEXT pipeline's
+    SimHash banding operator (neardup.simhash_near_pairs, 4-band
+    pigeonhole over bits=60, hamming <= 3) finds candidate pairs
+    unchanged — modality lives in the UDF, the candidate-generation
+    plan is shared.
+
+    The operating point is the published web-dedup one (Manku et al.'s
+    SimHash dedup runs hamming <= 3 on 64-bit fingerprints): band keys
+    carry bits/bands = 15 bits, so each of the 4 band joins buckets the
+    corpus over 32k keys — ~1.5 ids/bucket at 50k docs, ~5 at 150k —
+    and candidate volume stays linear where it matters. The r7 version
+    (hamming <= 7 of 32 bits, 8 bands) had 4-bit band keys: 16 buckets
+    per band went pairwise-dense past ~10k items AND the true result
+    was itself birthday-quadratic (1.31M pairs at sf1); an r8 interim
+    56-bit/8-band variant still drowned at sf1 because 7-bit keys give
+    only 128 buckets. Key width = bits/(max_hamming+1) is THE scale
+    lever, and permissive thresholds need wider hashes — documented in
+    simhash_near_pairs.
 
     The near-dup structure is planted like every other synth decoration
     (_synth_pii/_synth_url): every fifth doc's payload is a canonical
-    "image" shared by its block of four, and the noise mask makes the
-    four re-encodings differ by 2–4 hamming bits — found; everything
-    else hashes to 56 random bits — not found (genuine verbatim-text
+    "image" shared by its block of four, and the noise flip makes the
+    four re-encodings differ by <= 2 hamming bits — found; everything
+    else hashes to 60 random bits — not found (genuine verbatim-text
     dups in the data still collide at the base hash and surface too).
-    This replaces the r7 32-bit stub, which was output-bound quadratic
-    by the birthday bound (1.31M true pairs at sf1 from 4-bit band
-    keys, candidates ~500x true): at 56 bits the random mass is gone
-    and the true result is the planted n/20 groups — LINEAR in the
-    corpus, which is what a real 64-bit DCT pHash over a real corpus
-    looks like. 56 (not 64) bits keeps the hex fold and xor/bit_count
-    inside signed-64 arithmetic on both engines. The oracle
-    brute-forces all pairs (quadratic, oracle-only)."""
+    True result: the planted n/20 groups, LINEAR in the corpus, which
+    is what a real DCT pHash over a real corpus looks like. 60 (not
+    64) bits keeps the hex fold and xor/bit_count inside signed-64
+    arithmetic on both engines. The oracle brute-forces all pairs
+    (quadratic, oracle-only)."""
     from etl_gardener_spark.operators import neardup as ND
     from etl_gardener_spark.operators.multimodal import attach_binary
 
@@ -2788,17 +2795,23 @@ def mm_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": ids,
                     "simhash": [
-                        int(hashlib.md5(bytes(p)).hexdigest()[:14], 16)
-                        ^ ((1 << ((i * 7) % 56)) | (1 << ((i * 13 + 3) % 56)))
+                        int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+                        ^ (1 << ((i * 7) % 60))
                         for i, p in zip(ids, pdf["payload"][mask])
                     ],
                 }
             )
 
-    sim = payloads.select("doc_id", "payload").mapInPandas(
-        _phash, "doc_id long, simhash long"
-    )
-    out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=7, bands=8, bits=56)
+    # spread the python pHash stage across cores when the scan arrived
+    # as one partition (0.6-6 MB parquet = 1 split): unlike the JVM
+    # lambda-tree kernels (SCALE.md r8 partition-floor experiment),
+    # python-worker stages carry no per-task expression setup cost, and
+    # the sf1 rung otherwise runs 21 cpu-s of hashing on one core
+    src = payloads.select("doc_id", "payload")
+    if src.rdd.getNumPartitions() < 8:
+        src = src.repartition(8)
+    sim = src.mapInPandas(_phash, "doc_id long, simhash long")
+    out = ND.simhash_near_pairs(sim, "doc_id", max_hamming=3, bands=4, bits=60)
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
