@@ -2407,8 +2407,12 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_gardener_spark.streaming.state import state_store_partitions
 
     name = f"sessions_{_uuid.uuid4().hex[:8]}"
-    # 8 stores beat 32 at this state size (~40% wall); see
-    # streaming/state.py for the sizing rationale.
+    # r8 A/B (streaming/state.py): sessionize's python-state-worker time
+    # dominates, so task-s sits at its ~11 s floor at the 4-store
+    # default (vs ~15 at 8 stores) while wall pays ~1 s of lost
+    # parallelism — the task-primary tradeoff. The verdict target of
+    # <8 task-s is NOT reachable by store count: JVM cpu is ~0.5 s and
+    # the rest is applyInPandasWithState group processing.
     with state_store_partitions(spark):
         q = (
             sessionize_stream(events)
