@@ -103,3 +103,33 @@ def test_minhash_lsh_pairs_auto_equals_pinned_tuning(spark):
         minhash_lsh_pairs(d, "text", "doc_id", num_hashes=12)
     with pytest.raises(ValueError):
         minhash_lsh_pairs(d, "text", "doc_id", bands=4)
+
+
+def test_auto_mode_keys_banding_on_hashes_coverage(spark, monkeypatch):
+    """r7 advice item 3: when a pre-materialized `hashes` relation is
+    passed in auto mode, the banding must be derived from ITS coverage
+    (hashes.count()), not the full df — the caller may have filtered the
+    hash relation (the incremental-containment pass-through pattern).
+    Without `hashes`, df.count() stays the key (what the registered
+    dynamic oracle recomputes via COUNT(*))."""
+    from etl_gardener_spark.operators import neardup as ND
+
+    captured = []
+    real = ND.lsh_auto_params
+
+    def spy(n, threshold, max_hashes=144):
+        captured.append(n)
+        return real(n, threshold, max_hashes)
+
+    monkeypatch.setattr(ND, "lsh_auto_params", spy)
+    rows = [(i, f"alpha beta gamma w{i} delta epsilon") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = ND.shingle_hash_sets(df, "text", "doc_id", 3).localCheckpoint(
+        eager=True
+    )
+    half = sh.filter("doc_id % 2 = 0")
+    ND.minhash_lsh_pairs(df, "text", "doc_id", hashes=half).collect()
+    assert captured == [10], captured  # the filtered coverage, not 20
+    captured.clear()
+    ND.minhash_lsh_pairs(df, "text", "doc_id").collect()
+    assert captured == [20], captured  # full corpus without hashes=

@@ -465,3 +465,39 @@ def test_micro_display_sign_correct_half_up(spark):
         ).fetchall()
     }
     assert oracle == expected, (oracle, expected)
+
+
+def test_floor_kernel_identical_across_catalyst_numpy_duckdb(spark):
+    """The r8 kmeans-assignment fix rests on FLOOR(x*1e6 + 0.5) being
+    the same IEEE expression tree in Catalyst, numpy, and DuckDB — so
+    the fold and GEMM assign paths (and the SQL oracle) pick identical
+    argmax winners even on 6-dp midpoints, where Spark ROUND
+    (shortest-repr half-up) vs np.round (binary half-even) diverge.
+    Probe the adversarial set: exact dyadic midpoints (0.0078125 * 1e6
+    = 7812.5), both signs, the -2.0 NULL sentinel, values an ulp off a
+    midpoint, and a sweep of k + 0.5/1e6 constructions."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    xs = [0.0078125, -0.0078125, 2.0, -2.0, 0.9999995, -0.9999995,
+          0.1234565, 0.123456499999999, 0.1234575, 1.5e-7, -1.5e-7]
+    xs += [k / 1e6 + 5e-7 for k in range(-3, 4)]
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "i long, x double"
+    )
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)).alias("f")
+        ).collect()
+    }
+    np_vals = np.floor(np.array(xs, dtype=np.float64) * 1e6 + 0.5)
+    con = duckdb.connect()
+    for i, x in enumerate(xs):
+        duck = con.execute(
+            "SELECT FLOOR(CAST(? AS DOUBLE) * 1e6 + 0.5)", [x]
+        ).fetchone()[0]
+        assert got[i] == int(np_vals[i]) == int(duck), (
+            x, got[i], np_vals[i], duck
+        )
