@@ -67,3 +67,50 @@ def host_profile(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         (F.sum("n") - F.count(F.lit(1))).alias("dup_count"),
     )
+
+
+def incremental_url_dedup(
+    new_docs: DataFrame, store: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """URL dedup for INCREMENTAL ingest: dedup an incoming batch against
+    the persisted canonical-URL relation (``url_dedup`` output shape:
+    (canonical_url, keep_id, ...)) without re-scanning the corpus.
+
+    Returns one row per new document: (id, canonical_url, dup_of,
+    status) with the same min-id survivor semantics as
+    ``incremental_minhash_dedup``: a batch doc is 'dup_of_store' when
+    its canonical URL exists in the store (dup_of = the stored
+    keep_id — store always outranks batch), 'dup_in_batch' when an
+    earlier (smaller-id) batch doc canonicalizes to the same URL, else
+    'unique'. The unique rows are what an ingest appends to the store
+    before the next batch.
+
+    Scale shape: O(batch) canonicalization (pure regex, map-side) + one
+    batch-internal aggregate + one equi-join against the store on
+    canonical_url — the store side arrives partitioned on its key at
+    warehouse scale, so the probe shuffles only the batch. Nothing is
+    O(corpus) per ingest."""
+    b = new_docs.select(
+        canonical_url(F.col(url_col)).alias("canonical_url"),
+        F.col(id_col),
+    )
+    batch_min = b.groupBy("canonical_url").agg(
+        F.min(id_col).alias("__bmin")
+    )
+    st = store.select(
+        "canonical_url", F.col("keep_id").alias("__store_keep")
+    )
+    j = b.join(batch_min, "canonical_url").join(st, "canonical_url", "left")
+    in_store = F.col("__store_keep").isNotNull()
+    in_batch = F.col(id_col) > F.col("__bmin")
+    return j.select(
+        F.col(id_col),
+        "canonical_url",
+        F.when(in_store, F.col("__store_keep"))
+        .when(in_batch, F.col("__bmin"))
+        .alias("dup_of"),
+        F.when(in_store, F.lit("dup_of_store"))
+        .when(in_batch, F.lit("dup_in_batch"))
+        .otherwise(F.lit("unique"))
+        .alias("status"),
+    )

@@ -5230,3 +5230,41 @@ def doc_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     raw = d.select("doc_id", _synth_url_spark().alias("u"))
     return WB.host_profile(raw, "u", "doc_id")
+
+
+@query(
+    "doc_incremental_url_dedup",
+    f"""
+    WITH raw AS (SELECT doc_id, {_SYNTH_URL_SQL} AS u FROM documents),
+    canon AS (SELECT doc_id, {UR.canonical_url_sql('u')} AS canonical_url
+              FROM raw),
+    store AS (SELECT canonical_url, MIN(doc_id) AS keep_id
+              FROM canon WHERE doc_id % 2 = 0 GROUP BY 1),
+    b AS (SELECT doc_id, canonical_url FROM canon WHERE doc_id % 2 = 1),
+    bmin AS (SELECT canonical_url, MIN(doc_id) AS bmin FROM b GROUP BY 1)
+    SELECT b.doc_id, b.canonical_url,
+           CASE WHEN s.keep_id IS NOT NULL THEN s.keep_id
+                WHEN b.doc_id > m.bmin THEN m.bmin END AS dup_of,
+           CASE WHEN s.keep_id IS NOT NULL THEN 'dup_of_store'
+                WHEN b.doc_id > m.bmin THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM b JOIN bmin m USING (canonical_url)
+           LEFT JOIN store s USING (canonical_url)
+    """,
+    tags=("llm", "dedup", "url", "incremental"),
+)
+def doc_incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[doc_url_canonical_dedup]]'s incremental twin
+    (operators/weburl.incremental_url_dedup): even doc_ids are the
+    persisted corpus (its url_dedup relation is the store), odd ids the
+    incoming batch — the same store/batch convention as the other
+    incremental oracles. Min-id survivor semantics: store keep_id
+    outranks batch, earlier batch doc outranks later; per-ingest cost
+    is O(batch) canonicalization + one store equi-join, never
+    O(corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", _synth_url_spark().alias("u"))
+    store = WB.url_dedup(raw.filter(F.col("doc_id") % 2 == 0), "u", "doc_id")
+    return WB.incremental_url_dedup(
+        raw.filter(F.col("doc_id") % 2 == 1), store, "u", "doc_id"
+    )

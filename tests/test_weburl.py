@@ -136,3 +136,33 @@ def test_registered_queries_match_oracle(spark, duck, name):
 
     spec = Q.REGISTRY[name]
     assert_matches_oracle(spec.fn(spark, SF_DIR), duck, spec.oracle)
+
+
+def test_incremental_url_dedup_statuses(spark):
+    """Store outranks batch; earlier batch doc outranks later; unique
+    rows carry NULL dup_of — the incremental_minhash_dedup semantics
+    on the canonical-URL key."""
+    store_docs = spark.createDataFrame(
+        [(2, "https://a.com/x"), (4, "https://b.com/y")],
+        "doc_id long, u string",
+    )
+    store = WB.url_dedup(store_docs, "u", "doc_id")
+    batch = spark.createDataFrame(
+        [
+            (5, "https://A.com/x/"),            # store dup (canonical a.com/x)
+            (7, "https://c.com/z?utm_source=s"),  # batch-unique, first
+            (9, "https://c.com/z"),              # dup of 7 in batch
+            (11, "https://d.com/w"),             # unique
+        ],
+        "doc_id long, u string",
+    )
+    out = {
+        r["doc_id"]: (r["status"], r["dup_of"])
+        for r in WB.incremental_url_dedup(batch, store, "u", "doc_id").collect()
+    }
+    assert out == {
+        5: ("dup_of_store", 2),
+        7: ("unique", None),
+        9: ("dup_in_batch", 7),
+        11: ("unique", None),
+    }
