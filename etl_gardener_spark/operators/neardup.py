@@ -1158,3 +1158,81 @@ def incremental_containment(
             ).alias("containment"),
         )
     )
+
+
+def hamming_near_pairs_blocked(
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int = 4,
+    n_blocks: int = 6,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` via BLOCK-COMBINATION
+    tables (Manku/Jain/Das Sarma's SimHash web-dedup construction) —
+    the generalization of ``simhash_near_pairs``' classic banding that
+    decouples recall from key width.
+
+    Classic banding is the special case n_blocks = max_hamming + 1 with
+    1-block keys: recall is guaranteed, but key width collapses to
+    bits/(h+1) — at h=7 over 56 bits that is 7-bit keys (128 buckets),
+    which goes pairwise-dense past a few thousand items (measured in
+    the r8 mm_phash redesign). Here the hash splits into ``n_blocks``
+    equal blocks and each table keys on a COMBINATION of
+    k = n_blocks − max_hamming blocks: a pair within h flips has ≥
+    n_blocks − h clean blocks, so at least one k-combination is
+    entirely clean — recall stays exact while keys carry k·(bits/
+    n_blocks) bits. The price is C(n_blocks, k) tables instead of h+1
+    bands: e.g. h=4 over 60 bits — classic is 5 bands × 12-bit keys
+    (4k buckets); blocked with n_blocks=6 is C(6,2)=15 tables ×
+    20-bit keys (1M buckets) — 3x the index rows for 256x sparser
+    buckets, the trade a large corpus wants. Candidate pairs are
+    verified with the exact bit_count(xor) filter either way, so the
+    construction only affects WORK, never the result.
+
+    Requires n_blocks > max_hamming and bits % n_blocks == 0.
+    """
+    from itertools import combinations
+
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            "block-combination recall needs n_blocks > max_hamming "
+            f"(got {n_blocks} blocks for h={max_hamming})"
+        )
+    if bits % n_blocks:
+        raise ValueError("bits must divide evenly into n_blocks")
+    k = n_blocks - max_hamming
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    structs = []
+    for t, combo in enumerate(combinations(range(n_blocks), k)):
+        key = F.lit(0).cast("long")
+        for i, bidx in enumerate(combo):
+            blk = (
+                F.shiftright(F.col("simhash"), bidx * width)
+                .bitwiseAND(F.lit(mask))
+            )
+            key = key.bitwiseOR(F.shiftleft(blk, i * width))
+        structs.append(
+            F.struct(F.lit(t).alias("band"), key.alias("band_key"))
+        )
+    exploded = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

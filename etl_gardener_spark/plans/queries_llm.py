@@ -5268,3 +5268,89 @@ def doc_incremental_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WB.incremental_url_dedup(
         raw.filter(F.col("doc_id") % 2 == 1), store, "u", "doc_id"
     )
+
+
+# 2-flip noise for the wide-threshold variant: pairwise hamming <= 4
+# between re-encodings of the same canvas.
+_PHASH_NOISE2 = (
+    "((CAST(1 AS BIGINT) << ((doc_id * 7) % 60))"
+    " | (CAST(1 AS BIGINT) << ((doc_id * 13 + 3) % 60)))"
+)
+
+
+@query(
+    "mm_phash_near_pairs_wide",
+    f"""
+    WITH p AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN 'img-canvas-' || CAST(doc_id // 20 AS VARCHAR)
+                           ELSE text END AS text
+               FROM documents),
+    h AS (SELECT doc_id, xor({_PHASH60}, {_PHASH_NOISE2}) AS phash FROM p)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 4
+    """,
+    tags=("llm", "multimodal", "dedup", "lsh", "blocked"),
+)
+def mm_phash_near_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[mm_phash_near_pairs]] at a WIDER threshold (hamming <= 4) via
+    the Manku block-combination construction
+    (neardup.hamming_near_pairs_blocked, n_blocks=6 → C(6,2)=15 tables
+    keyed on 2-block 20-bit combinations): classic banding at h=4
+    would cut the 60-bit hash into 5 bands of 12-bit keys (4k buckets
+    — pairwise-dense past ~100k items), while the blocked tables keep
+    1M buckets at 3x the index rows. Same planted corpus as the h<=3
+    twin but with a 2-flip noise mask, so re-encodings sit at pairwise
+    hamming <= 4 — past the narrow twin's threshold, recovered here.
+    Exact bit_count(xor) verification either way; the construction
+    affects work, never results. The oracle brute-forces all pairs
+    (quadratic, oracle-only)."""
+    from etl_gardener_spark.operators import neardup as ND
+    from etl_gardener_spark.operators.multimodal import attach_binary
+
+    d = load_table(spark, sf_dir, "documents")
+    decorated = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("img-canvas-"),
+                F.expr("doc_id div 20").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    payloads = attach_binary(decorated, "text", "doc_id")
+
+    def _phash(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            mask = pdf["payload"].notna()
+            ids = pdf["doc_id"][mask]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "simhash": [
+                        int(hashlib.md5(bytes(p)).hexdigest()[:15], 16)
+                        ^ ((1 << ((i * 7) % 60)) | (1 << ((i * 13 + 3) % 60)))
+                        for i, p in zip(ids, pdf["payload"][mask])
+                    ],
+                }
+            )
+
+    src = payloads.select("doc_id", "payload")
+    if src.rdd.getNumPartitions() < 8:
+        src = src.repartition(8)
+    sim = src.mapInPandas(_phash, "doc_id long, simhash long")
+    out = ND.hamming_near_pairs_blocked(
+        sim, "doc_id", max_hamming=4, n_blocks=6, bits=60
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

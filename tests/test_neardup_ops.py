@@ -630,3 +630,52 @@ def test_containment_capped_bruteforce(spark):
     # the boilerplate-only overlap (4 shared high-df shingles) must not
     # create pairs once capped; the true dup pair survives the cap
     assert (1, 3) in got and (4, 1) not in got
+
+
+def test_blocked_hamming_equals_classic_and_bruteforce(spark):
+    """hamming_near_pairs_blocked (round 8, Manku block-combination
+    tables) must return EXACTLY the pairs of classic banding and of the
+    brute force — the construction affects candidate work, never the
+    result. Random-ish 60-bit hashes with planted near groups."""
+    import hashlib
+
+    rows = []
+    for i in range(60):
+        base = int(hashlib.md5(f"h{i // 4}".encode()).hexdigest()[:15], 16)
+        # members of a group of 4 differ by <= 2 flips each
+        h = base ^ (1 << ((i * 11) % 60)) ^ (1 << ((i * 17 + 5) % 60))
+        rows.append((i, h))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    def pairs(out):
+        return {
+            (r["id_a"], r["id_b"]): r["hamming"] for r in out.collect()
+        }
+
+    blocked = pairs(
+        ND.hamming_near_pairs_blocked(
+            df, "doc_id", max_hamming=4, n_blocks=6, bits=60
+        )
+    )
+    classic = pairs(
+        ND.simhash_near_pairs(df, "doc_id", max_hamming=4, bands=5, bits=60)
+    )
+    brute = {}
+    for i, hi in rows:
+        for j, hj in rows:
+            if i < j and bin(hi ^ hj).count("1") <= 4:
+                brute[(i, j)] = bin(hi ^ hj).count("1")
+    assert blocked == classic == brute
+    assert brute, "fixture must plant at least one near pair"
+
+
+def test_blocked_hamming_parameter_guards(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 7)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError):
+        ND.hamming_near_pairs_blocked(df, "doc_id", max_hamming=6, n_blocks=6)
+    with _pytest.raises(ValueError):
+        ND.hamming_near_pairs_blocked(
+            df, "doc_id", max_hamming=2, n_blocks=7, bits=60
+        )
