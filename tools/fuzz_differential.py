@@ -166,6 +166,7 @@ MM_NAMES = [
     "mm_resize_images",
     "mm_audio_features",
     "mm_phash_near_pairs",
+    "mm_phash_near_pairs_wide",
 ]
 
 _ASCII = "".join(chr(b) for b in range(32, 127)) + "\n\t"
@@ -461,6 +462,7 @@ def main() -> int:
     skip = {
         "mm_image_features", "mm_resize_images", "mm_frame_hashes",
         "mm_audio_features", "mm_phash_near_pairs",
+        "mm_phash_near_pairs_wide",
     }
     names = only or [n for n in oracles if n not in skip]
     # The physical warehouse/stream round-trip exercises assert their
