@@ -782,6 +782,125 @@ def simhash_near_pairs(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def _simhash_band_rows(
+    sig: DataFrame, id_col: str, bands: int, bits: int
+) -> DataFrame:
+    """Explode (id, simhash) into per-band pigeonhole rows
+    (id, simhash, band, band_key) — the probe-side relation of a
+    banded Hamming join. Same construction as simhash_near_pairs'
+    inline explosion; shared here so the incremental operator probes
+    a persisted store with identical keys."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(mask)
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.band_key")
+
+
+def incremental_simhash_dedup(
+    new_docs: DataFrame,
+    store_sig: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Dedup an incoming batch against a persisted SimHash signature
+    store (``simhash`` output shape: (id, simhash)) without re-hashing
+    corpus text — the SimHash member of the incremental family
+    (``incremental_minhash_dedup``, ``incremental_containment``,
+    weburl.incremental_url_dedup).
+
+    Returns one row per batch document that produced a signature:
+    ``(id, dup_of, hamming, status)`` where ``dup_of`` is the SMALLEST
+    matching doc id among store documents and earlier (smaller-id)
+    batch documents at Hamming distance <= max_hamming (NULL if none),
+    ``hamming`` the distance to that survivor, and ``status`` is
+    'unique' / 'dup_of_store' / 'dup_in_batch' — the same min-id
+    survivor convention as the MinHash twin.
+
+    Scale shape: per-ingest cost is O(batch) hashing + two equi-joins
+    on (band, band_key) — persist the store's band rows bucketed on
+    that key and the probe shuffles only the batch's bands; the
+    pigeonhole guarantee (max_hamming <= bands - 1) makes the banded
+    probe lossless, and the exact bit_count(xor) filter keeps only
+    true matches. Nothing is O(corpus) per ingest.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError("pigeonhole recall needs max_hamming <= bands - 1")
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    batch = simhash(new_docs, text_col, id_col)
+    nb = _simhash_band_rows(batch, id_col, bands, bits)
+    sb = _simhash_band_rows(store_sig, id_col, bands, bits)
+
+    def _matches(left: DataFrame, right: DataFrame, strict_lt: bool) -> DataFrame:
+        cond = (F.col("a.band") == F.col("b.band")) & (
+            F.col("a.band_key") == F.col("b.band_key")
+        )
+        if strict_lt:
+            cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        return (
+            left.alias("a")
+            .join(right.alias("b"), cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                .cast("long")
+                .alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    cand = _matches(sb, nb, strict_lt=False).unionByName(
+        _matches(nb, nb, strict_lt=True)
+    )
+    # struct-min orders by id_a first: smallest matching id wins and its
+    # hamming rides along (same aggregate as the MinHash twin).
+    best = (
+        cand.groupBy("id_b")
+        .agg(F.min(F.struct(F.col("id_a"), F.col("hamming"))).alias("m"))
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("m.id_a").alias("dup_of"),
+            F.col("m.hamming").alias("hamming"),
+        )
+    )
+    store_ids = store_sig.select(
+        F.col(id_col).alias("dup_of"), F.lit(True).alias("_in_store")
+    )
+    return (
+        batch.select(id_col)
+        .join(best, id_col, "left")
+        .join(store_ids, "dup_of", "left")
+        .select(
+            id_col,
+            "dup_of",
+            "hamming",
+            F.when(F.col("dup_of").isNull(), F.lit("unique"))
+            .when(F.col("_in_store"), F.lit("dup_of_store"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
+    )
+
+
 def lsh_tuning(num_hashes: int, threshold: float) -> tuple[int, int]:
     """Choose (bands, rows) for banded MinHash-LSH at a target Jaccard
     threshold: over all factorizations ``bands * rows == num_hashes``,

@@ -1424,6 +1424,57 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+@query(
+    "doc_incremental_simhash",
+    _SIMHASH_CTE
+    + """,
+    st AS (SELECT doc_id, simhash FROM sim WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, simhash FROM sim WHERE doc_id % 2 = 1),
+    m AS (
+      SELECT l.doc_id AS id_b, s.doc_id AS id_a,
+             CAST(bit_count(xor(l.simhash, s.simhash)) AS BIGINT) AS hamming
+      FROM b l JOIN st s ON bit_count(xor(l.simhash, s.simhash)) <= 3
+      UNION ALL
+      SELECT l.doc_id, e.doc_id,
+             CAST(bit_count(xor(l.simhash, e.simhash)) AS BIGINT)
+      FROM b l JOIN b e ON e.doc_id < l.doc_id
+            AND bit_count(xor(l.simhash, e.simhash)) <= 3),
+    best AS (SELECT id_b, MIN(id_a) AS dup_of FROM m GROUP BY id_b),
+    wj AS (SELECT best.id_b, best.dup_of,
+                  (SELECT MIN(hamming) FROM m
+                   WHERE m.id_b = best.id_b AND m.id_a = best.dup_of)
+                    AS hamming
+           FROM best)
+    SELECT l.doc_id, w.dup_of, w.hamming,
+           CASE WHEN w.dup_of IS NULL THEN 'unique'
+                WHEN w.dup_of % 2 = 0 THEN 'dup_of_store'
+                ELSE 'dup_in_batch' END AS status
+    FROM b l LEFT JOIN wj w ON l.doc_id = w.id_b
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def doc_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[doc_simhash_pairs]]' incremental twin
+    (operators/neardup.incremental_simhash_dedup): the odd-id half of
+    the corpus arrives as a batch and dedups against the even-id half's
+    persisted SimHash signatures at Hamming <= 3 — completing the
+    incremental family ([[doc_incremental_dedup]] MinHash,
+    [[doc_incremental_containment]], [[doc_incremental_line_dedup]],
+    [[doc_incremental_url_dedup]]). Banded pigeonhole probe joins
+    (lossless for h <= bands-1) + exact bit_count verification; min-id
+    survivor, store outranking by id order. Per-ingest cost O(batch)
+    hashing + band equi-joins against the pre-bucketed store — never
+    O(corpus). The oracle brute-forces all store x batch and
+    batch-internal pairs (quadratic, oracle-only)."""
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    store_sig = ND.simhash(store_docs, "text", "doc_id")
+    return ND.incremental_simhash_dedup(
+        new_docs, store_sig, "text", "doc_id", max_hamming=3, bands=4
+    )
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     """Unrolled fixed-iteration PageRank CTE chain over the SimHash
     near-dup graph (same unroll technique as the k-means oracle)."""

@@ -111,6 +111,49 @@ def test_simhash_near_pairs(docs):
         ND.simhash_near_pairs(sim, "doc_id", max_hamming=8, bands=4)
 
 
+def test_incremental_simhash_dedup(spark):
+    """Min-id survivor semantics of the incremental SimHash member:
+    a batch doc matching the store reports dup_of_store, a batch doc
+    matching only an EARLIER batch doc reports dup_in_batch, and a
+    later batch dup of a store-matched doc still prefers the smaller
+    store id (min-id overall, like the MinHash twin)."""
+    store_docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river"),
+            (12, "completely different content about spark partitions and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact dup of store doc 10 -> dup_of_store, hamming 0
+            (21, "the quick brown fox jumps over the lazy dog near the river"),
+            # case/whitespace variant of 21 -> matches BOTH store 10 and
+            # earlier batch 21; min-id picks the store doc
+            (23, "  The  QUICK brown fox jumps over the lazy dog near the river "),
+            # batch-internal pair with no store match
+            (25, "unrelated essay on tokenizers vocabularies and byte pairs"),
+            (27, "unrelated essay on tokenizers vocabularies and byte pairs"),
+        ],
+        ["doc_id", "text"],
+    )
+    store_sig = ND.simhash(store_docs, "text", "doc_id")
+    out = {
+        r.doc_id: (r.dup_of, r.hamming, r.status)
+        for r in ND.incremental_simhash_dedup(
+            batch, store_sig, "text", "doc_id", max_hamming=3, bands=4
+        ).collect()
+    }
+    assert out[21] == (10, 0, "dup_of_store")
+    assert out[23] == (10, 0, "dup_of_store")
+    assert out[25][2] == "unique"
+    assert out[27] == (25, 0, "dup_in_batch")
+    with pytest.raises(ValueError):
+        ND.incremental_simhash_dedup(
+            batch, store_sig, "text", "doc_id", max_hamming=5, bands=4
+        )
+
+
 def test_simhash_near_pairs_wide_hash_is_lossless(spark):
     """The ``bits`` width knob (the 100 TB scale lever — see SCALE.md
     round-5 ladder): 64-bit hashes banded 8-ways must find EXACTLY the
