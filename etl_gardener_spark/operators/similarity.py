@@ -262,6 +262,111 @@ def cosine_topk_lsh(
     )
 
 
+def sq8_compress(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization — (id, vmin, span, codes).
+
+    The persistable compressed store: each dimension maps to a 256-bucket
+    code against the vector's own [min, max] range (the same affine
+    scheme as the certified emb_quantize_int8 query — FLOOR bucketing,
+    engine-portable). ~dim bytes + 16 per vector vs 4*dim of float32:
+    the representation an SQ8 index scans instead of raw vectors.
+    All JVM-side array lambdas; one narrow map-only projection."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    stats = corpus.select(
+        F.col(id_col),
+        xd.alias("xd"),
+        F.array_min(xd).alias("vmin"),
+        F.array_max(xd).alias("vmax"),
+    )
+    spans = stats.select(
+        id_col,
+        "xd",
+        "vmin",
+        F.when(F.col("vmax") > F.col("vmin"), F.col("vmax") - F.col("vmin"))
+        .otherwise(F.lit(1.0))
+        .alias("span"),
+    )
+    vmin, span = F.col("vmin"), F.col("span")
+    code = lambda x: F.least(F.floor(((x - vmin) / span) * 256), F.lit(255))  # noqa: E731
+    return spans.select(
+        id_col, "vmin", "span", F.transform(F.col("xd"), code).alias("codes")
+    )
+
+
+def cosine_topk_sq8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    cand_per_query: int = 15,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SQ8 two-stage ANN: scan the int8-compressed store, exact-rerank a
+    bounded candidate set — the FAISS IndexScalarQuantizer(QT_8bit)
+    search pattern.
+
+    Stage 1 scores every corpus vector from its DEQUANTIZED codes
+    (``vmin + code*span/255``) — at scale this scan reads the ~4x
+    smaller compressed relation, never raw floats — and keeps the top
+    ``cand_per_query`` per query by approximate cosine (floor-quantized
+    to 1e-6 so candidate selection is engine-portable). Stage 2 fetches
+    raw vectors for candidates ONLY (an equi-join on id, |queries| x
+    cand rows) and re-ranks by exact cosine. Same output schema as
+    cosine_topk: (query_id, neighbor_id, score, rank) with score the
+    EXACT rounded cosine.
+    """
+    comp = sq8_compress(corpus, id_col, vec_col)
+    vmin, span = F.col("vmin"), F.col("span")
+    rvec = F.transform(F.col("codes"), lambda c: vmin + (c * span) / 255)
+    dq = comp.select(F.col(id_col).alias("neighbor_id"), rvec.alias("rvec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    approx = (
+        dq.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(cosine(F.col("q_vec"), F.col("rvec")) * 1e6 + 0.5)
+            .cast("long")
+            .alias("a6"),
+        )
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.col("a6").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("crank", F.row_number().over(cw))
+        .filter(F.col("crank") <= cand_per_query)
+        .select("query_id", "neighbor_id")
+    )
+    raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    rescored = (
+        cand.join(raw, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -2188,6 +2188,66 @@ def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_CTES = """
+    prep AS (SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+             FROM embeddings),
+    stats AS (SELECT vec_id, xd,
+                     list_aggregate(xd, 'min') AS vmin,
+                     list_aggregate(xd, 'max') AS vmax
+              FROM prep),
+    spans AS (SELECT vec_id, xd, vmin,
+                     CASE WHEN vmax > vmin THEN vmax - vmin ELSE 1.0 END AS span
+              FROM stats),
+    dq AS (SELECT vec_id AS neighbor_id,
+                  list_transform(xd, x -> vmin +
+                    (LEAST(FLOOR(((x - vmin) / span) * 256), 255) * span) / 255)
+                    AS rvec
+           FROM spans)"""
+
+
+def _sq8_topk_oracle(k: int = 5, cand: int = 15) -> str:
+    return f"""
+    WITH {_SQ8_CTES},
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    approx AS (
+      SELECT q.query_id, d.neighbor_id,
+             CAST(FLOOR({_cosine_sql("q.q_vec", "d.rvec")} * 1e6 + 0.5)
+                  AS BIGINT) AS a6
+      FROM dq d, q WHERE d.neighbor_id <> q.query_id),
+    c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY a6 DESC, neighbor_id ASC) AS crank FROM approx),
+    cand AS (SELECT query_id, neighbor_id FROM c WHERE crank <= {cand}),
+    ex AS (SELECT c2.query_id, c2.neighbor_id,
+                  ROUND({_cosine_sql("q.q_vec", "e.embedding")}, 6) AS score
+           FROM cand c2 JOIN q ON q.query_id = c2.query_id
+                JOIN embeddings e ON e.vec_id = c2.neighbor_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank FROM ex)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query("emb_ann_topk_sq8", _sq8_topk_oracle(), tags=("llm", "ann", "quantize"))
+def emb_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-stage ANN (operators/similarity.cosine_topk_sq8 — the
+    FAISS IndexScalarQuantizer QT_8bit search pattern), completing the
+    quantized-search family alongside [[emb_ann_topk_pq]] and
+    [[emb_ann_topk_ivfpq]]: stage 1 scans the int8-compressed store
+    (same affine codes as [[emb_quantize_int8]]) and keeps 15
+    candidates per query by approximate cosine over DEQUANTIZED codes
+    (floor-quantized to 1e-6 so selection is engine-portable); stage 2
+    fetches raw vectors for candidates only (|queries| x 15 equi-join
+    rows) and re-ranks by exact cosine. At 100 TB the scan reads the 4x
+    smaller codes relation; raw floats are touched only per-candidate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk_sq8(
+        e, e.filter(F.col("vec_id") < 10), k=5, cand_per_query=15
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _pq_recall_oracle(k: int = 5) -> str:
     """Recall of the two PQ search paths vs the exact-L2 top-k on the
     SAME per-sub-space integer grid — nests the certified pq/ivfpq

@@ -212,6 +212,22 @@ def test_cosine_topk(vecs):
     assert rows[1][1] == 1 and rows[1][2] == pytest.approx(0.993884, abs=1e-5)
 
 
+def test_cosine_topk_sq8(vecs):
+    """SQ8 two-stage ANN: exact rerank reproduces cosine_topk's answer
+    when the candidate stage keeps enough rows, codes stay in [0, 255],
+    and the reported score is the EXACT cosine (not the dequantized
+    approximation)."""
+    comp = {r.vec_id: r for r in SIM.sq8_compress(vecs).collect()}
+    assert comp[0].codes == [255, 0, 0, 0]
+    assert all(0 <= c <= 255 for r in comp.values() for c in r.codes)
+    out = SIM.cosine_topk_sq8(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=2, cand_per_query=4
+    )
+    rows = sorted((r.rank, r.neighbor_id, r.score) for r in out.collect())
+    assert rows[0][1] == 4 and rows[0][2] == 1.0
+    assert rows[1][1] == 1 and rows[1][2] == pytest.approx(0.993884, abs=1e-5)
+
+
 def test_embedding_near_dup_pairs_exact_gemm(vecs):
     out = {
         (r.id_a, r.id_b): r.score
