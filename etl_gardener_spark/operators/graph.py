@@ -172,3 +172,45 @@ def pagerank(
         if (i + 1) % ckpt_every == 0 and i < iters - 1:
             r = r.localCheckpoint(eager=True)
     return r
+
+
+def keep_best_by_score(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    component_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Elect the highest-scoring member of each component as its
+    survivor (id ascending as the deterministic tie-break) — the
+    keep-BEST election of the reference's dedup template (cloud/bq/
+    ops.go:184-218) applied to near-dup clusters instead of exact keys.
+
+    ``components`` is connected_components' output shape
+    (id, component); ``scores`` maps id -> score. Returns one row per
+    member: (id, component, score, keep, dup_of) where dup_of is the
+    elected survivor for non-survivors, NULL for the survivor itself.
+
+    One equi-join + one per-component window: component sizes are
+    near-dup groups (bounded in practice), so the window never sees a
+    giant partition; nothing here is O(corpus²).
+    """
+    from pyspark.sql import Window
+
+    jn = components.select(id_col, component_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = jn.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__keep_id", F.first(id_col).over(wf)
+    )
+    return ranked.select(
+        id_col,
+        component_col,
+        score_col,
+        (F.col("__rn") == 1).alias("keep"),
+        F.when(F.col("__rn") > 1, F.col("__keep_id")).alias("dup_of"),
+    )

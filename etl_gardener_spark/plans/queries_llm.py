@@ -1596,6 +1596,98 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality composite of doc_quality_score, as an oracle fragment (kept
+# textually identical to the certified query's SQL so the two stay
+# provably the same scoring function)
+_QUALITY_SQL = """FLOOR((0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))
+                 * 10000 + 0.5) / 10000"""
+
+
+@query(
+    "doc_neardup_canonicalize",
+    "WITH RECURSIVE "
+    + _minhash_ctes()
+    + f""",
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r),
+    comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM d),
+    jn AS (SELECT c.doc_id, c.cluster_id, q.quality
+           FROM comp c JOIN q USING (doc_id)),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id ASC) AS rn,
+                 FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                   ORDER BY quality DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS keep_id
+          FROM jn)
+    SELECT doc_id, cluster_id, quality, rn = 1 AS keep,
+           CASE WHEN rn > 1 THEN keep_id END AS dup_of
+    FROM r
+    """,
+    tags=("llm", "dedup", "graph", "quality"),
+)
+def doc_neardup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup canonicalization — the keep-BEST election the
+    reference's dedup template applies to exact keys (cloud/bq/
+    ops.go:184-218), lifted to near-dup clusters: MinHash-LSH pairs →
+    connected components ([[doc_dup_clusters]]) → per-cluster survivor
+    by HIGHEST [[doc_quality_score]] composite (doc_id ascending as the
+    deterministic tie-break), instead of the min-id election. Emits
+    every doc with its cluster, quality, keep flag, and the survivor it
+    defers to (operators/graph.keep_best_by_score). One quality
+    projection (no extra corpus shuffle beyond the cluster join) + one
+    per-cluster window — cluster sizes are near-dup groups (bounded),
+    so the window never sees a giant partition at corpus scale."""
+    from etl_gardener_spark.operators.graph import (
+        connected_components,
+        keep_best_by_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ND.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=12, bands=4, n=3, threshold=0.5
+    )
+    comp = connected_components(
+        d, pairs, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    staged = d.select("doc_id", "text", TX.ws_tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    # the doc_quality_score composite, verbatim (floor display kernel)
+    length_term = F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
+    quality = (
+        F.floor(
+            (
+                0.4 * length_term
+                + 0.3 * TX.type_token_ratio_of(toks)
+                + 0.3 * (1 - TX.punct_ratio("text"))
+            )
+            * 10000
+            + 0.5
+        )
+        / 10000
+    )
+    q = staged.select(F.col("doc_id").alias("id"), quality.alias("quality"))
+    out = keep_best_by_score(
+        comp, q, id_col="id", component_col="component", score_col="quality"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "quality",
+        "keep",
+        "dup_of",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity
 # ---------------------------------------------------------------------------

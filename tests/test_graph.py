@@ -136,3 +136,30 @@ def test_pagerank_matches_reference(spark, n, edges):
         assert abs(got[i] - ref[i]) < 1e-9, (i, got[i], ref[i])
     # rank is a probability-ish mass: total <= 1 (dangling mass decays)
     assert sum(got.values()) <= 1.0 + 1e-9
+
+
+def test_keep_best_by_score_elects_quality_over_min_id(spark):
+    """The keep-best election must pick the HIGHEST-scoring member even
+    when it has the largest id (where min-id election would differ),
+    break score ties by ascending id, and leave singletons kept with
+    NULL dup_of."""
+    from etl_gardener_spark.operators.graph import keep_best_by_score
+
+    comp = spark.createDataFrame(
+        # cluster 1 = {1, 2, 9}; cluster 5 = {5, 7} (tie); 3 = singleton
+        [(1, 1), (2, 1), (9, 1), (5, 5), (7, 5), (3, 3)],
+        "id: long, component: long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (9, 0.9), (5, 0.4), (7, 0.4), (3, 0.1)],
+        "id: long, score: double",
+    )
+    out = {
+        r.id: (r.keep, r.dup_of)
+        for r in keep_best_by_score(comp, scores).collect()
+    }
+    assert out[9] == (True, None)          # max score wins despite max id
+    assert out[1] == (False, 9) and out[2] == (False, 9)
+    assert out[5] == (True, None)          # tie -> smaller id
+    assert out[7] == (False, 5)
+    assert out[3] == (True, None)          # singleton
