@@ -303,10 +303,14 @@ def cosine_topk_sq8(
     k: int = 5,
     cand_per_query: int = 15,
     round_digits: int = 6,
+    comp: DataFrame | None = None,
 ) -> DataFrame:
     """SQ8 two-stage ANN: scan the int8-compressed store, exact-rerank a
     bounded candidate set — the FAISS IndexScalarQuantizer(QT_8bit)
-    search pattern.
+    search pattern. Pass ``comp`` (a ``sq8_compress`` relation) to
+    search a prebuilt index instead of re-encoding the corpus — the
+    deployment shape (encode once, query many), same discipline as
+    pq_topk's ``codes=``.
 
     Stage 1 scores every corpus vector from its DEQUANTIZED codes
     (``vmin + code*span/255``) — at scale this scan reads the ~4x
@@ -318,7 +322,8 @@ def cosine_topk_sq8(
     cosine_topk: (query_id, neighbor_id, score, rank) with score the
     EXACT rounded cosine.
     """
-    comp = sq8_compress(corpus, id_col, vec_col)
+    if comp is None:
+        comp = sq8_compress(corpus, id_col, vec_col)
     vmin, span = F.col("vmin"), F.col("span")
     rvec = F.transform(F.col("codes"), lambda c: vmin + (c * span) / 255)
     dq = comp.select(F.col(id_col).alias("neighbor_id"), rvec.alias("rvec"))

@@ -2340,6 +2340,79 @@ def emb_ann_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _sq8_recall_oracle(k: int = 5) -> str:
+    """Recall of the SQ8 scan+rerank path at two candidate budgets vs
+    the exact cosine top-k — nests the certified sq8 oracle as
+    subqueries (the emb_pq_recall_report pattern)."""
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored) t WHERE rank <= {k}),
+    s8 AS (SELECT query_id, neighbor_id FROM ({_sq8_topk_oracle(k, 8)}) t),
+    s15 AS (SELECT query_id, neighbor_id FROM ({_sq8_topk_oracle(k, 15)}) t),
+    m AS (
+      SELECT 'sq8_cand8' AS method,
+             CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(*) FROM s8 p JOIN exact b
+                   USING (query_id, neighbor_id)) AS BIGINT) AS n_matched
+      UNION ALL
+      SELECT 'sq8_cand15',
+             CAST((SELECT COUNT(*) FROM exact) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM s15 i JOIN exact b
+                   USING (query_id, neighbor_id)) AS BIGINT))
+    SELECT method, n_exact, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
+    FROM m
+    """
+
+
+@query(
+    "emb_sq8_recall_report",
+    _sq8_recall_oracle(),
+    tags=("llm", "ann", "quantize", "eval", "quality"),
+)
+def emb_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quality measurement (the scalar-quantization twin of
+    [[emb_pq_recall_report]]): what fraction of the EXACT cosine top-5
+    does [[emb_ann_topk_sq8]] recover at candidate budgets 8 and 15.
+    Because stage 2 re-ranks with exact cosine, any recall loss is
+    attributable to the candidate stage alone — the budget knob this
+    report tunes before trusting the compressed scan at corpus scale.
+    Corpus encoded ONCE (sq8_compress checkpoint shared by both
+    budgets) and ground truth computed once, the deployment shape."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    exact = (
+        SIM.cosine_topk(e, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    comp = SIM.sq8_compress(e).localCheckpoint(eager=False)
+    n_exact = exact.count()
+    rows = []
+    for method, cand in [("sq8_cand8", 8), ("sq8_cand15", 15)]:
+        approx = SIM.cosine_topk_sq8(
+            e, probes, k=5, cand_per_query=cand, comp=comp
+        ).select("query_id", "neighbor_id")
+        matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        # recall of an empty probe set is undefined -> NULL (the SQL
+        # x/0 answer the oracle produces)
+        recall = round(matched / n_exact, 4) if n_exact else None
+        rows.append((method, n_exact, matched, recall))
+    return local_df(
+        spark, rows,
+        "method string, n_exact long, n_matched long, recall double",
+    )
+
+
 def _pq_recall_oracle(k: int = 5) -> str:
     """Recall of the two PQ search paths vs the exact-L2 top-k on the
     SAME per-sub-space integer grid — nests the certified pq/ivfpq
