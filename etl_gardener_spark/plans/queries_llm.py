@@ -185,6 +185,99 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_quality_filter_funnel",
+    f"""
+    {_DOCS_CTE},
+    g AS (SELECT
+            (len(toks) BETWEEN 10 AND 1000) AS g1,
+            (CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+               / len(toks) BETWEEN 2.0 AND 12.0) AS g2,
+            (CAST(length(text) - length(regexp_replace(lower(text),
+               '[^a-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) <= 0.25) AS g3,
+            (CAST(len(list_filter(toks, t -> list_contains({_EN_STOPS}, t)))
+               AS DOUBLE) / len(toks) >= 0.02) AS g4,
+            (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2)
+               AS g5
+          FROM d),
+    agg AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS c0,
+        CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c3,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c4,
+        CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 AND g5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c5
+        FROM g)
+    SELECT CAST(0 AS BIGINT) AS stage, 'total' AS stage_name,
+           c0 AS n_surviving FROM agg
+    UNION ALL SELECT 1, 'word_count', c1 FROM agg
+    UNION ALL SELECT 2, 'mean_word_len', c2 FROM agg
+    UNION ALL SELECT 3, 'punct_ratio', c3 FROM agg
+    UNION ALL SELECT 4, 'stopword_ratio', c4 FROM agg
+    UNION ALL SELECT 5, 'lexical_diversity', c5 FROM agg
+    """,
+    tags=("llm", "text", "quality", "funnel"),
+)
+def doc_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style staged quality-filter FUNNEL: how many documents
+    survive each cumulative gate — word count in [10, 1000], mean word
+    length in [2, 12], punctuation ratio <= 0.25, stopword ratio >=
+    0.02, type/token ratio >= 0.2 (the [[doc_quality_score]] signal
+    family as pass/fail gates instead of scores). The observability
+    report a pipeline operator reads before committing a filter config
+    at corpus scale: which stage is responsible for the drop. ONE
+    corpus scan — five boolean projections feed a single partial-
+    aggregated global aggregate; the stage rows are a stack-unpivot of
+    that one row, so the plan has zero joins and one exchange of six
+    longs."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("text", TX.ws_tokens("text").alias("__toks"))
+    toks = F.col("__toks")
+    g1 = F.size(toks).between(10, 1000)
+    g2 = TX.avg_token_len_of(toks).between(2.0, 12.0)
+    g3 = TX.punct_ratio("text") <= 0.25
+    g4 = F.try_divide(TX.stopword_hits_of(toks, "en"), F.size(toks)) >= 0.02
+    g5 = TX.type_token_ratio_of(toks) >= 0.2
+    flags = staged.select(
+        g1.alias("g1"),
+        g2.alias("g2"),
+        g3.alias("g3"),
+        g4.alias("g4"),
+        g5.alias("g5"),
+    )
+
+    def survived(*gs):
+        cond = gs[0]
+        for g in gs[1:]:
+            cond = cond & g
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        survived(F.col("g1")).alias("c1"),
+        survived(F.col("g1"), F.col("g2")).alias("c2"),
+        survived(F.col("g1"), F.col("g2"), F.col("g3")).alias("c3"),
+        survived(F.col("g1"), F.col("g2"), F.col("g3"), F.col("g4")).alias(
+            "c4"
+        ),
+        survived(
+            F.col("g1"), F.col("g2"), F.col("g3"), F.col("g4"), F.col("g5")
+        ).alias("c5"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, 0L, 'total', c0, 1L, 'word_count', c1,"
+            " 2L, 'mean_word_len', c2, 3L, 'punct_ratio', c3,"
+            " 4L, 'stopword_ratio', c4, 5L, 'lexical_diversity', c5)"
+            " AS (stage, stage_name, n_surviving)"
+        )
+    )
+
+
+@query(
     "doc_langid",
     f"""
     {_DOCS_CTE}

@@ -699,3 +699,15 @@ def test_age_based_rotation_prefers_red_and_stale_rows():
     worst_in = max(lg.get(n, 0) for n in q)
     best_out = min(lg.get(n, 0) for n in cand if n not in q)
     assert worst_in <= best_out
+
+
+def test_quality_funnel_one_scan_one_exchange_no_join(spark):
+    """The funnel must stay a single corpus scan feeding one partial->
+    final aggregate pair (one exchange of six longs), with the stage
+    rows unpivoted from that one row — no join, no per-stage rescan."""
+    df = Q.REGISTRY["doc_quality_filter_funnel"].fn(spark, SF)
+    p = plan(df)
+    assert "Join" not in p
+    # formatted explain names each node twice (tree line + detail header)
+    assert p.count("Scan parquet") == 2  # ONE scan node
+    assert p.count("Exchange") <= 4      # ONE exchange node (+ AQE read)
