@@ -598,6 +598,92 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_pack_efficiency",
+    "WITH RECURSIVE "
+    + _DOCS_BODY
+    + f""",
+    t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM d),
+    pack(lang, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens > {_PACK_CAPACITY}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + t.n_tokens > {_PACK_CAPACITY}
+                  THEN t.n_tokens ELSE p.fill + t.n_tokens END
+      FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1),
+    per_bin AS (SELECT lang, bin_id, CAST(SUM(n_tokens) AS BIGINT) AS fill
+                FROM pack GROUP BY 1, 2),
+    agg AS (SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   CAST(SUM(fill) AS BIGINT) AS total_tokens,
+                   CAST(MAX(fill) AS BIGINT) AS max_bin_fill,
+                   CAST(SUM(CASE WHEN fill > {_PACK_CAPACITY} THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_overflow_bins
+            FROM per_bin GROUP BY lang),
+    docs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM pack GROUP BY lang)
+    SELECT a.lang, d.n_docs, a.n_bins, a.total_tokens, a.max_bin_fill,
+           a.n_overflow_bins,
+           FLOOR(CAST(a.total_tokens AS DOUBLE)
+                 / (a.n_bins * {_PACK_CAPACITY}) * 10000 + 0.5) / 10000
+             AS fill_rate
+    FROM agg a JOIN docs d USING (lang)
+    """,
+    tags=("llm", "packing", "quality"),
+)
+def doc_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over [[doc_pack_sequences]]' next-fit
+    assignment: per language — docs, bins, total tokens, the largest
+    bin fill, overflow bins (single docs heavier than the 400-token
+    capacity), and the capacity-weighted fill rate. The number that
+    tells you how much context window the packer wastes BEFORE paying
+    for a training run; a fill rate well under ~0.9 says the corpus
+    length distribution and the capacity are mismatched. Plan: the
+    pack assignment's stratum-parallel applyInPandas pass, then two
+    stacked hash aggregates (bin then lang) — the rollup adds no
+    corpus-sized shuffle beyond packing itself. The oracle extends the
+    recursive pack CTE (sf0.01-exact); bigger-SF sweeps route through
+    the linear PY_ORACLES reference in tools/compare_strict.py, same
+    discipline as the parent query."""
+    from etl_gardener_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(TX.ws_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        toks, "doc_id", "n_tokens", ["lang"], capacity=_PACK_CAPACITY
+    )
+    per_bin = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").cast("long").alias("fill"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_bin"),
+    )
+    return per_bin.groupBy("lang").agg(
+        F.sum("n_docs_bin").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("fill").cast("long").alias("total_tokens"),
+        F.max("fill").cast("long").alias("max_bin_fill"),
+        F.sum(F.when(F.col("fill") > _PACK_CAPACITY, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overflow_bins"),
+        (
+            F.floor(
+                F.sum("fill").cast("double")
+                / (F.count(F.lit(1)) * _PACK_CAPACITY)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("fill_rate"),
+    )
+
+
 _TFIDF_K = 3
 
 

@@ -56,3 +56,25 @@ def test_pack_sequences_matches_python_next_fit(spark, rows):
         ).collect()
     }
     assert out == _reference(rows)
+
+
+def test_pack_efficiency_counts_overflow_bins(spark):
+    """The efficiency rollup must count a doc heavier than capacity as
+    its own overflow bin and report the exact fill arithmetic."""
+    from pyspark.sql import functions as F
+
+    from etl_gardener_spark.operators.packing import pack_sequences
+
+    capacity = 400
+    rows = [(1, "en", 300), (2, "en", 300), (3, "en", 500), (4, "en", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    packed = pack_sequences(
+        df, "doc_id", "n_tokens", ["lang"], capacity=capacity
+    )
+    per_bin = packed.groupBy("lang", "bin_id").agg(
+        F.sum("n_tokens").cast("long").alias("fill")
+    )
+    fills = {r.bin_id: r.fill for r in per_bin.collect()}
+    # next-fit over ids: [300], [300], [500] (overflow alone), [100]
+    assert fills == {0: 300, 1: 300, 2: 500, 3: 100}
+    assert sum(f > capacity for f in fills.values()) == 1

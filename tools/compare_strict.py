@@ -220,8 +220,39 @@ def _minhash_auto_reference(con) -> "pa.Table":
     return con.execute(_minhash_oracle(num_hashes, bands)).arrow()
 
 
+def _pack_efficiency_reference(con) -> "pa.Table":
+    """Linear reference for doc_pack_efficiency: reuse the next-fit
+    fold above (identical tokenization + assignment), then aggregate
+    the per-lang report with DuckDB over the in-memory assignment —
+    the same SQL the registry oracle applies to its recursive pack
+    CTE, minus the quadratic recursion."""
+    from etl_gardener_spark.plans.queries_llm import _PACK_CAPACITY
+
+    pack_tbl = _pack_sequences_reference(con)  # noqa: F841 (duckdb scans it)
+    return con.execute(
+        f"""
+        WITH per_bin AS (SELECT lang, bin_id,
+                                CAST(SUM(n_tokens) AS BIGINT) AS fill,
+                                CAST(COUNT(*) AS BIGINT) AS n_docs_bin
+                         FROM pack_tbl GROUP BY 1, 2)
+        SELECT lang,
+               CAST(SUM(n_docs_bin) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(fill) AS BIGINT) AS total_tokens,
+               CAST(MAX(fill) AS BIGINT) AS max_bin_fill,
+               CAST(SUM(CASE WHEN fill > {_PACK_CAPACITY} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overflow_bins,
+               FLOOR(CAST(SUM(fill) AS DOUBLE)
+                     / (COUNT(*) * {_PACK_CAPACITY}) * 10000 + 0.5) / 10000
+                 AS fill_rate
+        FROM per_bin GROUP BY lang
+        """
+    ).arrow()
+
+
 PY_ORACLES = {
     "doc_pack_sequences": _pack_sequences_reference,
+    "doc_pack_efficiency": _pack_efficiency_reference,
     "doc_minhash_lsh_auto_pairs": _minhash_auto_reference,
 }
 
