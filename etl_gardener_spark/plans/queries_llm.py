@@ -2149,6 +2149,82 @@ def emb_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _cluster_drift_oracle(k: int = 16, n_iter: int = 2) -> str:
+    """Occupancy drift between the store (even ids, the training
+    corpus) and an incoming batch (odd ids) routed to the SAME fitted
+    centroids — reuses the incremental-semdedup CTE front half."""
+    ctes, fin = _kmeans_ctes(k, n_iter, train_where="vec_id % 2 = 0")
+    return f"""
+    WITH {ctes},
+    h AS (SELECT cid,
+                 CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_store,
+                 CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_batch
+          FROM {fin} GROUP BY cid),
+    t AS (SELECT CAST(SUM(n_store) AS DOUBLE) AS ts,
+                 CAST(SUM(n_batch) AS DOUBLE) AS tb FROM h)
+    SELECT h.cid AS cluster_id, h.n_store, h.n_batch,
+           FLOOR(h.n_store / t.ts * 10000 + 0.5) / 10000 AS share_store,
+           FLOOR(h.n_batch / t.tb * 10000 + 0.5) / 10000 AS share_batch,
+           FLOOR((h.n_batch / t.tb - h.n_store / t.ts) * 10000 + 0.5)
+             / 10000 AS share_delta
+    FROM h, t
+    """
+
+
+@query(
+    "emb_cluster_drift",
+    _cluster_drift_oracle(),
+    tags=("llm", "clustering", "incremental", "drift"),
+)
+def emb_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution DRIFT monitor — the clustering twin of
+    [[weekly_mixture_drift]]: the odd-id batch is routed to the even-id
+    store's FITTED centroids ([[emb_incremental_semantic_dedup]]'s
+    routing, no re-training) and per-cluster occupancy shares are
+    compared. A cluster whose batch share departs from its store share
+    is the early signal that incoming data has shifted — the check an
+    embedding pipeline runs per ingest BEFORE the model quietly starts
+    seeing a different distribution. Per-ingest cost: O(batch x k)
+    routing + two count aggregates + a one-row broadcast of the totals;
+    never O(corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    store = e.filter(F.col("vec_id") % 2 == 0)
+    batch = e.filter(F.col("vec_id") % 2 == 1)
+    final_store, cents = SIM.kmeans_fit(
+        store, "vec_id", "embedding", k=16, n_iter=2
+    )
+    batch_assign = SIM.kmeans_assign(batch, cents, "vec_id", "embedding")
+    tagged = final_store.select(
+        F.col("cluster_id").alias("cid"), F.lit(1).alias("is_store")
+    ).unionByName(
+        batch_assign.select("cid", F.lit(0).alias("is_store"))
+    )
+    h = tagged.groupBy("cid").agg(
+        F.sum("is_store").cast("long").alias("n_store"),
+        F.sum(1 - F.col("is_store")).cast("long").alias("n_batch"),
+    )
+    tot = h.agg(
+        F.sum("n_store").cast("double").alias("ts"),
+        F.sum("n_batch").cast("double").alias("tb"),
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + 0.5) / 10000
+
+    return h.crossJoin(F.broadcast(tot)).select(
+        F.col("cid").alias("cluster_id"),
+        "n_store",
+        "n_batch",
+        r4(F.col("n_store") / F.col("ts")).alias("share_store"),
+        r4(F.col("n_batch") / F.col("tb")).alias("share_batch"),
+        r4(F.col("n_batch") / F.col("tb") - F.col("n_store") / F.col("ts")).alias(
+            "share_delta"
+        ),
+    )
+
+
 @query(
     "emb_ann_topk",
     f"""
