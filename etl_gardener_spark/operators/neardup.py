@@ -842,7 +842,11 @@ def incremental_simhash_dedup(
         raise ValueError("pigeonhole recall needs max_hamming <= bands - 1")
     if bits % bands:
         raise ValueError("bits must divide evenly into bands")
-    batch = simhash(new_docs, text_col, id_col)
+    # materialize the batch signature ONCE: it feeds three plan branches
+    # (store probe + both self-join sides) and recomputing the tokenize/
+    # hash aggregate per branch would triple the batch scan — the same
+    # persist-the-signature discipline as minhash_store
+    batch = simhash(new_docs, text_col, id_col).localCheckpoint(eager=True)
     nb = _simhash_band_rows(batch, id_col, bands, bits)
     sb = _simhash_band_rows(store_sig, id_col, bands, bits)
 
