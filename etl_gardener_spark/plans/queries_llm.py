@@ -2368,6 +2368,83 @@ def _pq_subdist_sql(a: str, b: str, s: int, w: int = _PQ_SUB) -> str:
     )
 
 
+_PROBE_ARMS = (1, 2, 4, 8)
+
+
+def _ivf_probe_sweep_oracle(k: int = 5) -> str:
+    """Recall-vs-nprobe tuning curve: the certified IVF oracle nested
+    once per probe depth, each arm joined against the exact cosine
+    top-k (the emb_sq8/pq recall-report pattern)."""
+    p_ctes = ",\n    ".join(
+        f"p{np} AS (SELECT query_id, neighbor_id"
+        f" FROM ({_ivf_oracle(nprobe=np, k=k)}) t)"
+        for np in _PROBE_ARMS
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT CAST({np} AS BIGINT) AS nprobe,"
+        f" CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,"
+        f" CAST((SELECT COUNT(*) FROM p{np} p JOIN exact b"
+        f" USING (query_id, neighbor_id)) AS BIGINT) AS n_matched"
+        for np in _PROBE_ARMS
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored) t WHERE rank <= {k}),
+    {p_ctes}
+    SELECT nprobe, n_exact, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
+    FROM ({arms})
+    """
+
+
+@query(
+    "emb_ivf_probe_sweep",
+    _ivf_probe_sweep_oracle(),
+    tags=("llm", "ann", "ivf", "eval", "quality"),
+)
+def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe TUNING CURVE — recall of [[emb_ann_topk_ivf]] vs the
+    exact cosine top-5 at probe depths 1/2/4/8: the monotone curve an
+    operator reads to pick the cheapest nprobe that clears the recall
+    target before deploying the index at corpus scale (probing 8 of 16
+    cells costs ~8x the candidate joins of probing 1 — the whole point
+    is knowing where the curve flattens). Exact ground truth is
+    computed ONCE (checkpoint shared by all four arms); each arm is
+    the certified IVF search at a different depth. Completes the
+    eval-instrument family ([[emb_ann_recall_report]],
+    [[emb_pq_recall_report]], [[emb_sq8_recall_report]],
+    [[emb_matryoshka_recall_report]])."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    exact = (
+        SIM.cosine_topk(e, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = exact.count()
+    rows = []
+    for np_ in _PROBE_ARMS:
+        approx = SIM.cosine_topk_ivf(
+            e, probes, k=5, n_centroids=16, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        recall = round(matched / n_exact, 4) if n_exact else None
+        rows.append((np_, n_exact, matched, recall))
+    return local_df(
+        spark, rows,
+        "nprobe long, n_exact long, n_matched long, recall double",
+    )
+
+
 def _pq_ctes() -> str:
     """Shared PQ oracle CTEs: seeded codebook, per-(vector, sub-space)
     distances (one UNION ALL arm per sub-space), argmin code assignment
