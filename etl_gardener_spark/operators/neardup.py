@@ -1019,6 +1019,86 @@ def winnow_pairs(
     )
 
 
+def incremental_winnow_dedup(
+    new_docs: DataFrame,
+    store_fp: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Dedup an incoming batch against a persisted winnowing fingerprint
+    index (``winnow_fingerprints`` output shape: (id, fp)) — the
+    winnowing member of the incremental family
+    (``incremental_minhash_dedup``, ``incremental_simhash_dedup``,
+    ``incremental_containment``, weburl.incremental_url_dedup).
+
+    Returns one row per batch document that produced fingerprints:
+    ``(id, dup_of, n_shared, status)`` where ``dup_of`` is the SMALLEST
+    doc id among store documents and earlier (smaller-id) batch
+    documents sharing >= min_shared winnowed fingerprints (NULL if
+    none), ``n_shared`` the overlap with that survivor, and ``status``
+    'unique' / 'dup_of_store' / 'dup_in_batch'.
+
+    Scale shape: per-ingest cost is O(batch) fingerprinting + two
+    inverted-index equi-joins on the fingerprint hash — persist the
+    store's exploded (h, id) postings bucketed on h and the probe
+    shuffles only the batch's postings. The MOSS guarantee carries
+    over: any overlap of >= n + window - 1 tokens with a store doc is
+    always detected. Nothing is O(corpus) per ingest.
+    """
+    # materialize the batch fingerprints ONCE (probe + self-join + base
+    # relation) — the persist-the-signature discipline
+    batch_fp = winnow_fingerprints(
+        new_docs, text_col, id_col, n, window
+    ).localCheckpoint(eager=True)
+    bx = batch_fp.select(F.col(id_col), F.explode("fp").alias("h"))
+    sx = store_fp.select(F.col(id_col), F.explode("fp").alias("h"))
+
+    def shared(left: DataFrame, right: DataFrame, strict_lt: bool) -> DataFrame:
+        a = left.select(F.col(id_col).alias("id_a"), "h")
+        b = right.select(F.col(id_col).alias("id_b"), "h")
+        j = a.join(b, "h")
+        if strict_lt:
+            j = j.filter(F.col("id_a") < F.col("id_b"))
+        return (
+            j.groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
+        )
+
+    cand = shared(sx, bx, strict_lt=False).unionByName(
+        shared(bx, bx, strict_lt=True)
+    )
+    best = (
+        cand.groupBy("id_b")
+        .agg(F.min(F.struct(F.col("id_a"), F.col("n_shared"))).alias("m"))
+        .select(
+            F.col("id_b").alias(id_col),
+            F.col("m.id_a").alias("dup_of"),
+            F.col("m.n_shared").alias("n_shared"),
+        )
+    )
+    store_ids = store_fp.select(
+        F.col(id_col).alias("dup_of"), F.lit(True).alias("_in_store")
+    )
+    return (
+        batch_fp.select(id_col)
+        .join(best, id_col, "left")
+        .join(store_ids, "dup_of", "left")
+        .select(
+            id_col,
+            "dup_of",
+            "n_shared",
+            F.when(F.col("dup_of").isNull(), F.lit("unique"))
+            .when(F.col("_in_store"), F.lit("dup_of_store"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("status"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -5351,6 +5351,76 @@ def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.winnow_pairs(d, "text", "doc_id", n=4, window=4, min_shared=2)
 
 
+def _winnow_incr_oracle(n: int = 4, window: int = 4, min_shared: int = 2) -> str:
+    """Incremental twin of _winnow_oracle: identical fingerprint CTEs,
+    then a store/batch split with min-id survivor assignment (the
+    incremental-family oracle shape)."""
+    return f"""
+    {_DOCS_CTE},
+    seq AS (
+      SELECT doc_id,
+             list_transform({_shingles_sql(n)},
+                            s -> {_h60('s')}) AS h
+      FROM d WHERE len(toks) >= {n + window - 1}),
+    fp AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(h) - {window - 2}),
+               i -> list_aggregate(list_slice(h, i, i + {window - 1}),
+                                   'min'))) AS fps
+      FROM seq),
+    ex AS (SELECT doc_id, unnest(fps) AS h FROM fp),
+    st AS (SELECT doc_id, h FROM ex WHERE doc_id % 2 = 0),
+    b AS (SELECT doc_id, h FROM ex WHERE doc_id % 2 = 1),
+    m AS (
+      SELECT l.doc_id AS id_b, s.doc_id AS id_a,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM b l JOIN st s ON s.h = l.h
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+      UNION ALL
+      SELECT l.doc_id, e.doc_id, CAST(COUNT(*) AS BIGINT)
+      FROM b l JOIN b e ON e.h = l.h AND e.doc_id < l.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}),
+    best AS (SELECT id_b, MIN(id_a) AS dup_of FROM m GROUP BY id_b),
+    wj AS (SELECT best.id_b, best.dup_of,
+                  (SELECT MIN(n_shared) FROM m
+                   WHERE m.id_b = best.id_b AND m.id_a = best.dup_of)
+                    AS n_shared
+           FROM best)
+    SELECT i.doc_id, w.dup_of, w.n_shared,
+           CASE WHEN w.dup_of IS NULL THEN 'unique'
+                WHEN w.dup_of % 2 = 0 THEN 'dup_of_store'
+                ELSE 'dup_in_batch' END AS status
+    FROM (SELECT doc_id FROM fp WHERE doc_id % 2 = 1) i
+    LEFT JOIN wj w ON i.doc_id = w.id_b
+    """
+
+
+@query(
+    "doc_incremental_winnow",
+    _winnow_incr_oracle(),
+    tags=("llm", "dedup", "winnowing", "incremental"),
+)
+def doc_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[[doc_winnow_pairs]]' incremental twin
+    (operators/neardup.incremental_winnow_dedup): the odd-id half of
+    the corpus dedups against the even-id half's persisted winnowing
+    fingerprint index at >= 2 shared fingerprints — the LAST dedup
+    family to gain an incremental member (MinHash, SimHash,
+    containment, line, URL all have one). Inverted-index probe joins on
+    the fingerprint hash; min-id survivor; the MOSS guarantee carries
+    over per ingest (any >= n+w-1-token overlap with the store always
+    surfaces). Per-ingest cost O(batch) fingerprinting + postings
+    equi-joins — never O(corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    new_docs = d.filter(F.col("doc_id") % 2 == 1)
+    store_fp = ND.winnow_fingerprints(store_docs, "text", "doc_id")
+    return ND.incremental_winnow_dedup(
+        new_docs, store_fp, "text", "doc_id", n=4, window=4, min_shared=2
+    )
+
+
 @query(
     "doc_group_split",
     """

@@ -738,3 +738,36 @@ def test_blocked_hamming_parameter_guards(spark):
         ND.hamming_near_pairs_blocked(
             df, "doc_id", max_hamming=2, n_blocks=7, bits=60
         )
+
+
+def test_incremental_winnow_dedup(spark):
+    """Incremental winnowing semantics: a batch doc sharing >= 2
+    winnowed fingerprints with a store doc reports dup_of_store, an
+    in-batch verbatim pair reports dup_in_batch at the smaller id, a
+    long unrelated doc is unique, and a doc too short to fingerprint
+    (< n + window - 1 tokens) emits no row at all."""
+    base = "the quick brown fox jumps over the lazy dog near the wide river bank today"
+    other = "completely different essay describing shuffle partitions joins and skew handling in spark"
+    store_docs = spark.createDataFrame(
+        [(10, base), (12, other)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (21, base),                      # verbatim store dup
+            (25, "a fresh unrelated passage about tokenizer vocabularies merges and byte pair encodings"),
+            (27, "a fresh unrelated passage about tokenizer vocabularies merges and byte pair encodings"),
+            (29, "too short to fingerprint"),
+        ],
+        ["doc_id", "text"],
+    )
+    store_fp = ND.winnow_fingerprints(store_docs, "text", "doc_id")
+    out = {
+        r.doc_id: (r.dup_of, r.status)
+        for r in ND.incremental_winnow_dedup(
+            batch, store_fp, "text", "doc_id"
+        ).collect()
+    }
+    assert out[21] == (10, "dup_of_store")
+    assert out[25][1] == "unique"
+    assert out[27] == (25, "dup_in_batch")
+    assert 29 not in out  # 4 tokens < n + window - 1 = 7
