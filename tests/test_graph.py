@@ -163,3 +163,36 @@ def test_keep_best_by_score_elects_quality_over_min_id(spark):
     assert out[5] == (True, None)          # tie -> smaller id
     assert out[7] == (False, 5)
     assert out[3] == (True, None)          # singleton
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    comps=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 3)),
+        min_size=1, max_size=20,
+    ),
+    scores=st.lists(st.sampled_from([0.1, 0.25, 0.5, 0.5, 0.9]), min_size=20, max_size=20),
+)
+def test_keep_best_by_score_matches_argmax(spark, comps, scores):
+    """Property: the elected survivor per component is exactly the
+    python argmax over (score DESC, id ASC), every member points at it,
+    and exactly one keep per component — including score ties."""
+    from etl_gardener_spark.operators.graph import keep_best_by_score
+
+    uniq = {i: c for i, c in comps}
+    rows = sorted(uniq.items())
+    comp_df = spark.createDataFrame(rows, "id: long, component: long")
+    score_rows = [(i, scores[i % len(scores)]) for i, _ in rows]
+    score_df = spark.createDataFrame(score_rows, "id: long, score: double")
+    got = {
+        r.id: (r.keep, r.dup_of)
+        for r in keep_best_by_score(comp_df, score_df).collect()
+    }
+    smap = dict(score_rows)
+    by_comp = {}
+    for i, c in rows:
+        by_comp.setdefault(c, []).append(i)
+    for c, members in by_comp.items():
+        winner = min(members, key=lambda i: (-smap[i], i))
+        for i in members:
+            assert got[i] == ((True, None) if i == winner else (False, winner))

@@ -771,3 +771,62 @@ def test_incremental_winnow_dedup(spark):
     assert out[25][1] == "unique"
     assert out[27] == (25, "dup_in_batch")
     assert 29 not in out  # 4 tokens < n + window - 1 = 7
+
+
+def _simhash_ref(text: str) -> int:
+    """Python mirror of neardup.simhash (md5 first-8-hex token hashes,
+    bit-majority with multiplicity over 32 bits)."""
+    import hashlib
+
+    toks = [t for t in text.lower().strip().split() if t]
+    if not toks:
+        return None
+    sums = [0] * 32
+    for t in toks:
+        th = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+        for b in range(32):
+            sums[b] += 1 if (th >> b) & 1 else -1
+    return sum(1 << b for b in range(32) if sums[b] > 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus, max_hamming=st.sampled_from([1, 3]))
+def test_incremental_simhash_matches_brute_force(spark, texts, max_hamming):
+    """The banded incremental probe must reproduce the brute-force
+    min-id survivor assignment exactly on random small-vocab corpora
+    (heavy collisions -> near-dup-dense, the adversarial regime for
+    the pigeonhole join)."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    store_rows = [(i, t) for i, t in rows if i % 2 == 0]
+    batch_rows = [(i, t) for i, t in rows if i % 2 == 1]
+    if not batch_rows or not store_rows:
+        return
+    store_sig = ND.simhash(
+        spark.createDataFrame(store_rows, ["doc_id", "text"]), "text", "doc_id"
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.hamming, r.status)
+        for r in ND.incremental_simhash_dedup(
+            spark.createDataFrame(batch_rows, ["doc_id", "text"]),
+            store_sig,
+            "text",
+            "doc_id",
+            max_hamming=max_hamming,
+            bands=4,
+        ).collect()
+    }
+    sig = {i: _simhash_ref(t) for i, t in rows if _simhash_ref(t) is not None}
+    expect = {}
+    for i in (i for i, _ in batch_rows if i in sig):
+        cands = [
+            (j, bin(sig[i] ^ sig[j]).count("1"))
+            for j in sig
+            if (j % 2 == 0 or j < i) and j != i
+            and bin(sig[i] ^ sig[j]).count("1") <= max_hamming
+        ]
+        if not cands:
+            expect[i] = (None, None, "unique")
+        else:
+            j, h = min(cands)
+            expect[i] = (j, h, "dup_of_store" if j % 2 == 0 else "dup_in_batch")
+    assert got == expect
