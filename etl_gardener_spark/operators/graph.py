@@ -190,6 +190,10 @@ def keep_best_by_score(
     (id, component); ``scores`` maps id -> score. Returns one row per
     member: (id, component, score, keep, dup_of) where dup_of is the
     elected survivor for non-survivors, NULL for the survivor itself.
+    Members with no score row are kept (LEFT join) with a NULL score
+    and sort after every scored member, so a sparse score table can
+    never silently drop a member or flip the election away from the
+    best *scored* candidate.
 
     One equi-join + one per-component window: component sizes are
     near-dup groups (bounded in practice), so the window never sees a
@@ -198,10 +202,10 @@ def keep_best_by_score(
     from pyspark.sql import Window
 
     jn = components.select(id_col, component_col).join(
-        scores.select(id_col, score_col), id_col
+        scores.select(id_col, score_col), id_col, "left"
     )
     w = Window.partitionBy(component_col).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = jn.withColumn("__rn", F.row_number().over(w)).withColumn(

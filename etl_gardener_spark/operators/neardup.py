@@ -466,12 +466,16 @@ def incremental_minhash_dedup(
     batch = minhash_store(new_docs, text_col, id_col, num_hashes, n)
     nb = exploded_bands(batch, id_col, num_hashes, bands)
     sb = exploded_bands(store, id_col, num_hashes, bands)
+    # id_a != id_b guards the store arm against self-matches when a
+    # batch id already exists in the store (re-ingest); without it a
+    # doc would report dup_of = itself at jaccard 1.0.
     cross = (
         nb.alias("b")
         .join(
             sb.alias("a"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -856,6 +860,10 @@ def incremental_simhash_dedup(
         )
         if strict_lt:
             cond = cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        else:
+            # store arm: a re-ingested id present in the store would
+            # otherwise self-match at hamming 0 and report dup_of = itself
+            cond = cond & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         return (
             left.alias("a")
             .join(right.alias("b"), cond)
@@ -1062,6 +1070,9 @@ def incremental_winnow_dedup(
         j = a.join(b, "h")
         if strict_lt:
             j = j.filter(F.col("id_a") < F.col("id_b"))
+        else:
+            # store arm: guard re-ingested ids from matching themselves
+            j = j.filter(F.col("id_a") != F.col("id_b"))
         return (
             j.groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))

@@ -879,6 +879,7 @@ def kmeans_fit(
     n_iter: int = 2,
     round_digits: int = 6,
     assign: str = "fold",
+    seed: str = "id_lt_k",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd k-means returning BOTH the final assignment (id, cluster_id)
     and the fitted centroid relation (cid, cvec). The centroid relation
@@ -890,21 +891,40 @@ def kmeans_fit(
     with the sequential Catalyst fold — bit-identical to the SQL oracle,
     the pinned-k replay path; 'gemm' routes every assignment pass
     through ``kmeans_assign_gemm`` — O(n·k·d) BLAS instead of O(n·k·d)
-    interpreted lambdas, the k∝n path (see its float caveat)."""
+    interpreted lambdas, the k∝n path (see its float caveat).
+
+    ``seed``: 'id_lt_k' (default) seeds from rows with id < k — the
+    original deterministic scheme, but under a filtered training corpus
+    (e.g. even ids only) it yields FEWER than k centroids; 'first_k'
+    seeds from the k smallest-id training rows (cid = 0..k-1 by id
+    rank), guaranteeing k centroids whenever the corpus has >= k rows."""
     if assign not in ("fold", "gemm"):
         raise ValueError(f"assign must be 'fold' or 'gemm', got {assign!r}")
+    if seed not in ("id_lt_k", "first_k"):
+        raise ValueError(f"seed must be 'id_lt_k' or 'first_k', got {seed!r}")
     assign_fn = kmeans_assign if assign == "fold" else kmeans_assign_gemm
     spark = df.sparkSession
-    seeds = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .filter(F.col(id_col) < k)
-        .collect()
-    )
+    if seed == "id_lt_k":
+        seeds = (
+            df.select(F.col(id_col), F.col(vec_col))
+            .filter(F.col(id_col) < k)
+            .collect()
+        )
+        seed_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in seeds
+        )
+    else:
+        # O(k) driver collect: top-k by id is a bounded take, not a scan
+        seeds = df.select(F.col(id_col), F.col(vec_col)).orderBy(id_col).limit(k).collect()
+        seed_rows = [
+            (i, [float(x) for x in r[1]])
+            for i, r in enumerate(sorted(seeds, key=lambda r: r[0]))
+        ]
     # explicit schema: empty corpus -> zero seed centroids (see
     # cosine_topk_ivf note)
     cents = local_df(
         spark,
-        sorted((int(r[0]), [float(x) for x in r[1]]) for r in seeds),
+        seed_rows,
         "cid long, cvec array<double>",
     )
 

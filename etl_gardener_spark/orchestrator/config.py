@@ -1,6 +1,7 @@
 """YAML config model (reference config/config.go:27-51).
 
-Shape (config/testdata/config.yml):
+Shape (config/testdata/config.yml; the example bucket name there is
+archive-measurement-lab — config/testdata/config.yml:8):
 
     start_date: 2019-03-20
     tracker:
@@ -8,7 +9,7 @@ Shape (config/testdata/config.yml):
     monitor:
       polling_interval: 5m
     sources:
-      - bucket: archive-mlab-oti
+      - bucket: archive-measurement-lab
         experiment: ndt
         datatype: ndt7
         filter: ""

@@ -2523,7 +2523,7 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # counts only CORRECTNESS_r*.json artifacts from EARLIER rounds, so the
 # driver's own artifact for this round (written after round close)
 # cannot retroactively falsify the ≥70% first-time policy.
-DRIVER_WINDOW_ROUND = 8
+DRIVER_WINDOW_ROUND = 9
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     # — permanent, never rotates
@@ -2539,45 +2539,45 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # round-8 rotating slots (4/38 first-timers; tools/rotate_window.py)
-    "doc_minhash_lsh_auto_pairs",
-    "doc_ngram_novelty",
-    "doc_emb_dup_agreement",
-    "emb_matryoshka_recall_report",
-    "compact_partition",
-    "cluster_partition",
-    "load_orc",
-    "refresh_rollup_days",
-    "q1_pricing_summary",
-    "revenue_by_nation",
-    "topk_per_group",
-    "asof_purchase_last_click",
-    "range_count_errors_before_purchase",
-    "daily_active_users",
-    "value_percentiles",
-    "rollup_revenue",
-    "moving_avg_value",
-    "hourly_rollup",
-    "salted_hourly_rollup",
-    "dq_lineitem_checks",
-    "props_variant_buckets",
-    "props_json_stats",
-    "minute_gapfill_ffill",
-    "daily_type_pivot",
-    "unpivot_daily_counts",
-    "loyal_buyers_setops",
-    "small_quantity_revenue",
-    "big_orders",
-    "value_dispersion",
-    "event_neighbors",
-    "purchaser_error_matrix",
-    "user_first_last_event",
-    "term_typo_pairs",
-    "value_trend_by_type",
-    "cube_orders",
-    "value_histogram",
-    "user_value_deciles",
-    "funnel_steps",
+    # round-9 rotating slots (14/38 first-timers; tools/rotate_window.py)
+    "doc_quality_filter_funnel",
+    "doc_pack_efficiency",
+    "doc_containment_capped",
+    "doc_incremental_simhash",
+    "doc_neardup_canonicalize",
+    "emb_cluster_drift",
+    "emb_ivf_probe_sweep",
+    "emb_ann_topk_sq8",
+    "emb_sq8_recall_report",
+    "doc_incremental_winnow",
+    "doc_url_canonical_dedup",
+    "doc_host_profile",
+    "doc_incremental_url_dedup",
+    "mm_phash_near_pairs_wide",
+    "sessionize",
+    "brand_revenue",
+    "weekly_users_sketch_rollup",
+    "daily_approx_users",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_langid",
+    "doc_fingerprint",
+    "corpus_clean",
+    "doc_pack_sequences",
+    "doc_decontaminate",
+    "doc_exact_dup_groups",
+    "doc_incremental_dedup",
+    "emb_incremental_semantic_dedup",
+    "emb_ann_topk",
+    "emb_ann_topk_lsh",
+    "emb_ann_topk_ivf",
+    "mm_image_features",
+    "stream_sessionize",
+    "stream_dedup",
+    "doc_scrub_pii",
+    "doc_bm25_search",
+    "doc_line_dedup",
+    "mm_phash_near_pairs",
 ]
 
 

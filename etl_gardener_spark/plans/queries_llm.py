@@ -1998,7 +1998,10 @@ def emb_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_ctes(
-    k: int = 8, n_iter: int = 2, train_where: str = "TRUE"
+    k: int = 8,
+    n_iter: int = 2,
+    train_where: str = "TRUE",
+    seed: str = "id_lt_k",
 ) -> tuple[str, str]:
     """Unrolled Lloyd iterations as CTEs, mirroring operators/similarity.
     kmeans exactly (seeded centroids, rounded-cosine argmax with min-cid
@@ -2009,7 +2012,12 @@ def _kmeans_ctes(
     scans) for incremental oracles; the final assignment CTE always
     scans ALL embeddings — assignment is per-row against fixed
     centroids, so assigning everything at once equals assigning any
-    subset separately."""
+    subset separately.
+
+    ``seed`` mirrors kmeans_fit: 'id_lt_k' takes vec_id < k (fewer than
+    k centroids under a filtered train_where); 'first_k' takes the k
+    smallest-id training rows with cid = id rank - 1, guaranteeing k
+    centroids."""
 
     def assign(name: str, cents: str, where: str = "TRUE") -> str:
         # FLOOR(x*1e6 + 0.5), not ROUND: mirrors kmeans_assign /
@@ -2032,10 +2040,19 @@ def _kmeans_ctes(
                  range(1, {_DIM + 1}) r(i)
             GROUP BY cid, i) GROUP BY cid)"""
 
-    parts = [
-        f"c0 AS (SELECT vec_id AS cid, embedding AS cvec\n"
-        f"          FROM embeddings WHERE vec_id < {k} AND ({train_where}))"
-    ]
+    if seed == "id_lt_k":
+        seed_cte = (
+            f"c0 AS (SELECT vec_id AS cid, embedding AS cvec\n"
+            f"          FROM embeddings WHERE vec_id < {k} AND ({train_where}))"
+        )
+    else:
+        seed_cte = (
+            f"c0 AS (SELECT rn - 1 AS cid, cvec FROM (\n"
+            f"          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,\n"
+            f"                 embedding AS cvec\n"
+            f"          FROM embeddings WHERE ({train_where})) WHERE rn <= {k})"
+        )
+    parts = [seed_cte]
     for it in range(n_iter):
         parts.append(assign(f"a{it}", f"c{it}", train_where))
         parts.append(update(f"c{it + 1}", f"a{it}"))
@@ -2152,8 +2169,13 @@ def emb_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFram
 def _cluster_drift_oracle(k: int = 16, n_iter: int = 2) -> str:
     """Occupancy drift between the store (even ids, the training
     corpus) and an incoming batch (odd ids) routed to the SAME fitted
-    centroids — reuses the incremental-semdedup CTE front half."""
-    ctes, fin = _kmeans_ctes(k, n_iter, train_where="vec_id % 2 = 0")
+    centroids — reuses the incremental-semdedup CTE front half.
+    first_k seeding: under the even-id train split, vec_id < k would
+    yield only k/2 seeds — rank-based seeding keeps the full stated
+    cluster resolution (r8 ADVICE fix)."""
+    ctes, fin = _kmeans_ctes(
+        k, n_iter, train_where="vec_id % 2 = 0", seed="first_k"
+    )
     return f"""
     WITH {ctes},
     h AS (SELECT cid,
@@ -2188,12 +2210,13 @@ def emb_cluster_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding pipeline runs per ingest BEFORE the model quietly starts
     seeing a different distribution. Per-ingest cost: O(batch x k)
     routing + two count aggregates + a one-row broadcast of the totals;
-    never O(corpus)."""
+    never O(corpus). first_k seeding keeps all 16 centroids under the
+    even-id train split (r8 ADVICE fix)."""
     e = load_table(spark, sf_dir, "embeddings")
     store = e.filter(F.col("vec_id") % 2 == 0)
     batch = e.filter(F.col("vec_id") % 2 == 1)
     final_store, cents = SIM.kmeans_fit(
-        store, "vec_id", "embedding", k=16, n_iter=2
+        store, "vec_id", "embedding", k=16, n_iter=2, seed="first_k"
     )
     batch_assign = SIM.kmeans_assign(batch, cents, "vec_id", "embedding")
     tagged = final_store.select(

@@ -196,3 +196,28 @@ def test_keep_best_by_score_matches_argmax(spark, comps, scores):
         winner = min(members, key=lambda i: (-smap[i], i))
         for i in members:
             assert got[i] == ((True, None) if i == winner else (False, winner))
+
+
+def test_keep_best_by_score_keeps_unscored_members(spark):
+    """r8 ADVICE guard: a component member missing from the scores
+    relation must NOT be dropped (LEFT join) — it sorts after every
+    scored member (NULL score last) so it can neither win the election
+    over a scored candidate nor vanish from the output. An all-unscored
+    component falls back to the min-id survivor."""
+    from etl_gardener_spark.operators.graph import keep_best_by_score
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["id", "component"]
+    )
+    # member 3 unscored; component 7 entirely unscored
+    scores = spark.createDataFrame([(1, 0.2), (2, 0.9)], ["id", "score"])
+    out = {
+        r.id: (r.keep, r.dup_of, r.score)
+        for r in keep_best_by_score(comp, scores).collect()
+    }
+    assert set(out) == {1, 2, 3, 7, 8}          # nobody dropped
+    assert out[2] == (True, None, 0.9)           # best scored wins
+    assert out[1] == (False, 2, 0.2)
+    assert out[3] == (False, 2, None)            # unscored survives as dup
+    assert out[7] == (True, None, None)          # min-id fallback
+    assert out[8] == (False, 7, None)

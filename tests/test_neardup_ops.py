@@ -830,3 +830,51 @@ def test_incremental_simhash_matches_brute_force(spark, texts, max_hamming):
             j, h = min(cands)
             expect[i] = (j, h, "dup_of_store" if j % 2 == 0 else "dup_in_batch")
     assert got == expect
+
+
+def test_incremental_reingest_id_does_not_self_match(spark):
+    """r8 ADVICE guard: a batch doc whose id ALREADY EXISTS in the store
+    (re-ingest) must not match its own store row and report
+    dup_of = itself. All three signature-store members (MinHash,
+    SimHash, winnowing) carry the id_a != id_b guard on the store arm;
+    a re-ingested unique doc comes back 'unique', and a re-ingested doc
+    that genuinely duplicates ANOTHER store doc still reports that one."""
+    base = "the quick brown fox jumps over the lazy dog near the wide river bank today"
+    uniq = "completely different essay describing shuffle partitions joins and skew handling in spark"
+    store_docs = spark.createDataFrame(
+        [(10, base), (14, uniq)], ["doc_id", "text"]
+    )
+    # id 14 re-ingested with its own unique text; id 16 is new and dups 10
+    batch = spark.createDataFrame(
+        [(14, uniq), (16, base)], ["doc_id", "text"]
+    )
+
+    mh_store = ND.minhash_store(store_docs, "text", "doc_id")
+    mh = {
+        r.doc_id: (r.dup_of, r.status)
+        for r in ND.incremental_minhash_dedup(
+            batch, mh_store, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert mh[14] == (None, "unique")
+    assert mh[16] == (10, "dup_of_store")
+
+    sh_store = ND.simhash(store_docs, "text", "doc_id")
+    sh = {
+        r.doc_id: (r.dup_of, r.status)
+        for r in ND.incremental_simhash_dedup(
+            batch, sh_store, "text", "doc_id", max_hamming=3, bands=4
+        ).collect()
+    }
+    assert sh[14] == (None, "unique")
+    assert sh[16] == (10, "dup_of_store")
+
+    wn_store = ND.winnow_fingerprints(store_docs, "text", "doc_id")
+    wn = {
+        r.doc_id: (r.dup_of, r.status)
+        for r in ND.incremental_winnow_dedup(
+            batch, wn_store, "text", "doc_id"
+        ).collect()
+    }
+    assert wn[14] == (None, "unique")
+    assert wn[16] == (10, "dup_of_store")
