@@ -34,6 +34,7 @@ def pack_sequences(
     weight_col: str,
     stratum_cols: Sequence[str],
     capacity: int,
+    id_type: str = "long",
 ) -> DataFrame:
     """Assign each row a bin id per stratum: output adds ``bin_id`` (0-based
     within the stratum) to (id, strata, weight).
@@ -41,9 +42,13 @@ def pack_sequences(
     Semantics: rows ordered by ``id_col`` within each stratum; a row joins
     the current bin iff fill + weight <= capacity, else it opens the next
     bin (so a row heavier than ``capacity`` occupies a bin alone).
+
+    ``id_type``: output DDL type of the id column ('long' default;
+    'string' for warehouse tables with string ids — ordering within a
+    stratum is then lexicographic, still deterministic).
     """
     out_fields = (
-        [f"{id_col} long"]
+        [f"{id_col} {id_type}"]
         + [f"{c} string" for c in stratum_cols]
         + [f"{weight_col} long", "bin_id long"]
     )

@@ -51,7 +51,12 @@ def parse_duration(text: str | float | int | None, default: float = 0.0) -> floa
 @dataclass(frozen=True)
 class SourceConfig:
     """One configured (bucket, experiment, datatype) stream
-    (config/config.go:33-47)."""
+    (config/config.go:33-47).
+
+    ``curation`` / ``curation_params`` are a repo extension (no
+    reference analogue): an ordered opt-in list of post-Join curation
+    stages (orchestrator/curation.STAGE_ORDER) plus their parameters,
+    run under the same monitor machinery as the parity chain."""
 
     bucket: str
     experiment: str
@@ -60,6 +65,20 @@ class SourceConfig:
     daily_only: bool = False
     full_history: bool = False
     datasets: Datasets = field(default_factory=Datasets)
+    curation: tuple[str, ...] = ()
+    curation_params: tuple[tuple[str, object], ...] = ()
+
+    def curation_spec(self):
+        """CurationSpec for this source (None when no stages configured).
+        Imported lazily: curation pulls operator modules the plain
+        config model shouldn't load."""
+        if not self.curation:
+            return None
+        from etl_gardener_spark.orchestrator.curation import CurationSpec
+
+        return CurationSpec(
+            stages=tuple(self.curation), **dict(self.curation_params)
+        )
 
     def job_spec(self) -> Job:
         return Job(
@@ -106,6 +125,10 @@ def load_config(path: str) -> GardenerConfig:
                     tmp=ds.get("tmp", ""),
                     raw=ds.get("raw", ""),
                     join=ds.get("join", ""),
+                ),
+                curation=tuple(s.get("curation") or ()),
+                curation_params=tuple(
+                    sorted((s.get("curation_params") or {}).items())
                 ),
             )
         )

@@ -1,0 +1,336 @@
+"""Curation stages — optional post-Join actions that extend the
+reference's action chain (ops/actions.go:68-91) with the LLM-data-pipeline
+operators, running under the SAME tracker / claim-release / retry /
+metrics machinery as the parity chain. This closes the structural seam
+between "registry of certified curation queries" and "pipeline engine":
+the same scrub / quality-gate / dedup / pack operators the registry
+certifies against DuckDB here run as monitored, restartable, per-day
+pipeline stages.
+
+Extended chain (stages present only when configured on ANY source):
+
+    Joining -> curating:scrub -> curating:quality_gate
+            -> curating:exact_dedup -> curating:near_dedup
+            -> curating:pack -> Complete
+
+Per-job opt-in: each stage short-circuits with a "skipped: not
+configured" detail for jobs whose source config doesn't enable it — the
+same short-circuit pattern as Join's no-join-dataset case
+(ops/actions.go:371-374). A failure in any stage classifies exactly like
+the parity stages (transient -> Retry with the monitor's backoff,
+permanent -> Failed), and every stage is a pure function of its input
+partition with a staged-overwrite write, so it is idempotent and
+restart-safe (the reference's "no leases survive restart",
+ops/ops.go:33-40).
+
+Stage semantics (all over the JOIN-tier day partition, the table the
+reference chain hands off as its final product):
+
+    scrub         text_col := functions.scrub.redact(text_col)
+                  (URL/email/... -> tokens), in place
+    quality_gate  keep rows with functions.text.quality_score >= min
+    exact_dedup   keep the min-id row per normalized-text hash
+    near_dedup    MinHash+LSH pairs at >= jaccard_threshold; drop every
+                  doc that verifies against a smaller id (min-id
+                  survivor, the incremental family's convention)
+    pack          greedy sequence packing by token count into
+                  capacity-bounded bins, written to the 'packed' tier
+                  (a derived table, not an in-place rewrite)
+
+Config: a ``curation:`` stage list (plus optional ``curation_params:``)
+per source in the YAML config — see orchestrator/config.py and
+MIGRATION.md §curation.
+
+100 TB shape: each stage is one day-partition scan + the operator's own
+bounded shuffles (the per-operator scale analysis lives with the
+operators; nothing here adds a shuffle), and the per-day staged
+overwrite is exactly the parity chain's write pattern. Stages run under
+the monitor's thread pool one claimed job at a time per (datatype, day),
+so a 1000-day backfill parallelizes across days, not within the chain.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.functions.scrub import redact
+from etl_gardener_spark.functions.text import quality_score, token_count
+from etl_gardener_spark.operators.neardup import minhash_lsh_pairs
+from etl_gardener_spark.operators.packing import pack_sequences
+from etl_gardener_spark.orchestrator import job as J
+from etl_gardener_spark.orchestrator import metrics
+from etl_gardener_spark.orchestrator.actions import classify
+from etl_gardener_spark.orchestrator.monitor import Action, Monitor
+from etl_gardener_spark.table_ops import OpStats
+from etl_gardener_spark.warehouse import DATE_COL, Warehouse
+
+# Canonical stage order — the order a curation pipeline wants regardless
+# of which subset is configured (scrub before dedup so near-dup grouping
+# sees redacted text; dedup before pack so bins hold survivors only).
+STAGE_ORDER = ("scrub", "quality_gate", "exact_dedup", "near_dedup", "pack")
+
+PACKED_TIER = "packed"
+
+
+def state_for(stage: str) -> str:
+    """Tracker state name for a curation stage."""
+    return f"curating:{stage}"
+
+
+@dataclass(frozen=True)
+class CurationSpec:
+    """Per-source curation configuration (the ``curation:`` /
+    ``curation_params:`` YAML keys)."""
+
+    stages: tuple[str, ...] = ()
+    text_col: str = "text"
+    id_col: str = "id"
+    min_quality: float = 0.25
+    jaccard_threshold: float = 0.8
+    pack_capacity: int = 2048
+
+    def __post_init__(self):
+        unknown = [s for s in self.stages if s not in STAGE_ORDER]
+        if unknown:
+            raise ValueError(
+                f"unknown curation stages {unknown}; known: {list(STAGE_ORDER)}"
+            )
+
+
+class CurationActions:
+    """Binds Spark + Warehouse to the curation chain for all jobs,
+    dispatching per-job on ``spec_for`` (None / absent stage = skip)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: Warehouse,
+        spec_for: Callable[[J.Job], CurationSpec | None],
+    ):
+        self.spark = spark
+        self.wh = warehouse
+        self.spec_for = spec_for
+
+    # -- partition I/O (the parity chain's read/stage/overwrite shape) ----
+
+    def _read(self, job: J.Job) -> DataFrame:
+        return self.wh.read_partition(
+            self.spark, "join", job.experiment, job.datatype, job.date
+        )
+
+    def _rewrite(self, job: J.Job, df: DataFrame) -> None:
+        # localCheckpoint before overwriting the partition being read —
+        # same discipline as TableOps.dedup (can't overwrite a path
+        # while scanning it).
+        self.wh.overwrite_partitions(
+            df.localCheckpoint(eager=True), "join", job.experiment, job.datatype
+        )
+
+    @staticmethod
+    def _detail(st: OpStats) -> str:
+        return (
+            f"{st.op}: rows_out={st.rows_out} deleted={st.rows_deleted} "
+            f"elapsed={st.elapsed_sec:.2f}s"
+        )
+
+    # -- stage bodies ------------------------------------------------------
+
+    def _scrub(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        t0 = time.monotonic()
+        df = self._read(job)
+        staged = df.withColumn(
+            "__was", F.col(spec.text_col)
+        ).withColumn(spec.text_col, redact(spec.text_col))
+        staged = staged.withColumn(
+            "__hit", (F.col("__was") != F.col(spec.text_col)).cast("int")
+        ).localCheckpoint(eager=True)
+        n_rows, n_redacted = (
+            staged.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("__hit"), F.lit(0))
+            ).first()
+        )
+        out = staged.drop("__was", "__hit")
+        if n_redacted:
+            self._rewrite(job, out)
+        return OpStats(
+            op="scrub",
+            rows_out=int(n_rows),
+            elapsed_sec=time.monotonic() - t0,
+            detail={"rows_redacted": int(n_redacted)},
+        )
+
+    def _quality_gate(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        t0 = time.monotonic()
+        df = self._read(job)
+        before = df.count()
+        kept = df.filter(
+            quality_score(spec.text_col) >= F.lit(spec.min_quality)
+        )
+        after = kept.count()
+        if after != before:
+            self._rewrite(job, kept)
+        return OpStats(
+            op="quality_gate",
+            rows_out=after,
+            rows_deleted=before - after,
+            elapsed_sec=time.monotonic() - t0,
+        )
+
+    def _exact_dedup(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        t0 = time.monotonic()
+        df = self._read(job)
+        before = df.count()
+        # normalized-text hash key; min-id survivor per key. Window
+        # groups are duplicate sets (bounded), never the corpus.
+        key = F.xxhash64(
+            F.trim(F.lower(F.regexp_replace(F.col(spec.text_col), r"\s+", " ")))
+        )
+        w = Window.partitionBy(key).orderBy(F.col(spec.id_col).asc())
+        kept = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        after = kept.count()
+        if after != before:
+            self._rewrite(job, kept)
+        return OpStats(
+            op="exact_dedup",
+            rows_out=after,
+            rows_deleted=before - after,
+            elapsed_sec=time.monotonic() - t0,
+        )
+
+    def _near_dedup(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        t0 = time.monotonic()
+        df = self._read(job)
+        before = df.count()
+        pairs = minhash_lsh_pairs(
+            df,
+            spec.text_col,
+            spec.id_col,
+            num_hashes=12,
+            bands=4,
+            threshold=spec.jaccard_threshold,
+        )
+        # min-id survivor: any doc verified against a smaller id drops
+        # (pairs are canonical id_a < id_b). Greedy, chain-safe: if
+        # B~A and C~B~A, both B and C appear as id_b and A survives.
+        drops = pairs.select(F.col("id_b").alias(spec.id_col)).distinct()
+        kept = df.join(drops, spec.id_col, "left_anti")
+        after = kept.count()
+        if after != before:
+            self._rewrite(job, kept)
+        return OpStats(
+            op="near_dedup",
+            rows_out=after,
+            rows_deleted=before - after,
+            elapsed_sec=time.monotonic() - t0,
+        )
+
+    def _pack(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        t0 = time.monotonic()
+        df = self._read(job)
+        id_type = dict(df.dtypes).get(spec.id_col, "string")
+        weighted = df.select(
+            F.col(spec.id_col),
+            F.col(DATE_COL).cast("string").alias("__stratum"),
+            token_count(spec.text_col).alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            weighted,
+            spec.id_col,
+            "n_tokens",
+            ["__stratum"],
+            spec.pack_capacity,
+            id_type="long" if id_type in ("bigint", "int", "long") else "string",
+        )
+        out = packed.select(
+            spec.id_col,
+            "n_tokens",
+            "bin_id",
+            F.col("__stratum").cast("date").alias(DATE_COL),
+        )
+        self.wh.overwrite_partitions(out, PACKED_TIER, job.experiment, job.datatype)
+        rows = self.wh.read_partition(
+            self.spark, PACKED_TIER, job.experiment, job.datatype, job.date
+        ).count()
+        return OpStats(op="pack", rows_out=rows, elapsed_sec=time.monotonic() - t0)
+
+    _BODIES = {
+        "scrub": _scrub,
+        "quality_gate": _quality_gate,
+        "exact_dedup": _exact_dedup,
+        "near_dedup": _near_dedup,
+        "pack": _pack,
+    }
+
+    # -- action wrapper ----------------------------------------------------
+
+    def _stage_action(self, stage: str) -> Callable[[J.Job], str]:
+        body = self._BODIES[stage]
+
+        def run(job: J.Job) -> str:
+            spec = self.spec_for(job)
+            if spec is None or stage not in spec.stages:
+                return f"{stage} skipped: not configured"
+            t0 = metrics.spark_task_seconds(self.spark)
+            try:
+                st = body(self, job, spec)
+            except Exception as e:  # noqa: BLE001 — classified below
+                raise classify(e) from e
+            cost = metrics.spark_task_seconds(self.spark) - t0
+            metrics.QUERY_COST.observe(
+                job.datatype, f"curate_{stage}", value=max(cost, 0.0)
+            )
+            return self._detail(st)
+
+        return run
+
+    def install(self, monitor: Monitor, stages: tuple[str, ...] | None = None) -> None:
+        """Wire the curation chain AFTER StandardActions.install: rewires
+        Joining's next_state to the first curation state and chains the
+        stages to Complete. ``stages`` defaults to the full STAGE_ORDER;
+        pass the union of the stages configured across sources to keep
+        unconfigured states out of every job's history."""
+        chain = tuple(s for s in STAGE_ORDER if stages is None or s in stages)
+        if not chain:
+            return
+        prior = monitor.get_action(J.JOINING)
+        if prior is None:
+            raise ValueError(
+                "install StandardActions before CurationActions: the "
+                "Joining action to rewire is missing"
+            )
+        monitor.add_action(
+            Action(
+                J.JOINING,
+                state_for(chain[0]),
+                prior.action,
+                prior.condition,
+                prior.annotation,
+            )
+        )
+        states = [state_for(s) for s in chain]
+        nexts = states[1:] + [J.COMPLETE]
+        for st, nxt, stage in zip(states, nexts, chain):
+            monitor.add_action(Action(st, nxt, self._stage_action(stage)))
+
+
+def spec_for_config(config) -> Callable[[J.Job], CurationSpec | None]:
+    """Build a job -> CurationSpec resolver from GardenerConfig: matches
+    on (bucket, experiment, datatype)."""
+    by_key = {
+        (s.bucket, s.experiment, s.datatype): s.curation_spec()
+        for s in config.sources
+    }
+
+    def resolve(job: J.Job) -> CurationSpec | None:
+        return by_key.get((job.bucket, job.experiment, job.datatype))
+
+    return resolve

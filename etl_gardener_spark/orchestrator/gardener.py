@@ -19,6 +19,11 @@ from pyspark.sql import types as T
 from etl_gardener_spark.orchestrator.actions import StandardActions
 from etl_gardener_spark.orchestrator.api import create_app, serve_background
 from etl_gardener_spark.orchestrator.config import GardenerConfig
+from etl_gardener_spark.orchestrator.curation import (
+    STAGE_ORDER as CURATION_STAGE_ORDER,
+    CurationActions,
+    spec_for_config,
+)
 from etl_gardener_spark.orchestrator.iterators import (
     DailyIterator,
     HistoricalIterator,
@@ -84,13 +89,27 @@ class Gardener:
         )
         self.monitor = Monitor(self.tracker, retry_delay_sec=retry_delay_sec)
         self.warehouse_root = warehouse_root
+        wh = Warehouse(warehouse_root)
         StandardActions(
             spark,
-            Warehouse(warehouse_root),
+            wh,
             landing_root,
             schema_for,
             self.tracker,
         ).install(self.monitor)
+        # Optional post-Join curation chain: installed only when some
+        # source opts in, and only the union of configured stages gets a
+        # state — sources without curation keep the reference's exact
+        # Joining -> Complete shape (orchestrator/curation.py).
+        configured = tuple(
+            s
+            for s in CURATION_STAGE_ORDER
+            if any(s in src.curation for src in config.sources)
+        )
+        if configured:
+            CurationActions(spark, wh, spec_for_config(config)).install(
+                self.monitor, stages=configured
+            )
         self.app = create_app(self.tracker, self.job_service)
         self._poll_period = (
             poll_period_sec

@@ -66,6 +66,12 @@ class Monitor:
     def add_action(self, action: Action) -> None:
         self._actions[action.state] = action
 
+    def get_action(self, state: str) -> Action | None:
+        """The action currently wired for ``state`` (None if none) — lets
+        an extension chain rewire a transition's next_state while keeping
+        its action/condition (curation.CurationActions.install)."""
+        return self._actions.get(state)
+
     # -- claim/release (ops/ops.go:107-124) --------------------------------
 
     def _claim(self, key: str) -> bool:

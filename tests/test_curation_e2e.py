@@ -1,0 +1,227 @@
+"""End-to-end curation-chain test: the LLM-extension stages (scrub ->
+quality gate -> exact dedup -> near dedup -> pack) configured per source
+and driven by the SAME Monitor/tracker machinery as the parity chain
+(reference chain ops/actions.go:68-91; extension orchestrator/curation.py).
+Covers: full state history through curating:* states, per-stage metrics,
+the skip path for a source without curation, and restart idempotence."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date as Date
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_gardener_spark.orchestrator import job as J
+from etl_gardener_spark.orchestrator import metrics
+from etl_gardener_spark.orchestrator.config import GardenerConfig, SourceConfig
+from etl_gardener_spark.orchestrator.curation import state_for
+from etl_gardener_spark.orchestrator.gardener import Gardener
+from etl_gardener_spark.orchestrator.job import Datasets
+from etl_gardener_spark.warehouse import Warehouse
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField(
+            "parser", T.StructType([T.StructField("Time", T.TimestampType())])
+        ),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog near the river today "
+    "while herons watch from shallow water banks waiting patiently"
+)
+LONG_A_NEAR = (
+    "the quick brown fox jumps over the lazy cat near the river today "
+    "while herons watch from shallow water banks waiting patiently"
+)
+LONG_B = (
+    "completely different content about spark partitions shuffles and "
+    "adaptive execution strategies for large scale analytical joins"
+)
+
+
+def _write_day(root: str, job_prefix: str, rows: list[dict]) -> None:
+    d = os.path.join(root, job_prefix)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part0.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def curation_gardener(spark, tmp_path):
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b",
+                experiment="corpus",
+                datatype="webdocs",
+                datasets=Datasets(tmp="tmp_c", raw="raw_c", join="c"),
+                curation=(
+                    "scrub",
+                    "quality_gate",
+                    "exact_dedup",
+                    "near_dedup",
+                    "pack",
+                ),
+                curation_params=(
+                    ("jaccard_threshold", 0.5),
+                    ("pack_capacity", 40),
+                ),
+            ),
+            # parity-only source: same chain states, every stage skips
+            SourceConfig(
+                bucket="b",
+                experiment="corpus",
+                datatype="plain",
+                datasets=Datasets(tmp="tmp_p", raw="raw_p", join="p"),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    yield g, str(tmp_path / "landing"), str(tmp_path / "wh")
+    g.monitor.shutdown()
+
+
+def _run_job(g, landing, datatype, rows, day=Date(2024, 3, 1)):
+    src = next(s for s in g.config.sources if s.datatype == datatype)
+    job = src.job_spec().with_date(day)
+    _write_day(landing, job.prefix(), rows)
+    g.tracker.add_job(job)
+    client = g.app.test_client()
+    assert (
+        client.post(
+            "/v2/job/update", data={"id": job.key(), "state": J.PARSE_COMPLETE}
+        ).status_code
+        == 200
+    )
+    assert g.monitor.drain(timeout_sec=180.0)
+    return job
+
+
+def test_curation_chain_end_to_end(curation_gardener):
+    g, landing, wh_root = curation_gardener
+    t = "2024-03-01T01:00:00Z"
+    rows = [
+        # survives everything; email gets scrubbed
+        {"id": "a", "parser": {"Time": t}, "text": LONG_A + " contact bob@example.com"},
+        # strict subset of a's scrubbed text (jaccard 20/22) -> near_dedup
+        {"id": "b", "parser": {"Time": t}, "text": LONG_A},
+        # exact dup of d after whitespace/case normalization -> exact_dedup
+        {"id": "d", "parser": {"Time": t}, "text": LONG_B},
+        {"id": "e", "parser": {"Time": t}, "text": "  " + LONG_B.upper() + "  "},
+        # repetitive symbol soup (score ~0.14) -> quality gate drops it
+        {"id": "z", "parser": {"Time": t}, "text": "!!! !!! !!! !!! !!!"},
+    ]
+    job = _run_job(g, landing, "webdocs", rows)
+
+    st = g.tracker.get_status(job.key())
+    assert st.state == J.COMPLETE, [si.state for si in st.history]
+    states = [si.state for si in st.history]
+    for s in (
+        J.LOADING,
+        J.DEDUPLICATING,
+        J.COPYING,
+        J.DELETING,
+        J.JOINING,
+        state_for("scrub"),
+        state_for("quality_gate"),
+        state_for("exact_dedup"),
+        state_for("near_dedup"),
+        state_for("pack"),
+    ):
+        assert s in states, (s, states)
+
+    wh = Warehouse(wh_root)
+    joined = wh.read_partition(g.spark, "join", "corpus", "webdocs", job.date)
+    got = {r.id: r.text for r in joined.collect()}
+    # survivors: a (scrubbed) and d (min-id exact survivor)
+    assert set(got) == {"a", "d"}
+    assert "bob@example.com" not in got["a"]
+    assert "<EMAIL>" in got["a"]
+
+    packed = wh.read_partition(g.spark, "packed", "corpus", "webdocs", job.date)
+    p = {r.id: (r.n_tokens, r.bin_id) for r in packed.collect()}
+    assert set(p) == {"a", "d"}
+    # capacity 40: a scrubbed = 24 tokens, d = 16; 24 + 16 = 40 <= 40 so
+    # both land in bin 0 (greedy fill ordered by id)
+    assert p["a"] == (24, 0) and p["d"] == (16, 0)
+
+    # per-stage metrics recorded under the parity chain's histogram
+    text = metrics.REGISTRY.expose_text()
+    for stage in ("scrub", "quality_gate", "exact_dedup", "near_dedup", "pack"):
+        assert (
+            f'query="curate_{stage}"' in text
+        ), f"missing curate_{stage} in metrics"
+
+
+def test_uncurated_source_skips_stages(curation_gardener):
+    g, landing, wh_root = curation_gardener
+    t = "2024-03-01T01:00:00Z"
+    rows = [
+        {"id": "x", "parser": {"Time": t}, "text": LONG_A},
+        {"id": "y", "parser": {"Time": t}, "text": "!!! ??? !!!"},
+    ]
+    job = _run_job(g, landing, "plain", rows)
+    st = g.tracker.get_status(job.key())
+    assert st.state == J.COMPLETE, [si.state for si in st.history]
+    # walks the curation states (they are installed chain-wide) but every
+    # stage skips: nothing is filtered, no packed tier appears
+    wh = Warehouse(wh_root)
+    joined = wh.read_partition(g.spark, "join", "corpus", "plain", job.date)
+    assert {r.id for r in joined.collect()} == {"x", "y"}
+    assert not wh.partition_exists(
+        g.spark, "packed", "corpus", "plain", job.date
+    )
+    details = " | ".join(si.detail or "" for si in st.history)
+    assert "skipped: not configured" in details
+
+
+def test_curation_stage_idempotent_rerun(curation_gardener):
+    """Restart safety: re-running a curation stage on an already-curated
+    partition is a no-op (pure function of the partition + staged
+    overwrite) — the reference's no-leases-survive-restart property
+    extended to the new states."""
+    from etl_gardener_spark.orchestrator.curation import (
+        CurationActions,
+        spec_for_config,
+    )
+
+    g, landing, wh_root = curation_gardener
+    t = "2024-03-01T01:00:00Z"
+    rows = [
+        {"id": "a", "parser": {"Time": t}, "text": LONG_A},
+        {"id": "b", "parser": {"Time": t}, "text": LONG_A_NEAR},
+    ]
+    job = _run_job(g, landing, "webdocs", rows)
+    wh = Warehouse(wh_root)
+    before = {
+        r.id for r in wh.read_partition(
+            g.spark, "join", "corpus", "webdocs", job.date
+        ).collect()
+    }
+    ca = CurationActions(g.spark, wh, spec_for_config(g.config))
+    for stage in ("scrub", "quality_gate", "exact_dedup", "near_dedup"):
+        detail = ca._stage_action(stage)(job)
+        assert "deleted=0" in detail or "rows_redacted': 0" in detail, detail
+    after = {
+        r.id for r in wh.read_partition(
+            g.spark, "join", "corpus", "webdocs", job.date
+        ).collect()
+    }
+    assert after == before

@@ -494,13 +494,24 @@ sources:
     daily_only: true
     full_history: true
     datasets: {tmp: tmp_ndt, raw: raw_ndt, join: ""}
+  - bucket: archive-bucket
+    experiment: corpus
+    datatype: webdocs
+    datasets: {tmp: tmp_c, raw: raw_c, join: c}
+    curation: [scrub, quality_gate, pack]
+    curation_params: {min_quality: 0.3, pack_capacity: 512}
 """
     )
     cfg = load_config(str(p))
     assert cfg.start_date == Date(2019, 3, 20)
     assert cfg.tracker_timeout_sec == 5 * 3600
     assert cfg.polling_interval_sec == 300
-    assert len(cfg.sources) == 2
+    assert len(cfg.sources) == 3
     assert cfg.sources[0].datasets.join == "ndt"
-    assert cfg.historical_sources == (cfg.sources[0],)
+    assert cfg.historical_sources == (cfg.sources[0], cfg.sources[2])
     assert cfg.sources[1].full_history is True
+    # curation extension round-trip (orchestrator/curation.py)
+    assert cfg.sources[0].curation_spec() is None
+    spec = cfg.sources[2].curation_spec()
+    assert spec.stages == ("scrub", "quality_gate", "pack")
+    assert spec.min_quality == 0.3 and spec.pack_capacity == 512
