@@ -592,6 +592,7 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: assign every corpus vector to its nearest centroid
     cell, then search each query only inside its ``nprobe`` nearest cells.
@@ -601,17 +602,30 @@ def cosine_topk_ivf(
     across all future queries in a real deployment), and each query then
     touches ~nprobe/C of the corpus via an equi-join on cell — recall is
     tunable with nprobe, precision is exact (true cosine on candidates).
+
+    ``centroids``: an explicit coarse-quantizer relation (cid, cvec) —
+    pass ``kmeans_fit``'s fitted centroids for a TRAINED quantizer (the
+    production-index path: balanced cells -> better recall per probe);
+    None keeps the deterministic first-C-ids seeding (``ivf_centroids``,
+    the oracle-replay default). ``n_centroids`` is ignored when
+    ``centroids`` is given.
     """
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     spark = corpus.sparkSession
-    # explicit schema: an EMPTY corpus yields zero centroids, and schema
-    # inference cannot type an empty local relation (differential-fuzz,
-    # seed 0) — downstream joins then correctly produce zero results
-    cents_df = local_df(
-        spark,
-        [(cid, vec) for cid, vec in cents],
-        "cid long, cvec array<double>",
-    )
+    if centroids is not None:
+        cents_df = centroids.select(
+            F.col("cid").cast("long"), F.col("cvec").cast("array<double>")
+        )
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        # explicit schema: an EMPTY corpus yields zero centroids, and
+        # schema inference cannot type an empty local relation
+        # (differential-fuzz, seed 0) — downstream joins then correctly
+        # produce zero results
+        cents_df = local_df(
+            spark,
+            [(cid, vec) for cid, vec in cents],
+            "cid long, cvec array<double>",
+        )
 
     def ranked_cells(df, out_id: str, out_vec: str, keep: int):
         """Score every vector against the C broadcast centroids and keep

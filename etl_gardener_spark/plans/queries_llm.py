@@ -2312,24 +2312,38 @@ def emb_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _ivf_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+def _ivf_oracle(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    cents_ctes: str | None = None,
+    cents_rel: str = "cents",
+) -> str:
+    """The certified IVF search oracle. ``cents_ctes``/``cents_rel``
+    swap in an externally-defined coarse-quantizer CTE chain (the
+    trained-centroid variant passes _kmeans_ctes' fitted relation);
+    default is the seeded first-C-ids quantizer."""
     cos_ec = _cosine_sql("e.embedding", "c.cvec")
     cos_qa = _cosine_sql("q.q_vec", "a.embedding")
+    if cents_ctes is None:
+        cents_ctes = (
+            f"cents AS (SELECT vec_id AS cid, embedding AS cvec\n"
+            f"                   FROM embeddings WHERE vec_id < {n_centroids})"
+        )
     return f"""
-    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-                   FROM embeddings WHERE vec_id < {n_centroids}),
+    WITH {cents_ctes},
     asg AS (SELECT vec_id, embedding, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
                    DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        FROM embeddings e CROSS JOIN {cents_rel} c) t WHERE rn = 1),
     qprobe AS (SELECT vec_id AS query_id, embedding AS q_vec, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
                    DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
+        FROM embeddings e CROSS JOIN {cents_rel} c WHERE e.vec_id < 10) t
         WHERE rn <= {nprobe}),
     cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
                     ROUND({cos_qa}, 6) AS score
@@ -2350,6 +2364,42 @@ def emb_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = SIM.cosine_topk_ivf(
         e, e.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ivf_trained_oracle(
+    n_centroids: int = 16, n_iter: int = 2, nprobe: int = 4, k: int = 5
+) -> str:
+    """IVF search over FITTED centroids: the certified kmeans CTE chain
+    (seeds -> n_iter Lloyd updates) supplies the quantizer relation to
+    the certified IVF search body — both halves reuse already-certified
+    oracle machinery, so the composition stays bit-exact."""
+    ctes, _fin = _kmeans_ctes(n_centroids, n_iter)
+    return _ivf_oracle(
+        nprobe=nprobe, k=k, cents_ctes=ctes, cents_rel=f"c{n_iter}"
+    )
+
+
+@query(
+    "emb_ann_topk_ivf_trained",
+    _ivf_trained_oracle(),
+    tags=("llm", "ann", "ivf", "clustering"),
+)
+def emb_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN over a TRAINED coarse quantizer (r8 verdict item 4):
+    [[emb_kmeans]]'s fitted centroids (k=16, 2 Lloyd iterations) replace
+    [[emb_ann_topk_ivf]]'s raw first-16-ids seeds as the cell relation —
+    the production-index build (FAISS IVF trains its quantizer on the
+    corpus; balanced cells give better recall per probe, see
+    [[emb_ivf_probe_sweep]]'s quantizer comparison). Training is one
+    bounded k-means job amortized across every future query; search cost
+    is identical to the seeded variant (assignment scan + nprobe/C of
+    the corpus per query)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    _final, cents = SIM.kmeans_fit(e, "vec_id", "embedding", k=16, n_iter=2)
+    out = SIM.cosine_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10), k=5, nprobe=4, centroids=cents
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -2395,19 +2445,26 @@ _PROBE_ARMS = (1, 2, 4, 8)
 
 
 def _ivf_probe_sweep_oracle(k: int = 5) -> str:
-    """Recall-vs-nprobe tuning curve: the certified IVF oracle nested
-    once per probe depth, each arm joined against the exact cosine
+    """Recall-vs-nprobe tuning curve, one arm per (quantizer, depth):
+    the certified IVF oracle (seeded) and its trained-centroid variant
+    nested once per probe depth, each joined against the exact cosine
     top-k (the emb_sq8/pq recall-report pattern)."""
+    quantizers = {
+        "seeded": lambda np: _ivf_oracle(nprobe=np, k=k),
+        "trained": lambda np: _ivf_trained_oracle(nprobe=np, k=k),
+    }
     p_ctes = ",\n    ".join(
-        f"p{np} AS (SELECT query_id, neighbor_id"
-        f" FROM ({_ivf_oracle(nprobe=np, k=k)}) t)"
+        f"p_{qz}_{np} AS (SELECT query_id, neighbor_id"
+        f" FROM ({mk(np)}) t)"
+        for qz, mk in quantizers.items()
         for np in _PROBE_ARMS
     )
     arms = "\n      UNION ALL ".join(
-        f"SELECT CAST({np} AS BIGINT) AS nprobe,"
+        f"SELECT '{qz}' AS quantizer, CAST({np} AS BIGINT) AS nprobe,"
         f" CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,"
-        f" CAST((SELECT COUNT(*) FROM p{np} p JOIN exact b"
+        f" CAST((SELECT COUNT(*) FROM p_{qz}_{np} p JOIN exact b"
         f" USING (query_id, neighbor_id)) AS BIGINT) AS n_matched"
+        for qz in quantizers
         for np in _PROBE_ARMS
     )
     return f"""
@@ -2423,7 +2480,7 @@ def _ivf_probe_sweep_oracle(k: int = 5) -> str:
                  ORDER BY score DESC, neighbor_id ASC) AS rank
         FROM scored) t WHERE rank <= {k}),
     {p_ctes}
-    SELECT nprobe, n_exact, n_matched,
+    SELECT quantizer, nprobe, n_exact, n_matched,
            ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
     FROM ({arms})
     """
@@ -2435,17 +2492,20 @@ def _ivf_probe_sweep_oracle(k: int = 5) -> str:
     tags=("llm", "ann", "ivf", "eval", "quality"),
 )
 def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF nprobe TUNING CURVE — recall of [[emb_ann_topk_ivf]] vs the
-    exact cosine top-5 at probe depths 1/2/4/8: the monotone curve an
-    operator reads to pick the cheapest nprobe that clears the recall
-    target before deploying the index at corpus scale (probing 8 of 16
-    cells costs ~8x the candidate joins of probing 1 — the whole point
-    is knowing where the curve flattens). Exact ground truth is
-    computed ONCE (checkpoint shared by all four arms); each arm is
-    the certified IVF search at a different depth. Completes the
-    eval-instrument family ([[emb_ann_recall_report]],
-    [[emb_pq_recall_report]], [[emb_sq8_recall_report]],
-    [[emb_matryoshka_recall_report]])."""
+    """IVF TUNING SURFACE — recall vs the exact cosine top-5 across
+    probe depths 1/2/4/8 for BOTH coarse quantizers: the seeded
+    first-16-ids cells ([[emb_ann_topk_ivf]]) and the k-means-fitted
+    cells ([[emb_ann_topk_ivf_trained]]). The curve an operator reads
+    to pick the cheapest (quantizer, nprobe) that clears the recall
+    target before deploying the index at corpus scale — the trained
+    quantizer's balanced cells typically buy the same recall at a lower
+    probe depth, and this instrument is where that claim is measured
+    rather than assumed (r8 verdict item 4). Exact ground truth is
+    computed ONCE (checkpoint shared by all eight arms); the trained
+    centroids are fitted ONCE (kmeans_fit checkpoints per iteration)
+    and shared by their four arms. Completes the eval-instrument family
+    ([[emb_ann_recall_report]], [[emb_pq_recall_report]],
+    [[emb_sq8_recall_report]], [[emb_matryoshka_recall_report]])."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 10)
     exact = (
@@ -2454,17 +2514,23 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
+    _final, trained_cents = SIM.kmeans_fit(
+        e, "vec_id", "embedding", k=16, n_iter=2
+    )
+    quantizers = {"seeded": None, "trained": trained_cents}
     rows = []
-    for np_ in _PROBE_ARMS:
-        approx = SIM.cosine_topk_ivf(
-            e, probes, k=5, n_centroids=16, nprobe=np_
-        ).select("query_id", "neighbor_id")
-        matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
-        recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((np_, n_exact, matched, recall))
+    for qz, cents in quantizers.items():
+        for np_ in _PROBE_ARMS:
+            approx = SIM.cosine_topk_ivf(
+                e, probes, k=5, n_centroids=16, nprobe=np_, centroids=cents
+            ).select("query_id", "neighbor_id")
+            matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
+            recall = round(matched / n_exact, 4) if n_exact else None
+            rows.append((qz, np_, n_exact, matched, recall))
     return local_df(
         spark, rows,
-        "nprobe long, n_exact long, n_matched long, recall double",
+        "quantizer string, nprobe long, n_exact long, n_matched long,"
+        " recall double",
     )
 
 
