@@ -528,8 +528,16 @@ def drop_duplicate_spans(
     corpus-fraction-sized for natural text; no stage holds a document
     set in memory. A true suffix-array pass also catches VARIABLE-length
     repeats; fixed-grain windows are the standard distributed
-    approximation (any repeat >= span_len tokens is fully covered by its
-    sliding windows and removed; repeats shorter than span_len survive).
+    approximation — with a PINNED bound
+    (tests/test_spandedup_properties.py, r8 verdict item 5): at token
+    grain the window pass removes EXACTLY the tokens lying in a
+    cross-doc duplicated substring of length >= span_len (a repeat of
+    length R >= L is tiled by its R-L+1 duplicated L-windows, so
+    coverage is equality, not approximation), and its only miss classes
+    vs full suffix-array semantics are (a) repeats shorter than
+    span_len and (b) repeats whose extra occurrences are all WITHIN one
+    document (the distinct-docs verdict rule never fires). It never
+    removes a token the full semantics wouldn't.
     """
     toks = df.select(
         F.col(id_col).alias("__id"),
