@@ -38,7 +38,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from etl_gardener_spark.plans import queries as Q
 from etl_gardener_spark.session import get_spark
 
-RUNS = 2
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+# Canary query for box-state normalization (SCALE.md quiet-box
+# protocol, r8 verdict item 2): a mid-weight certified query untouched
+# since the early rounds, timed best-of-3 BEFORE the sweep. Its
+# task-seconds ratio vs the committed reference value estimates the
+# box-state drift baked into the whole recording — a recording whose
+# canary is >1.15x its reference should be retaken, and cross-round
+# medians should be read next to the two canary factors.
+CANARY = "q1_pricing_summary"
+CANARY_RUNS = 3
 
 
 def _max_stage_id(spark) -> int:
@@ -88,12 +98,26 @@ def _task_time_since(spark, min_stage_id: int) -> tuple[float, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load0 = os.getloadavg()[0]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="bench")
 
     # Warm the session (JVM JIT, codegen cache, FS metadata) on a trivial job.
     spark.range(1000).count()
+
+    # Canary measurement (box-state normalization; see CANARY above).
+    canary_task = None
+    if CANARY in Q.REGISTRY:
+        best = None
+        for _ in range(CANARY_RUNS):
+            mark = _max_stage_id(spark)
+            Q.REGISTRY[CANARY].fn(spark, sf_dir).write.mode(
+                "overwrite"
+            ).format("noop").save()
+            task, _cpu = _task_time_since(spark, mark)
+            best = task if best is None else min(best, task)
+        canary_task = round(best, 3)
 
     timings: dict[str, float] = {}
     task_secs: dict[str, float] = {}
@@ -125,6 +149,10 @@ def main() -> None:
         "queries_cpu_sec": cpu_secs,
         "task_sec_total": round(sum(task_secs.values()), 3),
         "cpu_sec_total": round(sum(cpu_secs.values()), 3),
+        "canary_query": CANARY,
+        "canary_task_sec": canary_task,
+        "load_avg_start": round(load0, 2),
+        "runs": RUNS,
         "sf": sf,
     }
     out_path = os.environ.get(

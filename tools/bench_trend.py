@@ -90,6 +90,21 @@ def main() -> None:
     med = statistics.median(ratios.values())
     print(f"comparable queries vs {label}: {len(common)}")
     print(f"median ratio (current/prior): {med:.3f}")
+    # canary normalization (quiet-box protocol, tools/bench_record.py):
+    # when both artifacts carry the canary, report the box-state factor
+    # and the median with it divided out — the number to trust when the
+    # raw median and the canary move together (uniform drift).
+    try:
+        with open(cur_path) as f:
+            cur_canary = json.load(f).get("canary_task_sec")
+        with open(prior_path) as f:
+            prior_canary = json.load(f).get("canary_task_sec")
+    except OSError:
+        cur_canary = prior_canary = None
+    if cur_canary and prior_canary:
+        cf = cur_canary / prior_canary
+        print(f"canary factor (box state, current/prior): {cf:.3f}")
+        print(f"canary-normalized median ratio: {med / cf:.3f}")
     print(f"total current: {sum(cur.values()):.1f} s over {len(cur)} queries")
     over2 = [k for k, r in ratios.items() if r > 2.0]
     if task_mode:
