@@ -1076,12 +1076,16 @@ def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ND.exact_dup_groups(d, "text", "doc_id")
 
 
-def _minhash_ctes_through_bands(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_ctes_through_bands(
+    num_hashes: int = 12, bands: int = 4, docs_body: str = _DOCS_BODY
+) -> str:
     """CTE chain (no WITH prefix) ending in bands(doc_id, band, band_key)
     — the shared LSH front half. Exposed as a named piece (not sliced
     out of the full chain by string matching) so the cost-estimate
     oracle can't silently truncate if the downstream CTE names or
-    whitespace change."""
+    whitespace change. ``docs_body`` swaps the base relation: any CTE
+    chain ending in d(doc_id, text, toks) — the curation-pipeline
+    oracle passes its scrubbed/gated/deduped intermediate."""
     rows = num_hashes // bands
     sig_exprs = []
     for i in range(num_hashes):
@@ -1100,7 +1104,7 @@ def _minhash_ctes_through_bands(num_hashes: int = 12, bands: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-    {_DOCS_BODY},
+    {docs_body},
     sh AS (SELECT doc_id, {_SHINGLE_HASHES} AS sh FROM d
            WHERE len(toks) >= 3),
     sig AS (SELECT doc_id, sh,
@@ -1109,13 +1113,18 @@ def _minhash_ctes_through_bands(num_hashes: int = 12, bands: int = 4) -> str:
     bands AS ({band_selects})"""
 
 
-def _minhash_ctes(num_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_ctes(
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+    docs_body: str = _DOCS_BODY,
+) -> str:
     """CTE chain (no WITH prefix) ending in pairs(id_a, id_b, jaccard) —
     shared by the pair query's oracle and the cluster query's recursive
     oracle. Front half (through bands) comes from
     _minhash_ctes_through_bands."""
     return (
-        _minhash_ctes_through_bands(num_hashes, bands)
+        _minhash_ctes_through_bands(num_hashes, bands, docs_body)
         + f""",
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM bands a JOIN bands b
@@ -6120,4 +6129,102 @@ def mm_phash_near_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation pipeline composition (round 9): the orchestrator's post-Join
+# curation chain (orchestrator/curation.py) as ONE certified query, so
+# the exact operator composition a configured source runs per day —
+# scrub -> quality gate -> exact dedup -> near dedup — is oracle-backed
+# end-to-end, not just stage-by-stage.
+# ---------------------------------------------------------------------------
+
+
+def _curation_pipeline_oracle(
+    min_quality: float = 0.25, threshold: float = 0.5
+) -> str:
+    """Composes the certified stage oracles in chain order: the scrub
+    oracle feeds the quality-score oracle's expressions, exact dedup is
+    the min-id window over the normalized scrubbed text, and the
+    certified MinHash pairs CTE runs with its base relation swapped to
+    the curated intermediate (docs_body parameter)."""
+    redacted = SC.oracle_redact_sql("text")
+    quality = (
+        "FLOOR((0.4 * least(1.0, len(toks) / 100.0)"
+        " + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        " + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),"
+        " '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))"
+        " * 10000 + 0.5) / 10000"
+    )
+    curated_body = f"""scrubbed AS (
+        SELECT doc_id, {redacted} AS text FROM documents),
+    tokd AS (SELECT doc_id, text, {_TOKS} AS toks FROM scrubbed),
+    gated AS (SELECT * FROM (SELECT *, {quality} AS quality FROM tokd)
+              WHERE quality >= {min_quality}),
+    exact AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    d AS (SELECT doc_id, text, toks, quality FROM exact)"""
+    return f"""
+    WITH {_minhash_ctes(docs_body=curated_body, threshold=threshold)}
+    SELECT d.doc_id, md5(d.text) AS text_md5,
+           CAST(len(d.toks) AS BIGINT) AS n_tokens, d.quality
+    FROM d
+    WHERE d.doc_id NOT IN (SELECT id_b FROM pairs)
+    """
+
+
+@query(
+    "corpus_curation_pipeline",
+    _curation_pipeline_oracle(),
+    tags=("llm", "curation", "pipeline", "dedup", "quality"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orchestrator's curation chain (orchestrator/curation.py,
+    MIGRATION.md §curation) composed over the documents corpus exactly
+    as CurationActions runs it per day partition: [[doc_scrub_pii]]'s
+    redaction -> [[doc_quality_score]]'s composite gate (>= 0.25) ->
+    exact dedup (min-id per normalized scrubbed text) ->
+    [[doc_minhash_lsh_pairs]] near-dedup (12/4 banding, verify >= 0.5,
+    min-id survivor: any doc verified against a smaller id drops).
+    Output: surviving (doc_id, text_md5, n_tokens, quality).
+
+    100 TB shape: four chained one-scan stages — scrub is pure column
+    exprs, the gate is a filter on the same scan, exact dedup shuffles
+    once on the normalized-text key (bounded dup groups), near-dedup is
+    the banded LSH plan (never all-pairs). The key difference from the
+    per-stage queries: each stage consumes the PREVIOUS stage's output
+    (scrubbed text changes shingles; gated corpus changes banding
+    candidates), which is exactly what staging them as one certified
+    composition proves correct."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from pyspark.sql import Window
+
+    scrubbed = d.select("doc_id", SC.redact("text").alias("text"))
+    gated = scrubbed.withColumn(
+        "quality", TX.quality_score("text")
+    ).filter(F.col("quality") >= 0.25)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    exact = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # localCheckpoint: the curated relation feeds BOTH the pair plan's
+    # shingle scan and the survivor projection — same discipline as the
+    # orchestrator stage bodies (one materialization, two consumers).
+    exact = exact.localCheckpoint(eager=True)
+    pairs = ND.minhash_lsh_pairs(
+        exact, "text", "doc_id", num_hashes=12, bands=4, threshold=0.5
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return exact.join(drops, "doc_id", "left_anti").select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        "quality",
     )
