@@ -6228,3 +6228,173 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").cast("long").alias("n_tokens"),
         "quality",
     )
+
+
+def _incremental_curation_oracle(
+    min_quality: float = 0.25, threshold: float = 0.5
+) -> str:
+    """Incremental twin of _curation_pipeline_oracle: odd ids arrive as
+    the batch, even ids are the persisted curated store. Reuses the
+    scrub/quality fragments, an exact-dup norm equi-join with the
+    store-or-smaller-batch survivor rule, and the certified MinHash
+    pairs CTE over (store UNION exact-surviving batch) via docs_body —
+    the parity trick then reads near-dup survivors off the oriented
+    pairs exactly like _incremental_dedup_oracle."""
+    redacted = SC.oracle_redact_sql("text")
+    quality = (
+        "FLOOR((0.4 * least(1.0, len(toks) / 100.0)"
+        " + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        " + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),"
+        " '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))"
+        " * 10000 + 0.5) / 10000"
+    )
+    prefix = f"""scr AS (SELECT doc_id, {redacted} AS text FROM documents),
+    tokd AS (SELECT doc_id, text, {_TOKS} AS toks FROM scr),
+    q AS (SELECT *, {quality} AS quality FROM tokd),
+    b1 AS (SELECT * FROM q WHERE doc_id % 2 = 1 AND quality >= {min_quality}),
+    normed AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                        AS norm
+               FROM q),
+    ex AS (
+      SELECT nb.doc_id, MIN(o.doc_id) AS dup_of
+      FROM (SELECT n.* FROM normed n JOIN b1 USING (doc_id)) nb
+      JOIN normed o ON o.norm = nb.norm AND o.doc_id <> nb.doc_id
+      WHERE o.doc_id % 2 = 0
+         OR (o.doc_id < nb.doc_id
+             AND o.doc_id IN (SELECT doc_id FROM b1))
+      GROUP BY nb.doc_id),
+    b2 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+    d AS (SELECT doc_id, text, toks FROM q WHERE doc_id % 2 = 0
+          UNION ALL SELECT doc_id, text, toks FROM b2)"""
+    return f"""
+    WITH {_minhash_ctes(docs_body=prefix, threshold=threshold)},
+    near AS (
+      SELECT x.doc_id, MIN(x.other) AS dup_of FROM (
+        SELECT p.id_b AS doc_id, p.id_a AS other FROM pairs p
+          WHERE p.id_b % 2 = 1
+        UNION ALL
+        SELECT p.id_a AS doc_id, p.id_b AS other FROM pairs p
+          WHERE p.id_a % 2 = 1 AND p.id_b % 2 = 0
+      ) x GROUP BY x.doc_id)
+    SELECT b.doc_id,
+           CASE WHEN b.quality IS NULL OR b.quality < {min_quality}
+                  THEN 'rejected_quality'
+                WHEN ex.dup_of IS NOT NULL AND ex.dup_of % 2 = 0
+                  THEN 'dup_exact_store'
+                WHEN ex.dup_of IS NOT NULL THEN 'dup_exact_batch'
+                WHEN nr.dup_of IS NOT NULL AND nr.dup_of % 2 = 0
+                  THEN 'dup_near_store'
+                WHEN nr.dup_of IS NOT NULL THEN 'dup_near_batch'
+                ELSE 'unique' END AS status,
+           CASE WHEN b.quality IS NULL OR b.quality < {min_quality}
+                  THEN NULL
+                ELSE COALESCE(ex.dup_of, nr.dup_of) END AS dup_of
+    FROM (SELECT * FROM q WHERE doc_id % 2 = 1) b
+    LEFT JOIN ex ON b.doc_id = ex.doc_id
+    LEFT JOIN near nr ON b.doc_id = nr.doc_id
+    """
+
+
+@query(
+    "corpus_incremental_curation",
+    _incremental_curation_oracle(),
+    tags=("llm", "curation", "pipeline", "incremental", "dedup"),
+)
+def corpus_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of [[corpus_curation_pipeline]] — the DAILY
+    INGEST shape: the odd-id half arrives as a batch and is curated
+    against the even-id half playing the persisted, already-curated
+    store. Per batch doc: scrub -> quality gate ('rejected_quality') ->
+    exact dedup vs store norms and earlier surviving batch norms
+    ('dup_exact_store'/'dup_exact_batch', min-id survivor) -> MinHash
+    near-dedup vs (store UNION exact survivors)
+    ('dup_near_store'/'dup_near_batch') -> 'unique'. Output
+    (doc_id, status, dup_of).
+
+    Per-ingest cost is O(batch): the exact probe is an equi-join on the
+    normalized-text key (store side pre-bucketable), the near probe the
+    banded LSH join of the incremental family — nothing rescans store
+    text beyond its (persistable) signatures. At 100 TB this is the
+    chain the orchestrator's curation stages run per day partition,
+    with the store roles played by the warehouse's curated tiers."""
+    from pyspark.sql import Window  # noqa: F401 (parity with batch twin)
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", SC.redact("text").alias("text")
+    )
+    q = d.withColumn("quality", TX.quality_score("text")).localCheckpoint(
+        eager=True
+    )
+    batch = q.filter(F.col("doc_id") % 2 == 1)
+    b1 = batch.filter(F.col("quality") >= 0.25)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    normed = q.select("doc_id", norm.alias("norm")).join(
+        b1.select("doc_id", F.lit(True).alias("__in_b1")), "doc_id", "left"
+    )
+    nb = normed.join(b1.select("doc_id"), "doc_id").select(
+        F.col("doc_id").alias("b_id"), F.col("norm")
+    )
+    ex = (
+        nb.join(
+            normed.select(
+                F.col("doc_id").alias("o_id"), F.col("norm"), "__in_b1"
+            ),
+            "norm",
+        )
+        .filter(
+            (F.col("o_id") != F.col("b_id"))
+            & (
+                (F.col("o_id") % 2 == 0)
+                | ((F.col("o_id") < F.col("b_id")) & F.col("__in_b1"))
+            )
+        )
+        .groupBy("b_id")
+        .agg(F.min("o_id").alias("ex_dup_of"))
+        .select(F.col("b_id").alias("doc_id"), "ex_dup_of")
+    )
+    b2 = b1.join(ex.select("doc_id"), "doc_id", "left_anti")
+    pool = q.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").unionByName(
+        b2.select("doc_id", "text")
+    )
+    pairs = ND.minhash_lsh_pairs(
+        pool, "text", "doc_id", num_hashes=12, bands=4, threshold=0.5
+    )
+    near = (
+        pairs.filter(F.col("id_b") % 2 == 1)
+        .select(F.col("id_b").alias("doc_id"), F.col("id_a").alias("other"))
+        .unionByName(
+            pairs.filter(
+                (F.col("id_a") % 2 == 1) & (F.col("id_b") % 2 == 0)
+            ).select(
+                F.col("id_a").alias("doc_id"), F.col("id_b").alias("other")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("other").alias("nr_dup_of"))
+    )
+    rejected = F.col("quality").isNull() | (F.col("quality") < 0.25)
+    return (
+        batch.select("doc_id", "quality")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(rejected, F.lit("rejected_quality"))
+            .when(
+                F.col("ex_dup_of").isNotNull() & (F.col("ex_dup_of") % 2 == 0),
+                F.lit("dup_exact_store"),
+            )
+            .when(F.col("ex_dup_of").isNotNull(), F.lit("dup_exact_batch"))
+            .when(
+                F.col("nr_dup_of").isNotNull() & (F.col("nr_dup_of") % 2 == 0),
+                F.lit("dup_near_store"),
+            )
+            .when(F.col("nr_dup_of").isNotNull(), F.lit("dup_near_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.when(
+                rejected, F.lit(None).cast("long")
+            ).otherwise(F.coalesce("ex_dup_of", "nr_dup_of")).alias("dup_of"),
+        )
+    )
