@@ -253,6 +253,7 @@ def pq_topk_ivf(
     sub_dim: int = 16,
     k_sub: int = 16,
     codes: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IndexIVFPQ layout, ``by_residual=false``
     variant — codes encode raw vectors, not cell residuals, keeping
@@ -276,10 +277,19 @@ def pq_topk_ivf(
     )
 
     spark = corpus.sparkSession
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    cents_df = local_df(
-        spark, [(cid, vec) for cid, vec in cents], "cid long, cvec array<double>"
-    )
+    if centroids is not None:
+        # trained coarse quantizer (kmeans_fit's fitted relation) — the
+        # same swap as similarity.cosine_topk_ivf's centroids param
+        cents_df = centroids.select(
+            F.col("cid").cast("long"), F.col("cvec").cast("array<double>")
+        )
+    else:
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cents_df = local_df(
+            spark,
+            [(cid, vec) for cid, vec in cents],
+            "cid long, cvec array<double>",
+        )
     cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
     )

@@ -2638,13 +2638,21 @@ def emb_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+def _ivfpq_oracle(
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    cents_ctes: str | None = None,
+    cents_rel: str = "cents",
+) -> str:
     """IVF-PQ: corpus cells (asg) mirror similarity.kmeans_assign —
     the portable FLOOR(x*1e6 + 0.5) kernel — while the query probes
     (qprobe) mirror pq.py's own F.round nprobe ranking (ROUND, same
     COALESCE(-2.0) tie-break), composed with the certified PQ code
     CTEs; candidates come from the probed cells, the score from the
-    integer ADC lookup."""
+    integer ADC lookup. ``cents_ctes``/``cents_rel`` swap in an
+    external coarse-quantizer chain (trained variant), as in
+    _ivf_oracle."""
     cos_ec = _cosine_sql("e.embedding", "c.cvec")
     qd_arms = " UNION ALL ".join(
         f"SELECT q.query_id, c.cid AS code, {s} AS s,"
@@ -2652,22 +2660,26 @@ def _ivfpq_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
         f" FROM pqq q CROSS JOIN pqseeds c"
         for s in range(_PQ_M)
     )
+    if cents_ctes is None:
+        cents_ctes = (
+            f"cents AS (SELECT vec_id AS cid, embedding AS cvec\n"
+            f"              FROM embeddings WHERE vec_id < {n_centroids})"
+        )
     return f"""
     WITH {_pq_ctes()},
-    cents AS (SELECT vec_id AS cid, embedding AS cvec
-              FROM embeddings WHERE vec_id < {n_centroids}),
+    {cents_ctes},
     asg AS (SELECT vec_id, cid AS cell FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY FLOOR(COALESCE({cos_ec}, -2.0) * 1e6 + 0.5)
                    DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        FROM embeddings e CROSS JOIN {cents_rel} c) t WHERE rn = 1),
     qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
                    DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
+        FROM embeddings e CROSS JOIN {cents_rel} c WHERE e.vec_id < 10) t
         WHERE rn <= {nprobe}),
     pqq AS (SELECT vec_id AS query_id, embedding AS q_vec
             FROM embeddings WHERE vec_id < 10),
@@ -2707,6 +2719,44 @@ def emb_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 10),
         k=5, n_centroids=16, nprobe=4,
         m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+    )
+
+
+def _ivfpq_trained_oracle(
+    n_centroids: int = 16, n_iter: int = 2, nprobe: int = 4, k: int = 5
+) -> str:
+    """IVF-PQ over FITTED coarse cells: the certified kmeans CTE chain
+    supplies the quantizer relation to the certified IVF-PQ body —
+    the IVF-PQ twin of _ivf_trained_oracle."""
+    ctes, _fin = _kmeans_ctes(n_centroids, n_iter)
+    return _ivfpq_oracle(
+        nprobe=nprobe, k=k, cents_ctes=ctes, cents_rel=f"c{n_iter}"
+    )
+
+
+@query(
+    "emb_ann_topk_ivfpq_trained",
+    _ivfpq_trained_oracle(),
+    tags=("llm", "ann", "ivf", "pq", "clustering"),
+)
+def emb_ann_topk_ivfpq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN over a TRAINED coarse quantizer — the full
+    production-index composition: [[emb_kmeans]]'s fitted centroids
+    (k=16, 2 Lloyd iterations) bound WHICH PQ codes each query reads,
+    exactly as [[emb_ann_topk_ivf_trained]] does for IVF-Flat, while
+    the PQ half ([[emb_pq_codes]]' codes, integer ADC) is unchanged.
+    FAISS's IndexIVFPQ trains its quantizer the same way; search cost
+    is identical to the seeded variant — training is the only extra
+    build-side job, amortized across every future query."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _final, cents = SIM.kmeans_fit(e, "vec_id", "embedding", k=16, n_iter=2)
+    return PQ.pq_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10),
+        k=5, nprobe=4,
+        m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+        centroids=cents,
     )
 
 
