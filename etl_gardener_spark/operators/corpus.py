@@ -987,3 +987,103 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def char_trigram_nll(
+    store_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: float = 0.5,
+) -> DataFrame:
+    """Character-trigram language-model quality score — the CCNet-style
+    perplexity gate: train add-k-smoothed trigram counts on the
+    persisted reference corpus (``store_docs``), score each incoming
+    ``batch_docs`` document by its mean negative log-likelihood per
+    trigram. Low avg_nll = looks like the reference corpus; high =
+    boilerplate/garbled/off-domain — the third quality axis next to the
+    heuristic score (length/diversity/punct) and DSIR's hashed-ngram
+    importance weights.
+
+    Output: (id, n_trigrams, avg_nll) for batch docs with >= 3 chars
+    (shorter docs emit no row — the shingle discipline).
+
+    p(ch | ctx) = (c(ctx,ch) + k) / (n(ctx) + k·V), V = distinct chars
+    in the train corpus; unseen context => uniform 1/V. Per-trigram
+    -ln(p) is floored to integer micro-units BEFORE the per-doc sum
+    (the DSIR kernel): integer sums are order-independent, so the
+    distributed aggregate is bit-reproducible and oracle-exact —
+    summing raw doubles would hash-diverge on shuffle order.
+
+    Scale shape: the model is |observed (ctx,ch)| rows — bounded by
+    alphabet³, broadcastable; scoring is one batch scan + two equi-joins
+    on (ctx[, ch]) + one map-side-combinable integer aggregate. Training
+    is one store scan, amortized across ingests like every signature
+    store in the incremental family.
+    """
+    def tri(df: DataFrame) -> DataFrame:
+        s = df.select(
+            F.col(id_col), F.lower(F.col(text_col)).alias("__s")
+        ).filter(F.length("__s") >= 3)
+        return s.select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("__s") - 2)).alias("__i"),
+            "__s",
+        ).select(
+            id_col,
+            F.expr("substring(__s, __i, 2)").alias("ctx"),
+            F.expr("substring(__s, __i + 2, 1)").alias("ch"),
+        )
+
+    train = tri(store_docs)
+    cnt = train.groupBy("ctx", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ctx_tot = cnt.groupBy("ctx").agg(F.sum("c").cast("long").alias("n"))
+    vocab = (
+        store_docs.select(F.lower(F.col(text_col)).alias("__s"))
+        # length >= 1 BEFORE exploding: sequence(1, 0) DESCENDS to
+        # [1, 0] (Spark's default step flips sign), which would count
+        # substring('', _, 1) = '' as a phantom vocabulary entry —
+        # found by differential fuzz seed 48 (empty store doc, V off
+        # by one vs DuckDB's empty range(1, 1))
+        .filter(F.length("__s") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.length("__s"))).alias("__i"),
+            "__s",
+        )
+        .select(F.expr("substring(__s, __i, 1)").alias("__ch"))
+        .agg(F.count_distinct("__ch").cast("double").alias("v"))
+    )
+    scored = (
+        tri(batch_docs)
+        .join(cnt, ["ctx", "ch"], "left")
+        .join(ctx_tot, "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k) * F.col("v"))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("__nll_e6"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        (
+            F.floor(
+                F.sum("__nll_e6").cast("double")
+                / F.count(F.lit(1))
+                / 1e6
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("avg_nll"),
+    )

@@ -6448,3 +6448,58 @@ def corpus_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.coalesce("ex_dup_of", "nr_dup_of")).alias("dup_of"),
         )
     )
+
+
+def _charlm_oracle(k: float = 0.5) -> str:
+    """Mirror of corpus.char_trigram_nll: even ids train the smoothed
+    char-trigram model, odd ids are scored; per-trigram -ln(p) floors
+    to integer micro-units before the per-doc sum (the DSIR kernel),
+    so the distributed aggregate matches bit-for-bit."""
+    return f"""
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    tr AS (SELECT doc_id, substring(s, i, 2) AS ctx,
+                  substring(s, i + 2, 1) AS ch
+           FROM (SELECT doc_id, s, unnest(range(1, length(s) - 1)) AS i
+                 FROM t WHERE length(s) >= 3)),
+    cnt AS (SELECT ctx, ch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+    ctxn AS (SELECT ctx, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT substring(s, i, 1)) AS DOUBLE) AS v
+              FROM (SELECT s, unnest(range(1, length(s) + 1)) AS i
+                    FROM t WHERE doc_id % 2 = 0)),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(-ln((CAST(COALESCE(c.c, 0) AS DOUBLE) + {k})
+                 / (CAST(COALESCE(x.n, 0) AS DOUBLE) + {k} * v.v))
+                 * 1e6 + 0.5) AS BIGINT) AS nll_e6
+      FROM tr b
+      LEFT JOIN cnt c ON b.ctx = c.ctx AND b.ch = c.ch
+      LEFT JOIN ctxn x ON b.ctx = x.ctx
+      CROSS JOIN vocab v
+      WHERE b.doc_id % 2 = 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           FLOOR(CAST(SUM(nll_e6) AS DOUBLE) / COUNT(*) / 1e6 * 10000 + 0.5)
+             / 10000 AS avg_nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query(
+    "doc_charlm_quality",
+    _charlm_oracle(),
+    tags=("llm", "quality", "text", "incremental"),
+)
+def doc_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram LM quality gate (operators/corpus.char_trigram_nll)
+    — the CCNet-style perplexity filter: the even-id half plays the
+    persisted reference corpus (trains add-0.5-smoothed trigram counts);
+    each odd-id batch doc is scored by mean -ln p per trigram. The
+    third quality axis next to [[doc_quality_score]]'s heuristics and
+    [[doc_dsir_select]]'s importance weights; in a configured pipeline
+    it slots into the quality_gate curation stage. Model is bounded by
+    alphabet^3 (broadcastable); scoring is one batch scan + two
+    equi-joins + one integer aggregate — O(batch) per ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    store = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return CP.char_trigram_nll(store, batch, "text", "doc_id")
