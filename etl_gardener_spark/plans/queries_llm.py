@@ -6503,3 +6503,78 @@ def doc_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
     return CP.char_trigram_nll(store, batch, "text", "doc_id")
+
+
+def _temp_mix_oracle(tau: float = 0.7) -> str:
+    """Temperature-scaled source weights: pow outputs floored to
+    integer micro-units before the normalizing sum (the DSIR/charlm
+    kernel), so the cross-source normalization is order-independent
+    and the one libm call (pow) sits behind the e6 floor."""
+    return f"""
+    {_DOCS_CTE},
+    per AS (SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+            FROM d GROUP BY source),
+    w AS (SELECT *,
+                 CAST(FLOOR(pow(CAST(n_tokens AS DOUBLE), {tau})
+                      * 1e6 + 0.5) AS BIGINT) AS w_e6
+          FROM per),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tok_tot,
+                   CAST(SUM(w_e6) AS BIGINT) AS w_tot FROM w)
+    SELECT w.source, w.n_docs, w.n_tokens,
+           FLOOR(CAST(w.n_tokens AS DOUBLE) / t.tok_tot * 10000 + 0.5)
+             / 10000 AS natural_share,
+           FLOOR(CAST(w.w_e6 AS DOUBLE) / CAST(t.w_tot AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS temp_share
+    FROM w, tot t
+    """
+
+
+@query(
+    "corpus_temperature_mix",
+    _temp_mix_oracle(),
+    tags=("llm", "sampling", "reporting", "curriculum"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights per source (tau = 0.7, the
+    mT5/Pile up-sampling pattern): natural token share vs the
+    pow(n_tokens, tau)-normalized sampling share — the table a
+    training run's data loader samples from, up-weighting small
+    sources without letting any source dominate. Completes the mixture
+    family ([[doc_mixture_report]] reports composition;
+    [[doc_dsir_select]] selects within a source; this sets the
+    BETWEEN-source curriculum). One strata aggregate + a broadcast
+    one-row total; the single pow() per source rides the e6 floor
+    kernel so both engines normalize identical integers."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select("source", TX.ws_tokens("text").alias("__toks")).groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("__toks")).cast("long").alias("n_tokens"),
+    )
+    w = per.withColumn(
+        "__w_e6",
+        F.floor(F.pow(F.col("n_tokens").cast("double"), F.lit(0.7)) * 1e6 + 0.5)
+        .cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("double").alias("__tok_tot"),
+        F.sum("__w_e6").cast("long").alias("__w_tot"),
+    )
+
+    def r4(c):
+        return F.floor(c * 10000 + 0.5) / 10000
+
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        r4(F.col("n_tokens").cast("double") / F.col("__tok_tot")).alias(
+            "natural_share"
+        ),
+        r4(
+            F.col("__w_e6").cast("double") / F.col("__w_tot").cast("double")
+        ).alias("temp_share"),
+    )
