@@ -583,6 +583,110 @@ def ivf_centroids(
     return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
 
 
+def _resolve_cents(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: DataFrame | None,
+) -> DataFrame:
+    """The coarse-quantizer relation: the caller's (cid, cvec) when
+    given, else the deterministic first-C-ids seeding."""
+    if centroids is not None:
+        return centroids.select(
+            F.col("cid").cast("long"), F.col("cvec").cast("array<double>")
+        )
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    # explicit schema: an EMPTY corpus yields zero centroids, and schema
+    # inference cannot type an empty local relation (differential-fuzz,
+    # seed 0) — downstream joins then correctly produce zero results
+    return local_df(
+        corpus.sparkSession,
+        [(cid, vec) for cid, vec in cents],
+        "cid long, cvec array<double>",
+    )
+
+
+def _ivf_ranked_cells(
+    df: DataFrame,
+    cents_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+    keep: int,
+    round_digits: int = 6,
+):
+    """Score every vector against the C broadcast centroids and keep
+    the top ``keep`` cells per vector (rounded cosine DESC, cid ASC).
+    The per-pair cosine is the same fold the oracle computes, so cell
+    assignment is bit-reproducible. One narrow broadcast join of
+    |df| x C rows + one aggregate/window — the plan stays ~constant-size
+    (a centroid relation, not C x dim inlined literal expressions,
+    which cost seconds of optimizer time per action)."""
+    scored = (
+        df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        .join(F.broadcast(cents_df))
+        .select(
+            out_id,
+            out_vec,
+            "cid",
+            # COALESCE(-2.0): see kmeans_assign — a NULL cell score
+            # would sort FIRST in the min_by struct and send every
+            # vector into a zero-centroid cell
+            F.round(
+                F.coalesce(cosine(F.col(out_vec), F.col("cvec")), F.lit(-2.0)),
+                round_digits,
+            ).alias("__s"),
+        )
+    )
+    if keep == 1:
+        # argmax as ONE hash aggregate (map-side combined) instead of
+        # a sort window: min_by over the (-score, cid) struct picks
+        # the identical (score DESC, cid ASC) winner without sorting
+        # every vector's C rows — the corpus-side assignment is the
+        # big input, so this is the path that matters at scale.
+        ordk = F.struct((-F.col("__s")).alias("s"), F.col("cid").alias("c"))
+        val = F.struct(F.col("cid"), F.col(out_vec))
+        return (
+            scored.groupBy(out_id)
+            .agg(F.min_by(val, ordk).alias("__m"))
+            .select(
+                out_id,
+                F.col(f"__m.{out_vec}").alias(out_vec),
+                F.col("__m.cid").alias("cell"),
+            )
+        )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("__s").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep)
+        .select(out_id, out_vec, F.col("cid").alias("cell"))
+    )
+
+
+def ivf_build_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Build (and materialize) the IVF corpus index relation
+    (neighbor_id, c_vec, cell) — the expensive, amortizable half of
+    ``cosine_topk_ivf``. Build once, pass to any number of searches via
+    its ``cells`` parameter (the probe sweep's per-arm pattern; a real
+    deployment persists this relation next to the centroids)."""
+    cents_df = _resolve_cents(corpus, id_col, vec_col, n_centroids, centroids)
+    return _ivf_ranked_cells(
+        corpus, cents_df, id_col, vec_col, "neighbor_id", "c_vec", 1,
+        round_digits,
+    ).localCheckpoint(eager=True)
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -593,6 +697,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     round_digits: int = 6,
     centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: assign every corpus vector to its nearest centroid
     cell, then search each query only inside its ``nprobe`` nearest cells.
@@ -609,86 +714,31 @@ def cosine_topk_ivf(
     None keeps the deterministic first-C-ids seeding (``ivf_centroids``,
     the oracle-replay default). ``n_centroids`` is ignored when
     ``centroids`` is given.
+
+    ``cells``: a prebuilt corpus index relation — the output of
+    ``ivf_build_cells`` over the SAME corpus and centroids. The
+    corpus-side assignment is the expensive half of the search; callers
+    running several searches against one index (the probe sweep's
+    nprobe arms; any real deployment) must build it once and pass it
+    here instead of paying a corpus scan per call.
     """
-    spark = corpus.sparkSession
-    if centroids is not None:
-        cents_df = centroids.select(
-            F.col("cid").cast("long"), F.col("cvec").cast("array<double>")
-        )
+    cents_df = _resolve_cents(corpus, id_col, vec_col, n_centroids, centroids)
+    if cells is None:
+        c = _ivf_ranked_cells(
+            corpus, cents_df, id_col, vec_col, "neighbor_id", "c_vec", 1,
+            round_digits,
+        ).localCheckpoint(eager=True)
     else:
-        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-        # explicit schema: an EMPTY corpus yields zero centroids, and
-        # schema inference cannot type an empty local relation
-        # (differential-fuzz, seed 0) — downstream joins then correctly
-        # produce zero results
-        cents_df = local_df(
-            spark,
-            [(cid, vec) for cid, vec in cents],
-            "cid long, cvec array<double>",
-        )
-
-    def ranked_cells(df, out_id: str, out_vec: str, keep: int):
-        """Score every vector against the C broadcast centroids and keep
-        the top ``keep`` cells per vector (rounded cosine DESC, cid ASC).
-        The per-pair cosine is the same fold the oracle computes, so cell
-        assignment is bit-reproducible. One narrow broadcast join of
-        |df| x C rows + one window shuffle — the plan stays ~constant-size
-        (a centroid relation, not C x dim inlined literal expressions,
-        which cost seconds of optimizer time per action)."""
-        scored = (
-            df.select(
-                F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec)
-            )
-            .join(F.broadcast(cents_df))
-            .select(
-                out_id,
-                out_vec,
-                "cid",
-                # COALESCE(-2.0): see kmeans_assign — a NULL cell score
-                # would sort FIRST in the min_by struct and send every
-                # vector into a zero-centroid cell
-                F.round(
-                    F.coalesce(
-                        cosine(F.col(out_vec), F.col("cvec")), F.lit(-2.0)
-                    ),
-                    round_digits,
-                ).alias("__s"),
-            )
-        )
-        if keep == 1:
-            # argmax as ONE hash aggregate (map-side combined) instead of
-            # a sort window: min_by over the (-score, cid) struct picks
-            # the identical (score DESC, cid ASC) winner without sorting
-            # every vector's C rows — the corpus-side assignment is the
-            # big input, so this is the path that matters at scale.
-            ordk = F.struct((-F.col("__s")).alias("s"), F.col("cid").alias("c"))
-            val = F.struct(F.col("cid"), F.col(out_vec))
-            return (
-                scored.groupBy(out_id)
-                .agg(F.min_by(val, ordk).alias("__m"))
-                .select(
-                    out_id,
-                    F.col(f"__m.{out_vec}").alias(out_vec),
-                    F.col("__m.cid").alias("cell"),
-                )
-            )
-        w = Window.partitionBy(out_id).orderBy(
-            F.col("__s").desc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= keep)
-            .select(out_id, out_vec, F.col("cid").alias("cell"))
-        )
-
-    c = ranked_cells(corpus, "neighbor_id", "c_vec", 1)
-    qc = ranked_cells(queries, "query_id", "q_vec", nprobe)
+        c = cells
+    qc = _ivf_ranked_cells(
+        queries, cents_df, id_col, vec_col, "query_id", "q_vec", nprobe,
+        round_digits,
+    )
     # Materialize the index and the probe list before the join. An IVF
     # index IS a materialized artifact (built once, queried many times);
     # here it also truncates the plan so the optimizer never re-walks the
     # C x dim assignment expressions inside the self-join (measured: 10s
     # of pure driver planning time without this, sub-second with it).
-    c = c.localCheckpoint(eager=True)
     qc = qc.localCheckpoint(eager=True)
     scored = (
         c.join(F.broadcast(qc), "cell")

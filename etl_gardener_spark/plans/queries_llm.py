@@ -2529,9 +2529,14 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizers = {"seeded": None, "trained": trained_cents}
     rows = []
     for qz, cents in quantizers.items():
+        # index built ONCE per quantizer: the corpus-side cell
+        # assignment is the expensive half, identical across the four
+        # nprobe arms (only the query probe depth varies)
+        cells = SIM.ivf_build_cells(e, n_centroids=16, centroids=cents)
         for np_ in _PROBE_ARMS:
             approx = SIM.cosine_topk_ivf(
-                e, probes, k=5, n_centroids=16, nprobe=np_, centroids=cents
+                e, probes, k=5, n_centroids=16, nprobe=np_,
+                centroids=cents, cells=cells,
             ).select("query_id", "neighbor_id")
             matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
             recall = round(matched / n_exact, 4) if n_exact else None
