@@ -476,3 +476,49 @@ def test_doc_emb_dup_agreement_pinned(spark):
     r = out[0]
     assert (r["id_a"], r["id_b"], r["jaccard"]) == (0, 1, 1.0)
     assert r["cosine"] > 0.99 and r["modal_agree"] is True
+
+
+def test_char_trigram_nll_matches_python(spark):
+    """char_trigram_nll equals a plain-python add-k trigram LM on a
+    crafted store/batch pair, including OOV chars (unseen context ->
+    uniform 1/V) and the <3-char exclusion."""
+    import math
+
+    from etl_gardener_spark.operators.corpus import char_trigram_nll
+
+    store_rows = [(0, "abcabc"), (2, "abcd"), (4, "")]
+    batch_rows = [(1, "abca"), (3, "zzzz"), (5, "ab")]
+    store = spark.createDataFrame(store_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_trigrams, r.avg_nll)
+        for r in char_trigram_nll(store, batch, "text", "doc_id").collect()
+    }
+
+    # python mirror
+    k = 0.5
+    cnt, ctx_n, chars = {}, {}, set()
+    for _i, s in store_rows:
+        s = s.lower()
+        chars.update(s)
+        for p in range(len(s) - 2):
+            key = (s[p : p + 2], s[p + 2])
+            cnt[key] = cnt.get(key, 0) + 1
+            ctx_n[s[p : p + 2]] = ctx_n.get(s[p : p + 2], 0) + 1
+    v = float(len(chars))
+    expect = {}
+    for i, s in batch_rows:
+        s = s.lower()
+        if len(s) < 3:
+            continue
+        e6 = 0
+        n = 0
+        for p in range(len(s) - 2):
+            c = cnt.get((s[p : p + 2], s[p + 2]), 0)
+            nn = ctx_n.get(s[p : p + 2], 0)
+            nll = -math.log((c + k) / (nn + k * v))
+            e6 += math.floor(nll * 1e6 + 0.5)
+            n += 1
+        expect[i] = (n, math.floor(e6 / n / 1e6 * 10000 + 0.5) / 10000)
+    assert out == expect
+    assert 5 not in out  # < 3 chars -> no row

@@ -1,0 +1,75 @@
+"""Unit tests for the r9 trained-quantizer / shared-index additions:
+kmeans_fit's first_k seeding, cosine_topk_ivf's centroids= and cells=
+parameters, and pq_topk_ivf's centroids= parameter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gardener_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) / 10.0 for j in range(8)])
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_first_k_seeding_yields_k_centroids(vecs):
+    """Under a filtered train corpus (even ids), id_lt_k seeding yields
+    only the even seeds below k, while first_k always yields k."""
+    even = vecs.filter(F.col("vec_id") % 2 == 0)
+    _f1, c_lt = SIM.kmeans_fit(even, "vec_id", "embedding", k=8, n_iter=1)
+    _f2, c_fk = SIM.kmeans_fit(
+        even, "vec_id", "embedding", k=8, n_iter=1, seed="first_k"
+    )
+    # seeds with vec_id < 8 over even ids: 0,2,4,6 -> at most 4 clusters
+    assert c_lt.count() <= 4
+    assert c_fk.count() == 8
+    # first_k cids are the dense rank range 0..k-1
+    assert {r.cid for r in c_fk.collect()} <= set(range(8))
+    with pytest.raises(ValueError):
+        SIM.kmeans_fit(even, "vec_id", "embedding", k=8, seed="bogus")
+
+
+def test_prebuilt_cells_equal_inline_build(vecs):
+    """cosine_topk_ivf(cells=ivf_build_cells(...)) must return exactly
+    the inline-build result, for both quantizers."""
+    queries = vecs.filter(F.col("vec_id") < 5)
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=8, n_iter=1)
+    for cents in (None, trained):
+        inline = SIM.cosine_topk_ivf(
+            vecs, queries, k=3, n_centroids=8, nprobe=2, centroids=cents
+        )
+        cells = SIM.ivf_build_cells(vecs, n_centroids=8, centroids=cents)
+        shared = SIM.cosine_topk_ivf(
+            vecs, queries, k=3, n_centroids=8, nprobe=2,
+            centroids=cents, cells=cells,
+        )
+        a = {tuple(r) for r in inline.collect()}
+        b = {tuple(r) for r in shared.collect()}
+        assert a == b and a, "shared-index search must equal inline build"
+
+
+def test_pq_topk_ivf_trained_centroids_run(vecs):
+    """pq_topk_ivf accepts a fitted centroid relation and returns the
+    contract shape; cells from a trained quantizer change WHICH
+    candidates are read but keep the ADC ranking contract."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    queries = vecs.filter(F.col("vec_id") < 3)
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=8, n_iter=1)
+    out = PQ.pq_topk_ivf(
+        vecs, queries, k=3, nprobe=2, m=2, sub_dim=4, k_sub=8,
+        centroids=trained,
+    ).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

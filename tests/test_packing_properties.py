@@ -78,3 +78,22 @@ def test_pack_efficiency_counts_overflow_bins(spark):
     # next-fit over ids: [300], [300], [500] (overflow alone), [100]
     assert fills == {0: 300, 1: 300, 2: 500, 3: 100}
     assert sum(f > capacity for f in fills.values()) == 1
+
+
+def test_pack_sequences_string_ids(spark):
+    """id_type='string' packs warehouse string-id tables: lexicographic
+    order within the stratum, same greedy fill rule."""
+    from etl_gardener_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", "s", 30), ("b", "s", 30), ("c", "s", 50), ("d", "s", 90)],
+        ["id", "stratum", "w"],
+    )
+    out = {
+        r.id: r.bin_id
+        for r in pack_sequences(
+            df, "id", "w", ["stratum"], 70, id_type="string"
+        ).collect()
+    }
+    # a(30)+b(30)=60 <= 70; c(50) opens bin 1; d(90) > capacity alone in 2
+    assert out == {"a": 0, "b": 0, "c": 1, "d": 2}
