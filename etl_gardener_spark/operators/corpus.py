@@ -1040,19 +1040,20 @@ def char_trigram_nll(
         F.count(F.lit(1)).cast("long").alias("c")
     )
     ctx_tot = cnt.groupBy("ctx").agg(F.sum("c").cast("long").alias("n"))
+    # per-doc array_distinct BEFORE the explode: the global distinct
+    # count is identical, but the exploded stream shrinks from |chars|
+    # to |distinct chars per doc| (~10x for natural text — measured
+    # ~40% of this operator's cpu was the raw char explode). The
+    # length >= 1 filter guards the phantom-vocab class found by fuzz
+    # seed 48: split('', '') is [''] (one empty-string element, NOT an
+    # empty array), which would count '' as a vocabulary entry exactly
+    # like the sequence(1,0)-descends bug this replaced.
     vocab = (
         store_docs.select(F.lower(F.col(text_col)).alias("__s"))
-        # length >= 1 BEFORE exploding: sequence(1, 0) DESCENDS to
-        # [1, 0] (Spark's default step flips sign), which would count
-        # substring('', _, 1) = '' as a phantom vocabulary entry —
-        # found by differential fuzz seed 48 (empty store doc, V off
-        # by one vs DuckDB's empty range(1, 1))
         .filter(F.length("__s") >= 1)
         .select(
-            F.explode(F.sequence(F.lit(1), F.length("__s"))).alias("__i"),
-            "__s",
+            F.explode(F.array_distinct(F.split("__s", ""))).alias("__ch")
         )
-        .select(F.expr("substring(__s, __i, 1)").alias("__ch"))
         .agg(F.count_distinct("__ch").cast("double").alias("v"))
     )
     scored = (
