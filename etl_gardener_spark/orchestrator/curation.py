@@ -29,6 +29,9 @@ reference chain hands off as its final product):
     scrub         text_col := functions.scrub.redact(text_col)
                   (URL/email/... -> tokens), in place
     quality_gate  keep rows with functions.text.quality_score >= min
+    lm_outlier_gate  drop docs whose self-corpus char-trigram NLL
+                  (operators/corpus.char_trigram_nll, the partition as
+                  its own reference LM) exceeds mean + sigmas * stddev
     exact_dedup   keep the min-id row per normalized-text hash
     near_dedup    MinHash+LSH pairs at >= jaccard_threshold; drop every
                   doc that verifies against a smaller id (min-id
@@ -72,7 +75,14 @@ from etl_gardener_spark.warehouse import DATE_COL, Warehouse
 # Canonical stage order — the order a curation pipeline wants regardless
 # of which subset is configured (scrub before dedup so near-dup grouping
 # sees redacted text; dedup before pack so bins hold survivors only).
-STAGE_ORDER = ("scrub", "quality_gate", "exact_dedup", "near_dedup", "pack")
+STAGE_ORDER = (
+    "scrub",
+    "quality_gate",
+    "lm_outlier_gate",
+    "exact_dedup",
+    "near_dedup",
+    "pack",
+)
 
 PACKED_TIER = "packed"
 
@@ -93,6 +103,11 @@ class CurationSpec:
     min_quality: float = 0.25
     jaccard_threshold: float = 0.8
     pack_capacity: int = 2048
+    # lm_outlier_gate: drop docs whose self-corpus char-trigram NLL
+    # exceeds mean + lm_nll_sigmas * stddev of the partition (the CCNet
+    # perplexity-outlier pattern, with the partition itself as the LM's
+    # training corpus — no external model artifact needed per day)
+    lm_nll_sigmas: float = 3.0
 
     def __post_init__(self):
         unknown = [s for s in self.stages if s not in STAGE_ORDER]
@@ -176,6 +191,47 @@ class CurationActions:
             self._rewrite(job, kept)
         return OpStats(
             op="quality_gate",
+            rows_out=after,
+            rows_deleted=before - after,
+            elapsed_sec=time.monotonic() - t0,
+        )
+
+    def _lm_outlier_gate(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        from etl_gardener_spark.operators.corpus import char_trigram_nll
+
+        t0 = time.monotonic()
+        df = self._read(job)
+        before = df.count()
+        # self-trained LM: the partition is its own reference corpus;
+        # a day's boilerplate/garbled outliers sit in the NLL tail.
+        scores = char_trigram_nll(
+            df, df, spec.text_col, spec.id_col
+        ).localCheckpoint(eager=True)
+        stats = scores.agg(
+            F.avg("avg_nll").alias("m"), F.stddev_pop("avg_nll").alias("sd")
+        )
+        keep_ids = (
+            scores.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("avg_nll")
+                <= F.col("m") + F.lit(spec.lm_nll_sigmas) * F.col("sd")
+            )
+            .select(spec.id_col)
+        )
+        # docs too short to score (< 3 chars) have no score row; the
+        # gate is about LM outliers, not length — keep them (the length
+        # axis belongs to quality_gate)
+        unscored = df.select(spec.id_col).join(
+            scores.select(spec.id_col), spec.id_col, "left_anti"
+        )
+        kept = df.join(
+            keep_ids.unionByName(unscored), spec.id_col, "left_semi"
+        )
+        after = kept.count()
+        if after != before:
+            self._rewrite(job, kept)
+        return OpStats(
+            op="lm_outlier_gate",
             rows_out=after,
             rows_deleted=before - after,
             elapsed_sec=time.monotonic() - t0,
@@ -265,6 +321,7 @@ class CurationActions:
     _BODIES = {
         "scrub": _scrub,
         "quality_gate": _quality_gate,
+        "lm_outlier_gate": _lm_outlier_gate,
         "exact_dedup": _exact_dedup,
         "near_dedup": _near_dedup,
         "pack": _pack,

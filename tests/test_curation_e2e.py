@@ -67,6 +67,7 @@ def curation_gardener(spark, tmp_path):
                 curation=(
                     "scrub",
                     "quality_gate",
+                    "lm_outlier_gate",
                     "exact_dedup",
                     "near_dedup",
                     "pack",
@@ -225,3 +226,53 @@ def test_curation_stage_idempotent_rerun(curation_gardener):
         ).collect()
     }
     assert after == before
+
+
+def test_lm_outlier_gate_drops_nll_tail(spark, tmp_path):
+    """The self-corpus LM gate: four documents sharing most trigrams sit
+    below the mean NLL; a rare-character document's trigrams appear only
+    in itself, putting it far above mean + 1 sigma -> dropped. (For
+    n <= 9 docs no point can exceed mean + 3*sigma_pop, so the default
+    3.0 in the full-chain test above is exercised as a keep-everything
+    pass; this test pins the drop path at sigmas = 1.0.)"""
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b",
+                experiment="corpus",
+                datatype="lmgate",
+                datasets=Datasets(tmp="tmp_l", raw="raw_l", join="l"),
+                curation=("lm_outlier_gate",),
+                curation_params=(("lm_nll_sigmas", 1.0),),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    try:
+        t = "2024-03-01T01:00:00Z"
+        rows = [
+            {"id": f"c{i}", "parser": {"Time": t}, "text": LONG_A + f" tail {i}"}
+            for i in range(4)
+        ] + [
+            {"id": "odd", "parser": {"Time": t},
+             "text": "qxv jzq vxk qzj kvx jqz xvq zjk"},
+        ]
+        job = _run_job(g, landing=str(tmp_path / "landing"),
+                       datatype="lmgate", rows=rows)
+        st = g.tracker.get_status(job.key())
+        assert st.state == J.COMPLETE, [si.state for si in st.history]
+        wh = Warehouse(str(tmp_path / "wh"))
+        joined = wh.read_partition(g.spark, "join", "corpus", "lmgate", job.date)
+        ids = {r.id for r in joined.collect()}
+        assert ids == {"c0", "c1", "c2", "c3"}, ids
+    finally:
+        g.monitor.shutdown()
