@@ -73,3 +73,48 @@ def test_pq_topk_ivf_trained_centroids_run(vecs):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ann_index_save_load_roundtrip(vecs, tmp_path):
+    """Index-as-artifact: build trained cells + centroids, persist,
+    load back, search — identical results to the in-memory build, and
+    the cells table is laid out partitioned on cell (the pruning key).
+    PQ codes round-trip alongside."""
+    import os
+
+    from etl_gardener_spark.operators import pq as PQ
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    spark = vecs.sparkSession
+    queries = vecs.filter(F.col("vec_id") < 5)
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=8, n_iter=1)
+    cells = SIM.ivf_build_cells(vecs, n_centroids=8, centroids=trained)
+    codes = PQ.exploded_codes(vecs, "vec_id", "embedding", 2, 4, 8)
+    d = str(tmp_path / "annidx")
+    save_ann_index(d, cells, centroids=trained, codes=codes)
+
+    idx = load_ann_index(spark, d)
+    assert idx["codes"] is not None
+    assert any(
+        p.startswith("cell=") for p in os.listdir(os.path.join(d, "cells"))
+    ), "cells must be partitioned on the pruning key"
+
+    fresh = SIM.cosine_topk_ivf(
+        vecs, queries, k=3, nprobe=2, centroids=trained, cells=cells
+    )
+    loaded = SIM.cosine_topk_ivf(
+        vecs, queries, k=3, nprobe=2,
+        centroids=idx["centroids"], cells=idx["cells"],
+    )
+    assert {tuple(r) for r in fresh.collect()} == {
+        tuple(r) for r in loaded.collect()
+    }
+
+    # absent parts -> None (an IVF-Flat index has no codes)
+    d2 = str(tmp_path / "annidx2")
+    save_ann_index(d2, cells, centroids=trained)
+    idx2 = load_ann_index(spark, d2)
+    assert idx2["codes"] is None and idx2["cells"] is not None
