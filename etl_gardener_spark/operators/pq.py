@@ -103,6 +103,7 @@ def pq_encode(
     m: int = 4,
     sub_dim: int = 16,
     k_sub: int = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Encode every corpus vector to ``m`` PQ codes plus its exact-integer
     reconstruction error.
@@ -112,8 +113,15 @@ def pq_encode(
     One broadcast join (|corpus| x k_sub narrow rows) + one hash
     aggregate with ``m`` min_by's — map-side combined, no sort, no raw
     vector shuffle; the argmin tie-break is (distance_e6 ASC, cid ASC).
-    """
-    cb = _codebook_df(corpus, id_col, vec_col, k_sub)
+
+    ``codebook``: an explicit (cid, cvec) relation — the residual-PQ
+    path passes a codebook seeded from residual vectors; None keeps the
+    deterministic first-k_sub corpus seeding."""
+    cb = (
+        codebook
+        if codebook is not None
+        else _codebook_df(corpus, id_col, vec_col, k_sub)
+    )
     scored = corpus.select(
         id_col, _check_dim(vec_col, m, sub_dim).alias(vec_col)
     ).join(F.broadcast(cb))
@@ -138,13 +146,13 @@ def pq_encode(
 
 def exploded_codes(
     corpus: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int,
-    k_sub: int,
+    k_sub: int, codebook: DataFrame | None = None,
 ) -> DataFrame:
     """(neighbor_id, s, code): the encoded corpus melted to one row per
     sub-space — the relation ADC search actually reads (m small ints per
     vector; raw vectors never appear downstream of this)."""
     return (
-        pq_encode(corpus, id_col, vec_col, m, sub_dim, k_sub)
+        pq_encode(corpus, id_col, vec_col, m, sub_dim, k_sub, codebook)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.explode(
@@ -368,3 +376,148 @@ def exact_l2_topk(
         (de6.cast("double") / F.lit(1e6)).alias("score"),
     )
     return _rank_adc(cand, k)
+
+
+def pq_topk_ivf_residual(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (``by_residual=true`` — the FAISS
+    IndexIVFPQ default, completing the by_residual=false variant
+    ``pq_topk_ivf``): each corpus vector is PQ-encoded as its residual
+    x - c(cell) against its coarse centroid, and each query computes a
+    SEPARATE ADC table per probed cell from its own residual q - c —
+    residuals concentrate near zero, so a fixed codebook budget spends
+    its resolution where the data actually lives, the whole reason the
+    production layout encodes residuals.
+
+    Same determinism discipline as the plain variant: residual
+    subtraction is one elementwise double op (bit-identical in both
+    engines); every distance is floored to integer micros before any
+    comparison. The residual codebook is seeded from the first k_sub
+    residual vectors by id (the codebook-seeding convention).
+
+    Scale shape: build = one corpus pass for cells + one for residual
+    codes (both map-side-combined broadcast joins, no raw-vector
+    shuffle); search reads codes for ~nprobe/C of the corpus via the
+    cell equi-join, with an (nprobe x m x k_sub)-row per-query ADC
+    table broadcast — per-cell tables are the only cost over the
+    non-residual variant. Output: (query_id, neighbor_id, score, rank)
+    — integer-exact ADC score, rank (score ASC, neighbor_id ASC).
+    """
+    from etl_gardener_spark.operators.similarity import (
+        _resolve_cents,
+        cosine,
+        kmeans_assign,
+    )
+
+    cents_df = _resolve_cents(corpus, id_col, vec_col, n_centroids, centroids)
+    cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    res = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _check_dim(vec_col, m, sub_dim).alias("__v"),
+        )
+        .join(cells, "neighbor_id")
+        .join(
+            F.broadcast(cents_df.withColumnRenamed("cid", "cell")), "cell"
+        )
+        .select(
+            "neighbor_id",
+            "cell",
+            F.zip_with(
+                F.col("__v"),
+                F.col("cvec"),
+                lambda x, y: x.cast("double") - y,
+            ).alias("rvec"),
+        )
+        # one materialization, two consumers (codebook seed + encode)
+        .localCheckpoint(eager=True)
+    )
+    rcb = _codebook_df(res, "neighbor_id", "rvec", k_sub)
+    codes = exploded_codes(
+        res, "neighbor_id", "rvec", m, sub_dim, k_sub, codebook=rcb
+    ).join(cells, "neighbor_id")
+
+    # query probes: rounded-cosine nprobe ranking (same kernel as
+    # pq_topk_ivf), KEEPING the probed centroid for the residual
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _check_dim(vec_col, m, sub_dim).alias("q_vec"),
+        )
+        .join(F.broadcast(cents_df))
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("cid").alias("cell"),
+            "cvec",
+            F.round(
+                F.coalesce(cosine(F.col("q_vec"), F.col("cvec")), F.lit(-2.0)),
+                6,
+            ).alias("__s"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("q_vec"), F.col("cvec"), lambda x, y: x.cast("double") - y
+            ).alias("q_rvec"),
+        )
+    )
+    # per-(query, probed cell) ADC table: (query_id, cell, s, code, de6)
+    qd = probes.join(F.broadcast(rcb))
+    for s in range(m):
+        qd = qd.withColumn(
+            f"__d{s}",
+            _sub_dist_e6(F.col("q_rvec"), F.col("cvec"), s * sub_dim + 1, sub_dim),
+        )
+    qd = qd.select(
+        "query_id",
+        "cell",
+        F.col("cid").alias("code"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.col(f"__d{s}").alias("de6"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("sd"),
+    ).select("query_id", "cell", "code", "sd.s", "sd.de6")
+
+    cand = (
+        probes.select("query_id", "cell")
+        .join(codes, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(qd), ["query_id", "cell", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

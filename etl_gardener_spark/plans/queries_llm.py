@@ -6583,3 +6583,99 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__w_e6").cast("double") / F.col("__w_tot").cast("double")
         ).alias("temp_share"),
     )
+
+
+def _ivfpq_residual_oracle(
+    n_centroids: int = 16, nprobe: int = 4, k: int = 5
+) -> str:
+    """Residual IVF-PQ (by_residual=true): coarse cells via the FLOOR
+    kernel, residual vectors r = x - c(cell), residual-seeded codebook,
+    per-(probed cell) query ADC tables — every distance through the
+    integer-micro kernel, mirroring operators/pq.pq_topk_ivf_residual
+    expression-for-expression."""
+    cos_ec = _cosine_sql("e.embedding", "c.cvec")
+    rsub = "list_transform(range(1, {d}), i -> CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))".format
+    cd_arms = " UNION ALL ".join(
+        f"SELECT r.nid, c.cid, {s} AS s,"
+        f" {_pq_subdist_sql('r.rvec', 'c.cvec', s)} AS de6"
+        f" FROM res r CROSS JOIN rcb c"
+        for s in range(_PQ_M)
+    )
+    qd_arms = " UNION ALL ".join(
+        f"SELECT q.query_id, q.cell, c.cid AS code, {s} AS s,"
+        f" {_pq_subdist_sql('q.rvec', 'c.cvec', s)} AS de6"
+        f" FROM qres q CROSS JOIN rcb c"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+                   FROM embeddings WHERE vec_id < {n_centroids}),
+    asg AS (SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY FLOOR(COALESCE({cos_ec}, -2.0) * 1e6 + 0.5)
+                   DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+    res AS (SELECT a.vec_id AS nid, a.cell,
+                   {rsub(d=_DIM + 1, a="e.embedding", b="c.cvec")} AS rvec
+            FROM asg a JOIN embeddings e USING (vec_id)
+            JOIN cents c ON a.cell = c.cid),
+    rcb AS (SELECT nid AS cid, rvec AS cvec FROM res WHERE nid < {_PQ_KSUB}),
+    cd AS ({cd_arms}),
+    pqcodes AS (SELECT nid, s, code FROM (
+        SELECT nid, s, cid AS code,
+               ROW_NUMBER() OVER (PARTITION BY nid, s
+                 ORDER BY de6 ASC, cid ASC) AS rn
+        FROM cd) t WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
+                   DESC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
+        WHERE rn <= {nprobe}),
+    qres AS (SELECT p.query_id, p.cell,
+                    {rsub(d=_DIM + 1, a="e.embedding", b="c.cvec")} AS rvec
+             FROM qprobe p JOIN embeddings e ON e.vec_id = p.query_id
+             JOIN cents c ON p.cell = c.cid),
+    qd AS ({qd_arms}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell
+             FROM qprobe p JOIN asg a ON p.cell = a.cell
+             WHERE a.vec_id <> p.query_id),
+    adc AS (SELECT c.query_id, c.neighbor_id,
+                   CAST(SUM(d.de6) AS DOUBLE) / 1e6 AS score
+            FROM cand c
+            JOIN pqcodes p ON p.nid = c.neighbor_id
+            JOIN qd d ON d.query_id = c.query_id AND d.cell = c.cell
+                     AND d.s = p.s AND d.code = p.code
+            GROUP BY 1, 2),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM adc)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query(
+    "emb_ann_topk_ivfpq_residual",
+    _ivfpq_residual_oracle(),
+    tags=("llm", "ann", "ivf", "pq"),
+)
+def emb_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ ANN (operators/pq.pq_topk_ivf_residual —
+    FAISS IndexIVFPQ's by_residual=true DEFAULT, completing the
+    by_residual=false [[emb_ann_topk_ivfpq]]): corpus vectors are
+    PQ-coded as residuals against their coarse centroid, and each query
+    builds a per-probed-cell ADC table from its own residual —
+    residuals concentrate near zero, so the same codebook budget buys
+    finer resolution. The extra cost over the plain variant is exactly
+    the (nprobe x m x k_sub)-row per-query tables; corpus-side I/O is
+    still codes only."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_topk_ivf_residual(
+        e, e.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=16, nprobe=4,
+        m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+    )
