@@ -6679,3 +6679,91 @@ def emb_ann_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, n_centroids=16, nprobe=4,
         m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
     )
+
+
+def _ivfpq_residual_recall_oracle(k: int = 5) -> str:
+    """Both IVF-PQ encodings' recall vs the exact cosine top-k, shared
+    ground truth — one arm nests the certified by_residual=false oracle,
+    the other the by_residual=true oracle."""
+    variants = {
+        "plain": _ivfpq_oracle(k=k),
+        "residual": _ivfpq_residual_oracle(k=k),
+    }
+    p_ctes = ",\n    ".join(
+        f"p_{v} AS (SELECT query_id, neighbor_id FROM ({sql}) t)"
+        for v, sql in variants.items()
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{v}' AS variant,"
+        f" CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,"
+        f" CAST((SELECT COUNT(*) FROM p_{v} p JOIN exact b"
+        f" USING (query_id, neighbor_id)) AS BIGINT) AS n_matched"
+        for v in variants
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cosine_sql("q.q_vec", "c.embedding")}, 6) AS score
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, neighbor_id ASC) AS rank
+        FROM scored) t WHERE rank <= {k}),
+    {p_ctes}
+    SELECT variant, n_exact, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
+    FROM ({arms})
+    """
+
+
+@query(
+    "emb_pq_residual_recall_report",
+    _ivfpq_residual_recall_oracle(),
+    tags=("llm", "ann", "ivf", "pq", "eval", "quality"),
+)
+def emb_pq_residual_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOES residual encoding help HERE? — recall of
+    [[emb_ann_topk_ivfpq]] (by_residual=false) vs
+    [[emb_ann_topk_ivfpq_residual]] (by_residual=true) against the
+    exact cosine top-5, shared ground truth: the instrument that turns
+    the residual variant's finer-resolution claim into a measured
+    number on the corpus at hand (on near-uniform synthetic embeddings
+    the gap can be small or inverted — which is exactly why a pipeline
+    measures before picking an encoding). Exact GT computed once; both
+    arms run the certified searches."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    exact = (
+        SIM.cosine_topk(e, probes, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    n_exact = exact.count()
+    arms = {
+        "plain": lambda: PQ.pq_topk_ivf(
+            e, probes, k=5, n_centroids=16, nprobe=4,
+            m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+        ),
+        "residual": lambda: PQ.pq_topk_ivf_residual(
+            e, probes, k=5, n_centroids=16, nprobe=4,
+            m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+        ),
+    }
+    rows = []
+    for v, fn in arms.items():
+        matched = (
+            fn().select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        recall = round(matched / n_exact, 4) if n_exact else None
+        rows.append((v, n_exact, matched, recall))
+    return local_df(
+        spark, rows,
+        "variant string, n_exact long, n_matched long, recall double",
+    )
