@@ -11,6 +11,13 @@ to exactly nprobe/C of the files (partition pruning does the candidate
 bounding that the cell equi-join does in-memory); centroids are C rows;
 PQ codes are m small ints per vector. Rebuilds happen on corpus change,
 searches read only their probed partitions.
+
+Failure discipline (ADVICE r9): absence and failure are distinguishable.
+``save_ann_index`` writes a ``_PARTS`` marker naming the parts it wrote;
+``load_ann_index`` returns None ONLY for parts genuinely not written —
+a part the marker promises but whose read fails raises, instead of
+silently degrading a trained-quantizer search to the seeded fallback
+(which would probe the wrong cells and collapse recall).
 """
 
 from __future__ import annotations
@@ -19,10 +26,44 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 CELLS = "cells"
 CENTROIDS = "centroids"
 CODES = "codes"
+_PARTS_MARKER = "_PARTS"
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    return hpath.getFileSystem(hconf), hpath
+
+
+def _write_marker(spark: SparkSession, index_dir: str, parts: list[str]) -> None:
+    fs, p = _fs_and_path(spark, os.path.join(index_dir, _PARTS_MARKER))
+    out = fs.create(p, True)
+    try:
+        # writeBytes: low byte per char — part names are ASCII
+        out.writeBytes("\n".join(parts))
+    finally:
+        out.close()
+
+
+def _read_marker(spark: SparkSession, index_dir: str) -> list[str] | None:
+    fs, p = _fs_and_path(spark, os.path.join(index_dir, _PARTS_MARKER))
+    if not fs.exists(p):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        ).strip()
+    finally:
+        stream.close()
+    return [ln for ln in text.splitlines() if ln]
 
 
 def save_ann_index(
@@ -33,7 +74,10 @@ def save_ann_index(
 ) -> None:
     """Write an index under ``index_dir``: cells/ (partitioned by cell —
     the pruning key), centroids/ (the quantizer, required to route
-    future queries consistently), codes/ (optional PQ table)."""
+    future queries consistently), codes/ (optional PQ table), plus the
+    ``_PARTS`` marker naming what was written (load uses it to tell
+    absence from read failure)."""
+    parts = [CELLS]
     (
         cells.write.mode("overwrite")
         .partitionBy("cell")
@@ -43,23 +87,48 @@ def save_ann_index(
         centroids.write.mode("overwrite").parquet(
             os.path.join(index_dir, CENTROIDS)
         )
+        parts.append(CENTROIDS)
     if codes is not None:
         codes.write.mode("overwrite").parquet(os.path.join(index_dir, CODES))
+        parts.append(CODES)
+    _write_marker(cells.sparkSession, index_dir, parts)
 
 
 def load_ann_index(
     spark: SparkSession, index_dir: str
 ) -> dict[str, DataFrame | None]:
-    """Read the index back: {'cells', 'centroids', 'codes'} (absent
-    parts -> None). Cells come back with the partition column restored
+    """Read the index back: {'cells', 'centroids', 'codes'} (parts not
+    written -> None). Cells come back with the partition column restored
     to its long type; pass them straight to
-    ``cosine_topk_ivf(..., centroids=..., cells=...)``."""
+    ``cosine_topk_ivf(..., centroids=..., cells=...)``.
+
+    A part the save-time ``_PARTS`` marker promises but that cannot be
+    read (corrupt parquet, permissions, transient FS error) RAISES —
+    callers must not fall back to a differently-trained quantizer on a
+    broken index. Pre-marker indexes (no ``_PARTS``) keep the legacy
+    existence-check behavior.
+    """
+    written = _read_marker(spark, index_dir)
     out: dict[str, DataFrame | None] = {}
     for name in (CELLS, CENTROIDS, CODES):
         path = os.path.join(index_dir, name)
+        fs, p = _fs_and_path(spark, path)
+        if not fs.exists(p):
+            if written is not None and name in written:
+                raise FileNotFoundError(
+                    f"index part '{name}' is recorded in {index_dir}/"
+                    f"{_PARTS_MARKER} but missing on disk — refusing to "
+                    "search a partial index"
+                )
+            out[name] = None
+            continue
         try:
             df = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — absent part, AnalysisException
+        except AnalysisException:
+            if written is not None and name in written:
+                raise
+            # pre-marker index with an empty/garbage directory: legacy
+            # behavior treated unreadable-as-absent
             out[name] = None
             continue
         if name == CELLS:

@@ -378,6 +378,88 @@ def exact_l2_topk(
     return _rank_adc(cand, k)
 
 
+def _residual_parts(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    n_centroids: int,
+    nprobe: int,
+    centroids: DataFrame | None,
+):
+    """Shared build of the residual IVF-PQ variants: (res, cells,
+    probes) — the residual corpus relation (neighbor_id, cell, rvec),
+    the cell assignment, and the per-query probe set carrying the query
+    residual against each probed centroid. Lifted verbatim from the
+    certified pq_topk_ivf_residual body so the seeded- and
+    trained-codebook variants share one bit-identical front half."""
+    from etl_gardener_spark.operators.similarity import (
+        _resolve_cents,
+        cosine,
+        kmeans_assign,
+    )
+
+    cents_df = _resolve_cents(corpus, id_col, vec_col, n_centroids, centroids)
+    cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
+    )
+    res = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _check_dim(vec_col, m, sub_dim).alias("__v"),
+        )
+        .join(cells, "neighbor_id")
+        .join(
+            F.broadcast(cents_df.withColumnRenamed("cid", "cell")), "cell"
+        )
+        .select(
+            "neighbor_id",
+            "cell",
+            F.zip_with(
+                F.col("__v"),
+                F.col("cvec"),
+                lambda x, y: x.cast("double") - y,
+            ).alias("rvec"),
+        )
+        # one materialization, two consumers (codebook seed + encode)
+        .localCheckpoint(eager=True)
+    )
+    qscored = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _check_dim(vec_col, m, sub_dim).alias("q_vec"),
+        )
+        .join(F.broadcast(cents_df))
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("cid").alias("cell"),
+            "cvec",
+            F.round(
+                F.coalesce(cosine(F.col("q_vec"), F.col("cvec")), F.lit(-2.0)),
+                6,
+            ).alias("__s"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with(
+                F.col("q_vec"), F.col("cvec"), lambda x, y: x.cast("double") - y
+            ).alias("q_rvec"),
+        )
+    )
+    return res, cells, probes
+
+
 def pq_topk_ivf_residual(
     corpus: DataFrame,
     queries: DataFrame,
@@ -414,75 +496,14 @@ def pq_topk_ivf_residual(
     non-residual variant. Output: (query_id, neighbor_id, score, rank)
     — integer-exact ADC score, rank (score ASC, neighbor_id ASC).
     """
-    from etl_gardener_spark.operators.similarity import (
-        _resolve_cents,
-        cosine,
-        kmeans_assign,
-    )
-
-    cents_df = _resolve_cents(corpus, id_col, vec_col, n_centroids, centroids)
-    cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
-    )
-    res = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _check_dim(vec_col, m, sub_dim).alias("__v"),
-        )
-        .join(cells, "neighbor_id")
-        .join(
-            F.broadcast(cents_df.withColumnRenamed("cid", "cell")), "cell"
-        )
-        .select(
-            "neighbor_id",
-            "cell",
-            F.zip_with(
-                F.col("__v"),
-                F.col("cvec"),
-                lambda x, y: x.cast("double") - y,
-            ).alias("rvec"),
-        )
-        # one materialization, two consumers (codebook seed + encode)
-        .localCheckpoint(eager=True)
+    res, cells, probes = _residual_parts(
+        corpus, queries, id_col, vec_col, m, sub_dim, n_centroids, nprobe,
+        centroids,
     )
     rcb = _codebook_df(res, "neighbor_id", "rvec", k_sub)
     codes = exploded_codes(
         res, "neighbor_id", "rvec", m, sub_dim, k_sub, codebook=rcb
     ).join(cells, "neighbor_id")
-
-    # query probes: rounded-cosine nprobe ranking (same kernel as
-    # pq_topk_ivf), KEEPING the probed centroid for the residual
-    qscored = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _check_dim(vec_col, m, sub_dim).alias("q_vec"),
-        )
-        .join(F.broadcast(cents_df))
-        .select(
-            "query_id",
-            "q_vec",
-            F.col("cid").alias("cell"),
-            "cvec",
-            F.round(
-                F.coalesce(cosine(F.col("q_vec"), F.col("cvec")), F.lit(-2.0)),
-                6,
-            ).alias("__s"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__s").desc(), F.col("cell").asc()
-    )
-    probes = (
-        qscored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            "query_id",
-            "cell",
-            F.zip_with(
-                F.col("q_vec"), F.col("cvec"), lambda x, y: x.cast("double") - y
-            ).alias("q_rvec"),
-        )
-    )
     # per-(query, probed cell) ADC table: (query_id, cell, s, code, de6)
     qd = probes.join(F.broadcast(rcb))
     for s in range(m):
@@ -521,3 +542,328 @@ def pq_topk_ivf_residual(
         adc.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# -- trained sub-quantizer codebooks (r9 verdict item 2) ------------------
+#
+# The seeded codebooks above keep every result oracle-reproducible, but
+# FAISS trains PQ codebooks with per-sub-space k-means (Jegou et al. §III;
+# faiss/ProductQuantizer train) — and the r9 recall instrument measured
+# exactly the gap that seeding leaves: residual-encoded PQ at 0.04 recall
+# vs 0.18 plain on a corpus where the residual-seeded first-k codebook
+# has no reason to cover the residual distribution. The functions below
+# supply the trained path with the SAME determinism discipline: seeds are
+# the first k_sub sub-slices by id, assignment argmin is on the
+# integer-micro grid with the (de6 ASC, cid ASC) tie-break, and the Lloyd
+# update is the element-wise mean ROUND(·, 6) — the kmeans_fit kernel —
+# so a DuckDB CTE chain reproduces every codebook entry bit-exactly.
+
+
+def melt_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int
+) -> DataFrame:
+    """(id_col, s, svec): each vector melted to its m sub-slices — the
+    relation per-sub-space training and encoding both scan. One narrow
+    projection; m rows of sub_dim doubles per vector."""
+    return df.select(
+        id_col, _check_dim(vec_col, m, sub_dim).alias("__v")
+    ).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("__v"), s * sub_dim + 1, sub_dim).alias(
+                            "svec"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("ss"),
+    ).select(id_col, "ss.s", "ss.svec")
+
+
+def _svec_dist_e6(a: Column, b: Column) -> Column:
+    """Integer-micro squared-L2 over two whole sub-vectors (the
+    _sub_dist_e6 kernel at slice offset 0)."""
+    d = F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Train per-sub-space PQ codebooks (FAISS ProductQuantizer::train):
+    k_sub-means over each sub-space's slice distribution, all m
+    sub-spaces trained in ONE Spark program per Lloyd iteration (the
+    sub-space id is just another group key — no per-sub-space driver
+    loop). Returns the codebook relation (s, cid, cvec<sub_dim>).
+
+    Seeds: per sub-space, the first k_sub DISTINCT sub-vectors by
+    min-id, renumbered cid = 0..k_sub-1 in that order. Distinctness is
+    load-bearing, not cosmetic: on RESIDUAL corpora the first k_sub ids
+    are exactly the seeded coarse centroids, whose residuals are all
+    the ZERO vector — id-based seeding hands Lloyd k_sub identical
+    codewords and the tie-break collapses every assignment to cid 0
+    (one codeword, constant ADC scores — the degenerate codebook behind
+    the r9 instrument's 0.04 residual recall). Assignment:
+    integer-micro argmin, (de6 ASC, cid ASC) tie-break. Update:
+    element-wise INTEGER-MICRO mean — components quantized to the
+    1e-6 grid with the floor kernel, summed as exact int64 (an
+    order-independent fold, unlike a double AVG whose fold order can
+    flip ROUND's last digit between engines — residual corpora hit
+    exactly that at sf0.01), then one deterministic half-up division.
+    Empty codewords drop out (Lloyd's standard degenerate case).
+
+    Scale: each iteration is one melted-corpus scan (m rows/vector)
+    broadcast-joined to the m*k_sub codebook rows and folded by a
+    map-side-combined min_by, then one positional-mean aggregate —
+    O(n*m*k_sub) work, no raw-vector shuffle; k-means on PQ sub-spaces
+    is conventionally run on a bounded SAMPLE of the corpus (FAISS
+    defaults to ~256 vectors/centroid) — pass such a sample as
+    ``corpus`` for the 100 TB fit."""
+    subs = melt_subvectors(corpus, id_col, vec_col, m, sub_dim)
+    # min-id per distinct sub-vector: ids partition across groups, so
+    # the mids are unique within a sub-space — the rank is deterministic
+    ws = Window.partitionBy("s").orderBy("mid")
+    cb = (
+        subs.groupBy("s", "svec")
+        .agg(F.min(id_col).alias("mid"))
+        .withColumn("__rk", F.row_number().over(ws))
+        .filter(F.col("__rk") <= k_sub)
+        .select(
+            "s",
+            (F.col("__rk") - 1).cast("long").alias("cid"),
+            F.col("svec").alias("cvec"),
+        )
+    )
+    if n_iter > 0:
+        # training scans subs repeatedly — pin it once
+        subs = subs.localCheckpoint(eager=True)
+        cb = cb.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        scored = subs.join(F.broadcast(cb), "s").withColumn(
+            "__d", _svec_dist_e6(F.col("svec"), F.col("cvec"))
+        )
+        assigned = scored.groupBy(id_col, "s").agg(
+            F.min_by(
+                F.col("cid"),
+                F.struct(F.col("__d").alias("d"), F.col("cid").alias("c")),
+            ).alias("cid")
+        )
+        exploded = assigned.join(subs, [id_col, "s"]).select(
+            "s", "cid", F.posexplode("svec").alias("pos", "val")
+        )
+        cb = (
+            exploded.groupBy("s", "cid", "pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("val").cast("double") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("long")
+                ).alias("se6"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "s",
+                "cid",
+                "pos",
+                (
+                    F.floor(
+                        F.col("se6").cast("double") / F.col("n") + F.lit(0.5)
+                    ).cast("long").cast("double")
+                    / F.lit(1e6)
+                ).alias("mv"),
+            )
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda st: st.getField("mv"),
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def exploded_codes_sub(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+    codebooks: DataFrame,
+) -> DataFrame:
+    """(neighbor_id, s, code, de6): encode against per-sub-space
+    codebooks (pq_fit's relation) — the trained twin of exploded_codes.
+    One melted scan, broadcast codebook join, map-side-combined min_by;
+    de6 is the chosen sub-distance (reconstruction-error term)."""
+    scored = melt_subvectors(corpus, id_col, vec_col, m, sub_dim).join(
+        F.broadcast(codebooks), "s"
+    ).withColumn("__d", _svec_dist_e6(F.col("svec"), F.col("cvec")))
+    return scored.groupBy(F.col(id_col).alias("neighbor_id"), F.col("s")).agg(
+        F.min_by(
+            F.struct(F.col("cid").alias("code"), F.col("__d").alias("de6")),
+            F.struct(F.col("__d").alias("d"), F.col("cid").alias("c")),
+        ).alias("mc")
+    ).select("neighbor_id", "s", "mc.code", "mc.de6")
+
+
+def _query_dist_table_sub(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    sub_dim: int,
+) -> DataFrame:
+    """(query_id, s, code, de6): the per-query ADC table against trained
+    codebooks — m x k_sub rows per query, tiny, broadcast downstream."""
+    return (
+        melt_subvectors(queries, id_col, vec_col, m, sub_dim)
+        .select(F.col(id_col).alias("query_id"), "s", "svec")
+        .join(F.broadcast(codebooks), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            _svec_dist_e6(F.col("svec"), F.col("cvec")).alias("de6"),
+        )
+    )
+
+
+def pq_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k over TRAINED codebooks: pq_topk's exact search body
+    (codes ⨝ broadcast table on (s, code), integer-micro ADC sum, rank
+    by (score ASC, neighbor_id ASC)) with pq_fit's per-sub-space
+    codebooks in place of the seeded ones. ``codebooks`` accepts a
+    persisted pq_fit relation — fit once, search many."""
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(corpus, id_col, vec_col, m, sub_dim, k_sub, n_iter)
+    )
+    codes = exploded_codes_sub(corpus, id_col, vec_col, m, sub_dim, cb)
+    table = _query_dist_table_sub(queries, cb, id_col, vec_col, m, sub_dim)
+    cand = (
+        codes.select("neighbor_id", "s", "code")
+        .join(F.broadcast(table), ["s", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    return _rank_adc(cand, k)
+
+
+def pq_topk_ivf_residual_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ with a TRAINED sub-quantizer codebook — the full
+    FAISS-faithful IndexIVFPQ composition (by_residual=true AND
+    ProductQuantizer::train): pq_topk_ivf_residual's exact front half
+    (_residual_parts — cells, residuals, per-probe query residuals),
+    with pq_fit's per-sub-space k-means codebook trained ON the
+    residual distribution replacing the residual-seeded first-k one.
+    The r9 recall instrument attributed residual PQ's 0.04-vs-0.18
+    recall loss to that seeded codebook; this is the trained fix it
+    called for.
+
+    ``codebooks``: a persisted pq_fit relation over the residuals —
+    fit once, search many (pair with operators/index_store).
+    Output: (query_id, neighbor_id, score, rank), integer-exact ADC.
+    """
+    res, cells, probes = _residual_parts(
+        corpus, queries, id_col, vec_col, m, sub_dim, n_centroids, nprobe,
+        centroids,
+    )
+    rcb = (
+        codebooks
+        if codebooks is not None
+        else pq_fit(res, "neighbor_id", "rvec", m, sub_dim, k_sub, n_iter)
+    )
+    codes = exploded_codes_sub(
+        res, "neighbor_id", "rvec", m, sub_dim, rcb
+    ).join(cells, "neighbor_id")
+
+    # per-(query, probed cell) ADC table from the query residuals
+    qd = (
+        probes.select(
+            "query_id",
+            "cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(
+                                F.col("q_rvec"), s * sub_dim + 1, sub_dim
+                            ).alias("svec"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("ss"),
+        )
+        .select("query_id", "cell", "ss.s", "ss.svec")
+        .join(F.broadcast(rcb), "s")
+        .select(
+            "query_id",
+            "cell",
+            "s",
+            F.col("cid").alias("code"),
+            _svec_dist_e6(F.col("svec"), F.col("cvec")).alias("de6"),
+        )
+    )
+
+    cand = (
+        probes.select("query_id", "cell")
+        .join(codes.select("neighbor_id", "cell", "s", "code"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    adc = (
+        cand.join(F.broadcast(qd), ["query_id", "cell", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
+    )
+    return _rank_adc(adc, k)

@@ -102,6 +102,18 @@ class CurationSpec:
     id_col: str = "id"
     min_quality: float = 0.25
     jaccard_threshold: float = 0.8
+    # near_dedup banding. The LSH S-curve — candidate capture
+    # probability 1-(1-s^rows)^bands at Jaccard s — is set by
+    # (bands, rows=num_hashes/bands), NOT by jaccard_threshold alone:
+    # the threshold only gates the verify step, banding decides which
+    # pairs become candidates at all. bands=None (default) derives the
+    # banding from the threshold via operators.neardup.lsh_tuning (the
+    # MMDS total-error-mass rule), so changing jaccard_threshold in
+    # curation_params actually moves the recall lever; set bands
+    # explicitly only to pin a store's historical banding (incremental
+    # batches must probe with the banding the store was built with).
+    num_hashes: int = 12
+    bands: int | None = None
     pack_capacity: int = 2048
     # lm_outlier_gate: drop docs whose self-corpus char-trigram NLL
     # exceeds mean + lm_nll_sigmas * stddev of the partition (the CCNet
@@ -115,6 +127,22 @@ class CurationSpec:
             raise ValueError(
                 f"unknown curation stages {unknown}; known: {list(STAGE_ORDER)}"
             )
+        if self.bands is not None and (
+            self.bands < 1 or self.num_hashes % self.bands
+        ):
+            raise ValueError(
+                f"bands={self.bands} must divide num_hashes={self.num_hashes}"
+            )
+
+    def banding(self) -> tuple[int, int]:
+        """Resolve (num_hashes, bands) for near_dedup: explicit bands if
+        pinned, else lsh_tuning(num_hashes, jaccard_threshold)."""
+        if self.bands is not None:
+            return self.num_hashes, self.bands
+        from etl_gardener_spark.operators.neardup import lsh_tuning
+
+        bands, _rows = lsh_tuning(self.num_hashes, self.jaccard_threshold)
+        return self.num_hashes, bands
 
 
 class CurationActions:
@@ -138,10 +166,19 @@ class CurationActions:
             self.spark, "join", job.experiment, job.datatype, job.date
         )
 
-    def _rewrite(self, job: J.Job, df: DataFrame) -> None:
+    def _rewrite(self, job: J.Job, df: DataFrame, n_rows: int) -> None:
         # localCheckpoint before overwriting the partition being read —
         # same discipline as TableOps.dedup (can't overwrite a path
-        # while scanning it).
+        # while scanning it). Dynamic partition-overwrite is a no-op for
+        # an EMPTY DataFrame (no date= directory present in df means no
+        # directory replaced), so a gate that rejects every row of the
+        # day must drop the stale partition explicitly — the same move
+        # operators/quality.py makes for its all-rejected case.
+        if n_rows == 0:
+            self.wh.delete_partition(
+                self.spark, "join", job.experiment, job.datatype, job.date
+            )
+            return
         self.wh.overwrite_partitions(
             df.localCheckpoint(eager=True), "join", job.experiment, job.datatype
         )
@@ -171,7 +208,7 @@ class CurationActions:
         )
         out = staged.drop("__was", "__hit")
         if n_redacted:
-            self._rewrite(job, out)
+            self._rewrite(job, out, int(n_rows))
         return OpStats(
             op="scrub",
             rows_out=int(n_rows),
@@ -188,7 +225,7 @@ class CurationActions:
         )
         after = kept.count()
         if after != before:
-            self._rewrite(job, kept)
+            self._rewrite(job, kept, after)
         return OpStats(
             op="quality_gate",
             rows_out=after,
@@ -229,7 +266,7 @@ class CurationActions:
         )
         after = kept.count()
         if after != before:
-            self._rewrite(job, kept)
+            self._rewrite(job, kept, after)
         return OpStats(
             op="lm_outlier_gate",
             rows_out=after,
@@ -254,7 +291,7 @@ class CurationActions:
         )
         after = kept.count()
         if after != before:
-            self._rewrite(job, kept)
+            self._rewrite(job, kept, after)
         return OpStats(
             op="exact_dedup",
             rows_out=after,
@@ -266,12 +303,13 @@ class CurationActions:
         t0 = time.monotonic()
         df = self._read(job)
         before = df.count()
+        num_hashes, bands = spec.banding()
         pairs = minhash_lsh_pairs(
             df,
             spec.text_col,
             spec.id_col,
-            num_hashes=12,
-            bands=4,
+            num_hashes=num_hashes,
+            bands=bands,
             threshold=spec.jaccard_threshold,
         )
         # min-id survivor: any doc verified against a smaller id drops
@@ -281,7 +319,7 @@ class CurationActions:
         kept = df.join(drops, spec.id_col, "left_anti")
         after = kept.count()
         if after != before:
-            self._rewrite(job, kept)
+            self._rewrite(job, kept, after)
         return OpStats(
             op="near_dedup",
             rows_out=after,
@@ -311,7 +349,14 @@ class CurationActions:
             "n_tokens",
             "bin_id",
             F.col("__stratum").cast("date").alias(DATE_COL),
-        )
+        ).localCheckpoint(eager=True)
+        if out.count() == 0:
+            # empty curated input: dynamic overwrite would leave any
+            # stale packed partition from a prior run — drop it instead
+            self.wh.delete_partition(
+                self.spark, PACKED_TIER, job.experiment, job.datatype, job.date
+            )
+            return OpStats(op="pack", rows_out=0, elapsed_sec=time.monotonic() - t0)
         self.wh.overwrite_partitions(out, PACKED_TIER, job.experiment, job.datatype)
         rows = self.wh.read_partition(
             self.spark, PACKED_TIER, job.experiment, job.datatype, job.date
@@ -336,6 +381,18 @@ class CurationActions:
             spec = self.spec_for(job)
             if spec is None or stage not in spec.stages:
                 return f"{stage} skipped: not configured"
+            if not self.wh.partition_exists(
+                self.spark, "join", job.experiment, job.datatype, job.date
+            ):
+                # an upstream gate rejected every row of the day (its
+                # _rewrite deleted the partition): nothing to curate.
+                # pack still clears any stale packed output from a prior
+                # run of the same day — the idempotence contract.
+                if stage == "pack":
+                    self.wh.delete_partition(
+                        self.spark, PACKED_TIER, job.experiment, job.datatype, job.date
+                    )
+                return f"{stage} skipped: empty partition"
             t0 = metrics.spark_task_seconds(self.spark)
             try:
                 st = body(self, job, spec)

@@ -2523,7 +2523,7 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # counts only CORRECTNESS_r*.json artifacts from EARLIER rounds, so the
 # driver's own artifact for this round (written after round close)
 # cannot retroactively falsify the ≥70% first-time policy.
-DRIVER_WINDOW_ROUND = 9
+DRIVER_WINDOW_ROUND = 10
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     # — permanent, never rotates
@@ -2539,45 +2539,45 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # round-9 rotating slots (14/38 first-timers; tools/rotate_window.py)
-    "doc_quality_filter_funnel",
-    "doc_pack_efficiency",
-    "doc_containment_capped",
-    "doc_incremental_simhash",
-    "doc_neardup_canonicalize",
-    "emb_cluster_drift",
-    "emb_ivf_probe_sweep",
-    "emb_ann_topk_sq8",
-    "emb_sq8_recall_report",
-    "doc_incremental_winnow",
-    "doc_url_canonical_dedup",
-    "doc_host_profile",
-    "doc_incremental_url_dedup",
-    "mm_phash_near_pairs_wide",
-    "sessionize",
-    "brand_revenue",
-    "weekly_users_sketch_rollup",
-    "daily_approx_users",
-    "doc_token_stats",
-    "doc_quality_score",
-    "doc_langid",
-    "doc_fingerprint",
-    "corpus_clean",
-    "doc_pack_sequences",
-    "doc_decontaminate",
-    "doc_exact_dup_groups",
-    "doc_incremental_dedup",
-    "emb_incremental_semantic_dedup",
-    "emb_ann_topk",
-    "emb_ann_topk_lsh",
-    "emb_ann_topk_ivf",
-    "mm_image_features",
-    "stream_sessionize",
-    "stream_dedup",
-    "doc_scrub_pii",
-    "doc_bm25_search",
-    "doc_line_dedup",
-    "mm_phash_near_pairs",
+    # round-10 rotating slots (8/38 first-timers; tools/rotate_window.py)
+    "emb_ann_topk_ivf_trained",
+    "emb_ann_topk_ivfpq_trained",
+    "corpus_curation_pipeline",
+    "corpus_incremental_curation",
+    "doc_charlm_quality",
+    "corpus_temperature_mix",
+    "emb_ann_topk_ivfpq_residual",
+    "emb_pq_residual_recall_report",
+    "q18_large_volume_customers",
+    "q9_product_profit",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "scd2_incremental_apply",
+    "snapshot_diff_events",
+    "forget_users",
+    "doc_tfidf_top_terms",
+    "doc_repetition",
+    "doc_shuffle_shards",
+    "doc_chunk_sequences",
+    "doc_simhash",
+    "mm_frame_hashes",
+    "mm_audio_features",
+    "stream_hourly_rollup",
+    "stream_session_window",
+    "stream_dedup_vs_store",
+    "doc_hash_split",
+    "doc_stratified_sample",
+    "doc_top_bigrams",
+    "emb_pca_variance_check",
+    "corpus_training_ready",
+    "doc_mixture_sample",
+    "stream_scrub_split",
+    "emb_incremental_ann_topk",
+    "profile_orders",
+    "dq_k_anonymity",
+    "scd2_point_in_time_join",
+    "emb_negative_samples",
+    "doc_boilerplate_lines",
 ]
 
 

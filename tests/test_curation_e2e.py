@@ -276,3 +276,133 @@ def test_lm_outlier_gate_drops_nll_tail(spark, tmp_path):
         assert ids == {"c0", "c1", "c2", "c3"}, ids
     finally:
         g.monitor.shutdown()
+
+
+def test_quality_gate_rejects_all_rows_deletes_partition(spark, tmp_path):
+    """All-rows-rejected day (ADVICE r9 item 1): dynamic partition
+    overwrite is a no-op for an empty DataFrame, so _rewrite must DELETE
+    the stale join partition explicitly; downstream stages short-circuit
+    on the now-missing partition and pack clears any stale packed tier."""
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b",
+                experiment="corpus",
+                datatype="allbad",
+                datasets=Datasets(tmp="tmp_ab", raw="raw_ab", join="ab"),
+                curation=("quality_gate", "exact_dedup", "near_dedup", "pack"),
+                curation_params=(("min_quality", 0.25),),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    try:
+        t = "2024-03-01T01:00:00Z"
+        # every row is symbol soup below the 0.25 quality floor
+        rows = [
+            {"id": f"g{i}", "parser": {"Time": t}, "text": "!!! ??? !!! ???"}
+            for i in range(3)
+        ]
+        wh = Warehouse(str(tmp_path / "wh"))
+        # pre-seed a stale packed partition from a "prior run" of the day:
+        # the rerun must clear it, not leave it to be read as current
+        stale = spark.createDataFrame(
+            [("stale", 5, 0, Date(2024, 3, 1))],
+            "id string, n_tokens long, bin_id long, date date",
+        )
+        wh.overwrite_partitions(stale, "packed", "corpus", "allbad")
+        job = _run_job(g, landing=str(tmp_path / "landing"),
+                       datatype="allbad", rows=rows)
+        st = g.tracker.get_status(job.key())
+        assert st.state == J.COMPLETE, [si.state for si in st.history]
+        # the join partition is GONE (not stale-ungated), and so is the
+        # stale packed partition
+        assert not wh.partition_exists(
+            g.spark, "join", "corpus", "allbad", job.date
+        )
+        assert not wh.partition_exists(
+            g.spark, "packed", "corpus", "allbad", job.date
+        )
+        details = " | ".join(si.detail or "" for si in st.history)
+        assert "quality_gate: rows_out=0 deleted=3" in details, details
+        assert "skipped: empty partition" in details, details
+    finally:
+        g.monitor.shutdown()
+
+
+def test_non_default_banding_through_chain(spark, tmp_path):
+    """Curation banding knobs (r9 verdict item 4): bands pinned via
+    curation_params drives minhash_lsh_pairs with that banding; the
+    default (bands=None) derives banding from jaccard_threshold via
+    lsh_tuning, so changing the threshold moves the candidate-recall
+    lever."""
+    from etl_gardener_spark.operators.neardup import lsh_tuning
+    from etl_gardener_spark.orchestrator.curation import CurationSpec
+
+    # resolution rule: explicit bands wins; else lsh_tuning decides
+    assert CurationSpec(
+        stages=("near_dedup",), num_hashes=12, bands=6
+    ).banding() == (12, 6)
+    tuned_bands, _rows = lsh_tuning(12, 0.5)
+    assert CurationSpec(
+        stages=("near_dedup",), jaccard_threshold=0.5
+    ).banding() == (12, tuned_bands)
+    with pytest.raises(ValueError):
+        CurationSpec(stages=("near_dedup",), num_hashes=12, bands=5)
+
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b",
+                experiment="corpus",
+                datatype="banded",
+                datasets=Datasets(tmp="tmp_bd", raw="raw_bd", join="bd"),
+                curation=("near_dedup",),
+                # 12 hashes in 12 bands of 1 row: the most permissive
+                # banding (any shared minhash -> candidate), so the
+                # near-pair below is guaranteed a candidate regardless
+                # of which hashes collide
+                curation_params=(
+                    ("jaccard_threshold", 0.5),
+                    ("num_hashes", 12),
+                    ("bands", 12),
+                ),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    try:
+        t = "2024-03-01T01:00:00Z"
+        rows = [
+            {"id": "a", "parser": {"Time": t}, "text": LONG_A},
+            {"id": "b", "parser": {"Time": t}, "text": LONG_A_NEAR},
+            {"id": "c", "parser": {"Time": t}, "text": LONG_B},
+        ]
+        job = _run_job(g, landing=str(tmp_path / "landing"),
+                       datatype="banded", rows=rows)
+        st = g.tracker.get_status(job.key())
+        assert st.state == J.COMPLETE, [si.state for si in st.history]
+        wh = Warehouse(str(tmp_path / "wh"))
+        joined = wh.read_partition(g.spark, "join", "corpus", "banded", job.date)
+        # b (near-dup of a at jaccard ~0.9) drops; unrelated c survives
+        assert {r.id for r in joined.collect()} == {"a", "c"}
+    finally:
+        g.monitor.shutdown()

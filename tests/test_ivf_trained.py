@@ -118,3 +118,33 @@ def test_ann_index_save_load_roundtrip(vecs, tmp_path):
     save_ann_index(d2, cells, centroids=trained)
     idx2 = load_ann_index(spark, d2)
     assert idx2["codes"] is None and idx2["cells"] is not None
+
+
+def test_index_store_absence_vs_failure(vecs, tmp_path):
+    """ADVICE r9 item 2: a part the _PARTS marker promises but that is
+    missing/unreadable RAISES instead of silently mapping to None (which
+    would send the caller to a differently-seeded quantizer fallback and
+    collapse recall); genuinely unwritten parts still load as None."""
+    import os
+    import shutil
+
+    from etl_gardener_spark.operators import similarity as SIM
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    spark = vecs.sparkSession
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=4, n_iter=1)
+    cells = SIM.ivf_build_cells(vecs, n_centroids=4, centroids=trained)
+    d = str(tmp_path / "idx_damage")
+    save_ann_index(d, cells, centroids=trained)
+
+    # damage: remove a promised part entirely -> load must refuse
+    shutil.rmtree(os.path.join(d, "centroids"))
+    with pytest.raises(FileNotFoundError, match="centroids"):
+        load_ann_index(spark, d)
+
+    # an index never saved at all -> all-None, no error (no marker)
+    empty = load_ann_index(spark, str(tmp_path / "never_saved"))
+    assert empty == {"cells": None, "centroids": None, "codes": None}

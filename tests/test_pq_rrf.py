@@ -140,3 +140,82 @@ def test_pq_topk_ivf_consistent_with_full_adc(spark):
         )
         assert [m[0] for m in mine] == list(range(1, len(mine) + 1))
         assert mine == sorted(mine, key=lambda t: (t[1], t[2]))
+
+
+def test_pq_fit_distinct_seeding_survives_duplicate_vectors(spark):
+    """Regression for the degenerate residual codebook (r10): id-based
+    seeding over a corpus whose first k_sub vectors are IDENTICAL (the
+    residual case: seed centroids' residuals are all zero) must NOT
+    collapse the codebook to one effective codeword. pq_fit seeds from
+    the first k_sub DISTINCT sub-vectors, so the trained codebook keeps
+    k_sub codewords per sub-space and assignments spread."""
+    rows = [(i, [0.0] * DIM) for i in range(KSUB)] + _vecs(40, seed=3)
+    # reindex: zero vectors take ids 0..KSUB-1, real vectors follow
+    rows = [(i, v) for i, (_, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = PQ.pq_fit(df, m=M, sub_dim=SUB, k_sub=KSUB, n_iter=1)
+    per_s = {
+        r["s"]: r["n"]
+        for r in cb.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(per_s) == set(range(M))
+    for s, n in per_s.items():
+        assert n > 1, f"sub-space {s} collapsed to {n} codeword(s)"
+    codes = PQ.exploded_codes_sub(df, "vec_id", "embedding", M, SUB, cb)
+    n_used = codes.select("s", "code").distinct().count()
+    assert n_used > M, "all vectors encoded to a single codeword per s"
+
+
+def test_pq_topk_trained_matches_python_reference(spark):
+    """pq_topk_trained ≡ a plain-Python PQ pipeline run with the SAME
+    trained codebook (fit pulled from Spark, encode/ADC re-derived in
+    Python): validates the encode/table/ADC plumbing independent of the
+    training math."""
+    rows = _vecs(30)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb_rows = PQ.pq_fit(df, m=M, sub_dim=SUB, k_sub=KSUB, n_iter=2).collect()
+    cb = {}
+    for r in cb_rows:
+        cb.setdefault(r["s"], {})[r["cid"]] = list(r["cvec"])
+
+    def sub_de6_full(a, b):
+        import math
+
+        d = 0.0
+        for x, y in zip(a, b):
+            d += (x - y) * (x - y)
+        return math.floor(d * 1e6 + 0.5)
+
+    def encode(v):
+        out = {}
+        for s in range(M):
+            sv = v[s * SUB:(s + 1) * SUB]
+            out[s] = min(
+                ((sub_de6_full(sv, cv), cid) for cid, cv in cb[s].items())
+            )[1]
+        return out
+
+    ref_codes = {i: encode(v) for i, v in rows}
+    queries = [r for r in rows if r[0] < 3]
+    expect = {}
+    for qid, qv in queries:
+        scores = []
+        for nid, _nv in rows:
+            if nid == qid:
+                continue
+            total = 0
+            for s in range(M):
+                sv = qv[s * SUB:(s + 1) * SUB]
+                total += sub_de6_full(sv, cb[s][ref_codes[nid][s]])
+            scores.append((total / 1e6, nid))
+        for rank, (sc, nid) in enumerate(sorted(scores)[:5], start=1):
+            expect[(qid, nid)] = (sc, rank)
+
+    got = PQ.pq_topk_trained(
+        df, df.filter(F.col("vec_id") < 3), k=5, m=M, sub_dim=SUB,
+        k_sub=KSUB, n_iter=2,
+    ).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        sc, rank = expect[(r["query_id"], r["neighbor_id"])]
+        assert (r["score"], r["rank"]) == (sc, rank)

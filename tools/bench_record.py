@@ -28,6 +28,7 @@ Usage:
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import shutil
@@ -49,20 +50,24 @@ def drop_page_cache() -> bool:
         return False
 
 
-def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    force = "--force" in sys.argv
-    prior = None
-    scale_dir = None
-    for i, a in enumerate(sys.argv):
-        if a == "--prior" and i + 1 < len(sys.argv):
-            prior = sys.argv[i + 1]
-        if a == "--scale-dir" and i + 1 < len(sys.argv):
-            scale_dir = sys.argv[i + 1]
-    if not args:
-        print(__doc__)
-        return 2
-    out_path = args[0]
+def main(argv: list[str] | None = None) -> int:
+    # argparse (ADVICE r9 item 3): the hand-rolled split treated option
+    # VALUES as positionals — '--scale-dir /tmp/x OUT.json' made
+    # out_path='/tmp/x' (the directory just rmtree'd) and never wrote
+    # OUT.json.
+    ap = argparse.ArgumentParser(
+        prog="bench_record.py",
+        description="Quiet-box BENCH_FULL recording (see module docstring)",
+    )
+    ap.add_argument("out_path", help="output BENCH_FULL json artifact")
+    ap.add_argument("--prior", help="prior round's artifact for the canary gate")
+    ap.add_argument("--scale-dir", help="scale-ladder fixture dir to remove first")
+    ap.add_argument("--force", action="store_true",
+                    help="record despite load/canary refusals (flagged)")
+    ns = ap.parse_args(argv)
+    out_path, prior, scale_dir, force = (
+        ns.out_path, ns.prior, ns.scale_dir, ns.force
+    )
     if prior and prior == out_path:
         print("refusing: --prior and output are the same file")
         return 2
@@ -75,9 +80,11 @@ def main() -> int:
         )
         return 1
 
+    scale_fixtures_removed = False
     if scale_dir and os.path.isdir(scale_dir):
         print(f"removing scale fixtures: {scale_dir}")
         shutil.rmtree(scale_dir, ignore_errors=True)
+        scale_fixtures_removed = True
     cache_dropped = drop_page_cache()
     print(f"page cache dropped: {cache_dropped}; load avg: {load1:.2f}")
 
@@ -96,7 +103,7 @@ def main() -> int:
         "quiet_box": load1 < LOAD_LIMIT,
         "load_avg_preflight": round(load1, 2),
         "page_cache_dropped": cache_dropped,
-        "scale_fixtures_removed": bool(scale_dir),
+        "scale_fixtures_removed": scale_fixtures_removed,
         "runs": 3,
         "forced": force,
     }
