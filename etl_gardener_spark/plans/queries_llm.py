@@ -7095,3 +7095,47 @@ def emb_pq_codebook_recall_report(
         spark, rows,
         "variant string, n_exact long, n_matched long, recall double",
     )
+
+
+# -- persisted-index search certification (r9 verdict item 3) -------------
+
+
+@query(
+    "emb_ann_topk_ivf_persisted",
+    _ivf_trained_oracle(),
+    tags=("llm", "ann", "ivf", "clustering", "index"),
+)
+def emb_ann_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over a LOADED persisted index (operators/index_store):
+    fit the coarse quantizer ([[emb_ann_topk_ivf_trained]]'s kmeans),
+    build the cell relation once (ivf_build_cells), SAVE it — cells
+    partitioned on the ``cell`` pruning key, centroids alongside, plus
+    the _PARTS marker — then LOAD it back and run the search entirely
+    over the loaded relations. The oracle is the in-memory trained-IVF
+    search's oracle verbatim: save -> load -> search must be
+    bit-identical to never having touched disk, which turns the
+    index_store round-trip pytest into a driver-graded guarantee.
+
+    At 100 TB the LOAD path is the production path: the index is built
+    once per corpus version and every search session starts from these
+    files; cell-partitioned parquet means a probed search lists and
+    reads ~nprobe/C of the index files (partition pruning — asserted at
+    plan level in tests/test_ivf_trained.py::
+    test_persisted_cells_prune_to_probed_partitions)."""
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_gardener_spark.plans.queries import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    _final, cents = SIM.kmeans_fit(e, "vec_id", "embedding", k=16, n_iter=2)
+    cells = SIM.ivf_build_cells(e, n_centroids=16, centroids=cents)
+    d = _scratch("annidx")
+    save_ann_index(d, cells, centroids=cents)
+    idx = load_ann_index(spark, d)
+    out = SIM.cosine_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10), k=5, nprobe=4,
+        centroids=idx["centroids"], cells=idx["cells"],
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

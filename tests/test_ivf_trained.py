@@ -148,3 +148,54 @@ def test_index_store_absence_vs_failure(vecs, tmp_path):
     # an index never saved at all -> all-None, no error (no marker)
     empty = load_ann_index(spark, str(tmp_path / "never_saved"))
     assert empty == {"cells": None, "centroids": None, "codes": None}
+
+
+def test_persisted_cells_prune_to_probed_partitions(vecs, tmp_path):
+    """The 100 TB economics of the persisted index: cells are written
+    partitioned ON the cell key, so restricting a search to its probed
+    cells reads only those partitions' files. Asserted two ways: the
+    optimized plan carries the cell partition filter, and inputFiles()
+    of the probed scan lists files from probed-cell directories only."""
+    import os
+
+    from etl_gardener_spark.operators import similarity as SIM
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    spark = vecs.sparkSession
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=8, n_iter=1)
+    cells = SIM.ivf_build_cells(vecs, n_centroids=8, centroids=trained)
+    d = str(tmp_path / "pruneidx")
+    save_ann_index(d, cells, centroids=trained)
+    idx = load_ann_index(spark, d)
+
+    all_cells = sorted(
+        r["cell"] for r in idx["cells"].select("cell").distinct().collect()
+    )
+    assert len(all_cells) > 2
+    probed = all_cells[:2]
+    pruned = idx["cells"].filter(F.col("cell").isin([int(c) for c in probed]))
+
+    # the partition filter must reach the scan (static pruning on the
+    # partition column), not run as a post-scan row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+
+    # correctness of the pruned read — collect() executes THIS df's own
+    # QueryExecution, so the scan metrics below reflect this exact read
+    # (count() would plan a separate aggregate query)
+    expect = (
+        cells.filter(F.col("cell").isin([int(c) for c in probed])).count()
+    )
+    assert len(pruned.collect()) == expect
+
+    # post-execution scan metrics: files read < the index's total files
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.apply(0)
+    n_read = int(scan.metrics().apply("numFiles").value())
+    total_files = len(idx["cells"].inputFiles())
+    assert 0 < n_read < total_files, (n_read, total_files)
