@@ -26,12 +26,14 @@ comparison — argmin for code assignment, reconstruction error, ADC
 ranking — is integer arithmetic, so no ROUND-midpoint or fold-order
 hazard exists anywhere in the operator.
 
-Codebooks here are deterministic corpus seeds (the first ``k_sub``
-vectors by id, like similarity.ivf_centroids): a production deployment
-trains per-sub-space k-means (operators/similarity.kmeans supplies the
-distributed trainer) — the plan shape, code layout, and search path are
-identical either way, while seeded codebooks keep every result
-oracle-reproducible.
+Codebooks come in two flavors: deterministic corpus seeds (the first
+``k_sub`` vectors by id, like similarity.ivf_centroids — the oracle
+replay default), and TRAINED per-sub-space k-means codebooks
+(``pq_fit`` / ``pq_topk_trained`` / ``pq_topk_ivf_residual_trained`` —
+FAISS ProductQuantizer::train, with the same integer-exact kernels so
+the trained results stay oracle-reproducible too). The plan shape,
+code layout, and search path are identical either way; the recall is
+not (see ``emb_pq_codebook_recall_report``).
 """
 
 from __future__ import annotations
@@ -487,6 +489,14 @@ def pq_topk_ivf_residual(
     engines); every distance is floored to integer micros before any
     comparison. The residual codebook is seeded from the first k_sub
     residual vectors by id (the codebook-seeding convention).
+
+    **Production callers: use ``pq_topk_ivf_residual_trained``.** The
+    id-based residual seeding here is kept for oracle replay, but it is
+    DEGENERATE whenever the coarse quantizer was seeded from the same
+    corpus prefix: the first k_sub vectors are their own centroids, so
+    their residuals — the entire codebook — are zero vectors, one
+    effective codeword, constant ADC scores (the measured 0.04 recall
+    vs 0.26 trained in ``emb_pq_codebook_recall_report``).
 
     Scale shape: build = one corpus pass for cells + one for residual
     codes (both map-side-combined broadcast joins, no raw-vector

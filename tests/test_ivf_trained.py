@@ -199,3 +199,52 @@ def test_persisted_cells_prune_to_probed_partitions(vecs, tmp_path):
     n_read = int(scan.metrics().apply("numFiles").value())
     total_files = len(idx["cells"].inputFiles())
     assert 0 < n_read < total_files, (n_read, total_files)
+
+
+def test_ensure_ann_index_rebuild_on_corpus_change(vecs, tmp_path):
+    """Rebuild-on-corpus-change policy: first ensure builds and records
+    the corpus fingerprint; a second ensure on the UNCHANGED corpus
+    loads without rebuilding (and searches equal the fresh build); any
+    corpus change — append, delete, or vector edit — flips the
+    fingerprint and triggers a rebuild."""
+    from etl_gardener_spark.operators.index_store import (
+        corpus_fingerprint,
+        ensure_ann_index,
+    )
+
+    spark = vecs.sparkSession
+    d = str(tmp_path / "ensureidx")
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=8, n_iter=1)
+
+    first = ensure_ann_index(spark, d, vecs, centroids=trained)
+    assert first["rebuilt"] is True
+    second = ensure_ann_index(spark, d, vecs, centroids=trained)
+    assert second["rebuilt"] is False
+    assert second["fingerprint"] == first["fingerprint"]
+
+    queries = vecs.filter(F.col("vec_id") < 3)
+    fresh = SIM.cosine_topk_ivf(
+        vecs, queries, k=3, nprobe=2, centroids=trained,
+        cells=first["cells"],
+    )
+    loaded = SIM.cosine_topk_ivf(
+        vecs, queries, k=3, nprobe=2,
+        centroids=second["centroids"], cells=second["cells"],
+    )
+    assert {tuple(r) for r in fresh.collect()} == {
+        tuple(r) for r in loaded.collect()
+    }
+
+    # corpus change: one appended vector -> fingerprint flips -> rebuild
+    grown = vecs.unionByName(
+        spark.createDataFrame([(999, [0.5] * 8)], ["vec_id", "embedding"])
+    )
+    assert corpus_fingerprint(grown) != first["fingerprint"]
+    third = ensure_ann_index(spark, d, grown, centroids=trained)
+    assert third["rebuilt"] is True
+    assert third["cells"].count() == 41
+
+    # fingerprint is order-independent: a shuffled corpus does NOT
+    # trigger a rebuild
+    shuffled = vecs.orderBy(F.rand(7))
+    assert corpus_fingerprint(shuffled) == corpus_fingerprint(vecs)
