@@ -21,6 +21,29 @@ from etl_gardener_spark.functions.text import shingles_of, ws_tokens
 from etl_gardener_spark.operators.neardup import shingle_hash_sets
 
 
+def _spread_explode_input(df: DataFrame) -> DataFrame:
+    """Round-robin an under-partitioned docs relation up to the session's
+    core count before a char-explode kernel.
+
+    Input-split granularity (``maxPartitionBytes``) sizes partitions for
+    scan IO, but a char-level explode amplifies each input byte into
+    ~1 downstream row — a few MB of compressed text expands to tens of
+    millions of generated rows, all inside the scan's whole-stage-codegen
+    pipeline, so a 1-file partition serializes the whole kernel on one
+    core. This is NOT the r8 partition-floor case (SCALE.md: spreading
+    nested-higher-order-LAMBDA shingle kernels ballooned task-seconds
+    superlinearly); substring/explode trees carry no per-task lambda
+    setup cost — measured at sf1 with stage-level executorRunTime:
+    width 1 → wall 89.4 s / cpu 128.7 s; width 32 → wall 6.3 s /
+    cpu 138.5 s (+7.6% cpu for 14x wall). Warehouse-scale day
+    partitions arrive in many splits and skip the shuffle (guard below).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _h60(col) -> F.Column:
     """60-bit md5 fold (first 15 hex chars → int64) — the repo-wide content
     hash (operators/neardup.shingle_hash_sets); DuckDB mirrors it with
@@ -1021,6 +1044,9 @@ def char_trigram_nll(
     is one store scan, amortized across ingests like every signature
     store in the incremental family.
     """
+    store_docs = _spread_explode_input(store_docs)
+    batch_docs = _spread_explode_input(batch_docs)
+
     def tri(df: DataFrame) -> DataFrame:
         s = df.select(
             F.col(id_col), F.lower(F.col(text_col)).alias("__s")

@@ -42,6 +42,16 @@ from etl_gardener_spark.functions.text import (
     ws_tokens,
 )
 
+# Minimum scan parallelism for the shingle kernel (shingle_sets): a
+# small corpus arriving as 1 parquet split would otherwise run the whole
+# tokenize+shingle+md5 codegen pipeline on one core. 8 is the measured
+# sweet spot for these nested-lambda trees (r10 remeasurement with
+# stage-level executorRunTime, sf0.1 containment: width 1 -> wall 7.05 s
+# / task 12.3 s; width 8 -> wall 1.48 s / task 3.9 s; width 32 -> task
+# 14.1 s — the r8 partition-floor per-task setup cost is real but only
+# bites past ~16 concurrent tasks, see SCALE.md r10 revision).
+_SHINGLE_FLOOR = 8
+
 # Universal-hash modulus for MinHash permutations: smallest prime > 2^32.
 # a*h32+b < 2^28 * 2^32 ≈ 2^60 stays well inside int64 in every engine.
 MINHASH_PRIME = 4294967311
@@ -78,6 +88,8 @@ def shingle_sets(
        per row (once for the filter, once for the output) — measured 4x
        on real documents.
     """
+    if df.rdd.getNumPartitions() < _SHINGLE_FLOOR:
+        df = df.repartition(_SHINGLE_FLOOR)
     t1 = df.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks"))
     return t1.filter(F.size("__toks") >= n).select(
         F.col(id_col),
@@ -97,15 +109,17 @@ def shingle_hash_sets(
     cheaper shuffles, codegen'd comparisons. DuckDB mirror of the fold:
     list_reduce over md5 hex chars, (x, y) -> x*16+y.
 
-    The md5 pass is the CPU floor of the whole dedup family. It is NOT
-    pre-spread across cores here: an r8 sweep (SCALE.md, partition-
-    floor experiment) measured a real fixed per-task cpu cost for these
-    nested-lambda expression trees that grows superlinearly with
-    concurrent task count (sf0.1 containment task-s: 3.6 at 1 scan
-    partition, 37.8 at 32), so round-robining a small under-partitioned
-    scan wins fractions of a wall-second on a few queries while taxing
-    every consumer's task-seconds. Warehouse-scale inputs arrive in
-    many splits and parallelize at the scan.
+    The md5 pass is the CPU floor of the whole dedup family.
+    shingle_sets round-robins an under-partitioned scan up to
+    ``_SHINGLE_FLOOR`` (8) partitions before this kernel: the r8
+    partition-floor experiment rejected spreading outright, but its
+    task-seconds were read from the broken executor-uptime metric
+    (SCALE.md r10 "task-seconds metric" note); remeasured with
+    stage-level executorRunTime, an 8-way floor improves BOTH wall
+    (7.05 -> 1.48 s, sf0.1 containment) and task-seconds (12.3 -> 3.9)
+    — the per-task lambda setup cost r8 observed is real but only
+    dominates past ~16 concurrent tasks (width 32: task 14.1 s).
+    Warehouse-scale inputs arrive in many splits and skip the shuffle.
     """
     sh = shingle_sets(df, text_col, id_col, n)
     h = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")

@@ -185,24 +185,36 @@ def spark_task_seconds(spark) -> float:
     ops/actions.go:150-170): task time is how long tasks occupied
     executor slots, which is exactly what a slot-second measures. Driver-
     side metadata read, no job triggered. Callers record per-query cost
-    as the delta around an action. Caveat, unlike per-job SlotMillis:
-    the counter is session-global, so deltas taken around CONCURRENT
-    ops each include the others' overlapping task time — per-query
-    observations are upper bounds that over-count under concurrency
-    (and are exact when ops run serially). Second caveat: the sum spans
-    only executors still in the status store; when dead executors are
-    evicted (``spark.ui.retainedDeadExecutors`` cap, relevant under
-    dynamic allocation) the counter can DECREASE, and callers'
-    ``max(delta, 0)`` clamp then records a 0-cost query. On long-lived
-    dynamic-allocation sessions, accumulate task time via a
-    SparkListener (``onTaskEnd`` durations) instead of this store read.
-    Treat the histogram as a cost-magnitude signal, not an additive
-    ledger.
+    as the delta around an action.
+
+    Summed from per-stage ``executorRunTime`` (the same source bench.py
+    uses), NOT ``ExecutorSummary.totalDuration``: the executor-level
+    field was measured behaving as executor UPTIME on local-mode
+    sessions — it grew 1 s per idle second with zero jobs running and
+    read ≈ wall (parallelism 1.0) around a job that consumed 51
+    CPU-seconds in 3.9 s of wall — so every delta taken from it was
+    really wall-between-reads, not slot-seconds (r10 remeasurement;
+    SCALE.md "task-seconds metric" note).
+
+    Caveats, unlike per-job SlotMillis: the counter is session-global,
+    so deltas taken around CONCURRENT ops each include the others'
+    overlapping task time — per-query observations are upper bounds
+    that over-count under concurrency (and are exact when ops run
+    serially). And the sum spans only stages still in the status store;
+    when old stages are evicted (``spark.ui.retainedStages`` cap) the
+    counter can DECREASE, and callers' ``max(delta, 0)`` clamp then
+    records a 0-cost query. On long-lived sessions, accumulate task
+    time via a SparkListener (``onTaskEnd`` durations) instead of this
+    store read. Treat the histogram as a cost-magnitude signal, not an
+    additive ledger.
     """
     sc = spark.sparkContext
+    jvm = sc._jvm
     store = sc._jsc.sc().statusStore()
+    empty = jvm.java.util.ArrayList()
+    quantiles = sc._gateway.new_array(jvm.double, 0)
+    stages = store.stageList(empty, False, False, quantiles, empty)
     total_ms = 0
-    it = store.executorList(False).iterator()
-    while it.hasNext():
-        total_ms += it.next().totalDuration()
+    for i in range(stages.size()):
+        total_ms += stages.apply(i).executorRunTime()
     return total_ms / 1000.0
