@@ -343,6 +343,80 @@ def pq_topk_ivf(
     return _rank_adc(cand, k)
 
 
+def pq_topk_ivf_refined(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    refine_factor: int = 4,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    codes: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ search with an exact re-rank tail — the FAISS
+    ``IndexRefineFlat`` production pattern: stage 1 runs the certified
+    IVF-PQ search (`pq_topk_ivf`) for ``k * refine_factor`` candidates
+    (cell-pruned scan, m-byte codes, integer ADC), stage 2 fetches ONLY
+    those candidates' raw vectors and re-ranks by exact squared-L2 on
+    the same per-sub-space integer-micro grid as `exact_l2_topk`, so
+    the final ordering is immune to PQ quantization error among the
+    survivors.
+
+    Scale shape: the exact tail touches k·refine_factor raw vectors per
+    query — a broadcast-joined point lookup, NOT a corpus scan; the
+    corpus-bounded work stays inside the cell-pruned ADC stage. Recall
+    is bounded by candidate-set coverage (nprobe and refine_factor are
+    the levers); ordering among covered candidates is exact.
+
+    Output: (query_id, neighbor_id, score, rank) — score is the EXACT
+    integer-micro L2 / 1e6, rank by (score ASC, neighbor_id ASC).
+    """
+    cand = pq_topk_ivf(
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=k * refine_factor,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        m=m,
+        sub_dim=sub_dim,
+        k_sub=k_sub,
+        codes=codes,
+        centroids=centroids,
+    ).select("query_id", "neighbor_id")
+    scored = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            )
+        ),
+        "query_id",
+    )
+    de6 = None
+    for s in range(m):
+        d = _sub_dist_e6(
+            F.col("q_vec"), F.col("c_vec"), s * sub_dim + 1, sub_dim
+        )
+        de6 = d if de6 is None else de6 + d
+    exact = scored.select(
+        "query_id",
+        "neighbor_id",
+        (de6.cast("double") / F.lit(1e6)).alias("score"),
+    )
+    return _rank_adc(exact, k)
+
+
 def exact_l2_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -219,3 +219,49 @@ def test_pq_topk_trained_matches_python_reference(spark):
     for r in got:
         sc, rank = expect[(r["query_id"], r["neighbor_id"])]
         assert (r["score"], r["rank"]) == (sc, rank)
+
+
+def test_pq_topk_ivf_refined_exact_ordering_within_candidates(spark):
+    """The refine tail (pq_topk_ivf_refined) must (a) return a subset of
+    the k*refine_factor ADC candidate set, (b) order that subset by the
+    EXACT integer-micro L2 of the raw vectors (python reference), and
+    (c) never recall fewer exact-L2 top-k neighbors than the pure ADC
+    ranking it refines (same candidate coverage, exact ordering)."""
+    rows = _vecs(60)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") < 3)
+    kw = dict(m=M, sub_dim=SUB, k_sub=KSUB, n_centroids=4, nprobe=2)
+    k, rf = 3, 3
+    cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in PQ.pq_topk_ivf(df, probes, k=k * rf, **kw).collect()
+    }
+    refined = PQ.pq_topk_ivf_refined(
+        df, probes, k=k, refine_factor=rf, **kw
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in refined} <= cand
+
+    vecs = dict(rows)
+    by_q = {}
+    for r in refined:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        for r in rs:
+            want = sum(
+                _sub_de6(vecs[q], vecs[r["neighbor_id"]], s) for s in range(M)
+            )
+            assert abs(r["score"] - want / 1e6) < 1e-9
+        scores = [(r["score"], r["neighbor_id"]) for r in rs]
+        assert scores == sorted(scores)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in PQ.exact_l2_topk(df, probes, k=k, m=M, sub_dim=SUB).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in PQ.pq_topk_ivf(df, probes, k=k, **kw).collect()
+    }
+    ref_pairs = {(r["query_id"], r["neighbor_id"]) for r in refined}
+    assert len(ref_pairs & exact) >= len(adc & exact)
