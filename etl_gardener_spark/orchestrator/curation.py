@@ -10,6 +10,7 @@ pipeline stages.
 Extended chain (stages present only when configured on ANY source):
 
     Joining -> curating:scrub -> curating:quality_gate
+            -> curating:lm_outlier_gate -> curating:decontam
             -> curating:exact_dedup -> curating:near_dedup
             -> curating:pack -> Complete
 
@@ -32,6 +33,10 @@ reference chain hands off as its final product):
     lm_outlier_gate  drop docs whose self-corpus char-trigram NLL
                   (operators/corpus.char_trigram_nll, the partition as
                   its own reference LM) exceeds mean + sigmas * stddev
+    decontam      drop docs whose distinct word-n-gram overlap with the
+                  configured benchmark table exceeds the threshold
+                  (operators/corpus.decontaminate — eval sets must not
+                  leak into training data)
     exact_dedup   keep the min-id row per normalized-text hash
     near_dedup    MinHash+LSH pairs at >= jaccard_threshold; drop every
                   doc that verifies against a smaller id (min-id
@@ -79,6 +84,7 @@ STAGE_ORDER = (
     "scrub",
     "quality_gate",
     "lm_outlier_gate",
+    "decontam",
     "exact_dedup",
     "near_dedup",
     "pack",
@@ -120,12 +126,37 @@ class CurationSpec:
     # perplexity-outlier pattern, with the partition itself as the LM's
     # training corpus — no external model artifact needed per day)
     lm_nll_sigmas: float = 3.0
+    # decontam: drop docs whose distinct word-n-gram overlap with the
+    # configured benchmark table (operators/corpus.decontaminate; the
+    # GPT-3/PaLM eval-contamination discipline) exceeds
+    # decontam_max_overlap. The benchmark is a warehouse table triple
+    # (tier, experiment, datatype) carrying the same id/text column
+    # names as the curated source; it is static eval data, tiny next to
+    # the corpus, and its distinct-gram set broadcasts — the day
+    # partition never shuffles for the check.
+    decontam_bench: tuple[str, str, str] | None = None
+    decontam_ngram: int = 5
+    decontam_max_overlap: float = 0.0
 
     def __post_init__(self):
         unknown = [s for s in self.stages if s not in STAGE_ORDER]
         if unknown:
             raise ValueError(
                 f"unknown curation stages {unknown}; known: {list(STAGE_ORDER)}"
+            )
+        if self.decontam_bench is not None and not isinstance(
+            self.decontam_bench, tuple
+        ):
+            # YAML lists arrive as lists; frozen dataclass -> setattr
+            object.__setattr__(
+                self, "decontam_bench", tuple(self.decontam_bench)
+            )
+        if "decontam" in self.stages and (
+            self.decontam_bench is None or len(self.decontam_bench) != 3
+        ):
+            raise ValueError(
+                "decontam stage requires decontam_bench=(tier, experiment,"
+                f" datatype); got {self.decontam_bench!r}"
             )
         if self.bands is not None and (
             self.bands < 1 or self.num_hashes % self.bands
@@ -274,6 +305,34 @@ class CurationActions:
             elapsed_sec=time.monotonic() - t0,
         )
 
+    def _decontam(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        from etl_gardener_spark.operators.corpus import decontaminate
+
+        t0 = time.monotonic()
+        df = self._read(job)
+        before = df.count()
+        tier, exp, dt = spec.decontam_bench
+        bench = self.wh.read(self.spark, tier, exp, dt)
+        rep = decontaminate(
+            df, bench, spec.text_col, spec.id_col, n=spec.decontam_ngram
+        )
+        drops = rep.filter(
+            F.col("overlap_frac") > F.lit(spec.decontam_max_overlap)
+        ).select(spec.id_col)
+        # docs too short to shingle (< n tokens) emit no report row and
+        # cannot be contaminated at the n-gram grain — kept, the same
+        # unscorable-keep convention as lm_outlier_gate
+        kept = df.join(drops, spec.id_col, "left_anti")
+        after = kept.count()
+        if after != before:
+            self._rewrite(job, kept, after)
+        return OpStats(
+            op="decontam",
+            rows_out=after,
+            rows_deleted=before - after,
+            elapsed_sec=time.monotonic() - t0,
+        )
+
     def _exact_dedup(self, job: J.Job, spec: CurationSpec) -> OpStats:
         t0 = time.monotonic()
         df = self._read(job)
@@ -367,6 +426,7 @@ class CurationActions:
         "scrub": _scrub,
         "quality_gate": _quality_gate,
         "lm_outlier_gate": _lm_outlier_gate,
+        "decontam": _decontam,
         "exact_dedup": _exact_dedup,
         "near_dedup": _near_dedup,
         "pack": _pack,

@@ -7288,3 +7288,97 @@ def emb_pq_refine_recall_report(
         spark, rows,
         "method string, n_exact long, n_matched long, recall double"
     )
+
+
+# -- curation chain with the decontam stage (round 10) ---------------------
+
+
+def _curation_decontam_oracle(min_quality: float = 0.25) -> str:
+    """Composes the certified stage oracles in the orchestrator's chain
+    order with the decontam stage in the middle: scrub -> quality gate
+    -> benchmark-gram drop (the doc_decontaminate oracle's hit logic at
+    max_overlap = 0.0) -> exact dedup. Source 'src0' plays the held-out
+    benchmark table, exactly as in [[doc_decontaminate]]."""
+    redacted = SC.oracle_redact_sql("text")
+    quality = (
+        "FLOOR((0.4 * least(1.0, len(toks) / 100.0)"
+        " + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        " + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),"
+        " '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))"
+        " * 10000 + 0.5) / 10000"
+    )
+    return f"""
+    WITH scrubbed AS (SELECT doc_id, {redacted} AS text
+                      FROM documents WHERE source <> 'src0'),
+    tokd AS (SELECT doc_id, text, {_TOKS} AS toks FROM scrubbed),
+    gated AS (SELECT * FROM (SELECT *, {quality} AS quality FROM tokd)
+              WHERE quality >= {min_quality}),
+    bt AS (SELECT {_TOKS} AS toks FROM documents WHERE source = 'src0'),
+    bg AS (SELECT DISTINCT unnest({_DECON_HASHES}) AS g FROM bt),
+    tg AS (SELECT doc_id, unnest({_DECON_HASHES}) AS g FROM gated),
+    hits AS (SELECT DISTINCT t.doc_id FROM tg t JOIN bg USING (g)),
+    clean AS (SELECT * FROM gated
+              WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+    exact AS (SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id) AS rn
+        FROM clean) WHERE rn = 1)
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(len(toks) AS BIGINT) AS n_tokens, quality
+    FROM exact
+    """
+
+
+@query(
+    "corpus_curation_with_decontam",
+    _curation_decontam_oracle(),
+    tags=("llm", "curation", "pipeline", "decontamination", "quality"),
+)
+def corpus_curation_with_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation chain with the DECONTAM stage composed in
+    (orchestrator/curation.py `decontam`, r10): [[doc_scrub_pii]]'s
+    redaction -> [[doc_quality_score]]'s gate (>= 0.25) ->
+    [[doc_decontaminate]]'s benchmark-gram check at
+    decontam_max_overlap = 0.0 (source 'src0' plays the benchmark
+    table; any shared distinct 5-gram drops the doc; docs too short to
+    shingle are unscorable and kept) -> exact dedup (min-id per
+    normalized scrubbed text). The composition point the per-stage
+    queries can't certify: decontam shingles the SCRUBBED text, so
+    redaction tokens participate in gram identity exactly as the
+    orchestrator stage sees them.
+
+    100 TB shape: the benchmark-gram set is static eval data — tiny,
+    distinct, broadcast; the corpus-side gram stream never shuffles for
+    the check (one left-anti on doc_id after a map-side-combined
+    per-doc hit count). Stages chain as one-scan passes like
+    [[corpus_curation_pipeline]]."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0").select("doc_id", "text")
+    corp = d.filter(F.col("source") != "src0").select("doc_id", "text")
+    scrubbed = corp.select("doc_id", SC.redact("text").alias("text"))
+    gated = (
+        scrubbed.withColumn("quality", TX.quality_score("text"))
+        .filter(F.col("quality") >= 0.25)
+        .localCheckpoint(eager=True)
+    )
+    rep = CP.decontaminate(gated, bench, "text", "doc_id", n=_DECON_N)
+    drops = rep.filter(F.col("overlap_frac") > 0.0).select("doc_id")
+    clean = gated.join(drops, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    exact = (
+        clean.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return exact.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        "quality",
+    )

@@ -406,3 +406,79 @@ def test_non_default_banding_through_chain(spark, tmp_path):
         assert {r.id for r in joined.collect()} == {"a", "c"}
     finally:
         g.monitor.shutdown()
+
+
+def test_decontam_stage_drops_benchmark_overlap(spark, tmp_path):
+    """Decontamination stage: docs sharing a distinct word-5-gram with
+    the configured benchmark table drop at decontam_max_overlap=0.0;
+    clean docs and docs too short to shingle (unscorable at the n-gram
+    grain) are kept. Also pins the CurationSpec validation: the stage
+    refuses to configure without a benchmark table triple."""
+    from etl_gardener_spark.orchestrator.curation import CurationSpec
+
+    with pytest.raises(ValueError, match="decontam_bench"):
+        CurationSpec(stages=("decontam",))
+    # YAML lists normalize to the tuple the dataclass documents
+    assert CurationSpec(
+        stages=("decontam",), decontam_bench=["bench", "eval", "suite"]
+    ).decontam_bench == ("bench", "eval", "suite")
+
+    cfg = GardenerConfig(
+        start_date=Date(2024, 3, 1),
+        sources=(
+            SourceConfig(
+                bucket="b",
+                experiment="corpus",
+                datatype="decon",
+                datasets=Datasets(tmp="tmp_dc", raw="raw_dc", join="dc"),
+                curation=("decontam",),
+                curation_params=(
+                    ("decontam_bench", ("bench", "eval", "suite")),
+                    ("decontam_ngram", 5),
+                    ("decontam_max_overlap", 0.0),
+                ),
+            ),
+        ),
+    )
+    g = Gardener(
+        spark,
+        cfg,
+        warehouse_root=str(tmp_path / "wh"),
+        landing_root=str(tmp_path / "landing"),
+        schema_for=lambda job: SCHEMA,
+        state_dir=str(tmp_path / "state"),
+        retry_delay_sec=0.1,
+    )
+    try:
+        wh = Warehouse(str(tmp_path / "wh"))
+        bench_passage = (
+            "which element has the atomic number seventeen in the "
+            "periodic table of elements"
+        )
+        bench = spark.createDataFrame(
+            [("q1", bench_passage, Date(2024, 1, 1))],
+            "id string, text string, date date",
+        )
+        wh.overwrite_partitions(bench, "bench", "eval", "suite")
+
+        t = "2024-03-01T01:00:00Z"
+        rows = [
+            # clean doc, no benchmark n-gram
+            {"id": "a", "parser": {"Time": t}, "text": LONG_A},
+            # quotes a benchmark passage verbatim inside its own prose
+            {"id": "leak", "parser": {"Time": t},
+             "text": "students often ask " + bench_passage + " during exams"},
+            # too short to shingle at n=5: unscorable, kept
+            {"id": "tiny", "parser": {"Time": t}, "text": "four words only here"},
+        ]
+        job = _run_job(g, landing=str(tmp_path / "landing"),
+                       datatype="decon", rows=rows)
+        st = g.tracker.get_status(job.key())
+        assert st.state == J.COMPLETE, [si.state for si in st.history]
+        assert state_for("decontam") in [si.state for si in st.history]
+        joined = wh.read_partition(g.spark, "join", "corpus", "decon", job.date)
+        assert {r.id for r in joined.collect()} == {"a", "tiny"}
+        details = " | ".join(si.detail or "" for si in st.history)
+        assert "decontam: rows_out=2 deleted=1" in details, details
+    finally:
+        g.monitor.shutdown()
