@@ -1082,10 +1082,21 @@ def char_trigram_nll(
         )
         .agg(F.count_distinct("__ch").cast("double").alias("v"))
     )
+    # the model relations are bounded by |alphabet|^3 observed trigram
+    # contexts (the docstring's broadcastable claim) — made EXPLICIT
+    # here because the planner's estimate for an aggregate output is
+    # the input size, so without the hint the scoring join sort-merges,
+    # SORTING the exploded trigram stream: measured sf1->sf3 the SMJ
+    # plan scales task-s at alpha 1.31 (561 task-s at sf3) vs 1.12
+    # (429) broadcast — the n log n sort term, not the linear scan, was
+    # the chain's superlinearity. Caveat: on a CJK-heavy corpus the
+    # observed-trigram model can reach ~1e7 rows; if a deployment hits
+    # broadcast OOM there, drop the hints and let AQE decide from
+    # runtime sizes.
     scored = (
         tri(batch_docs)
-        .join(cnt, ["ctx", "ch"], "left")
-        .join(ctx_tot, "ctx", "left")
+        .join(F.broadcast(cnt), ["ctx", "ch"], "left")
+        .join(F.broadcast(ctx_tot), "ctx", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
