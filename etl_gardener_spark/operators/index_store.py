@@ -22,6 +22,7 @@ silently degrading a trained-quantizer search to the seeded fallback
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,17 +42,30 @@ def _fs_and_path(spark: SparkSession, path: str):
     return hpath.getFileSystem(hconf), hpath
 
 
-def _write_marker(spark: SparkSession, index_dir: str, parts: list[str]) -> None:
+def _write_marker(
+    spark: SparkSession, index_dir: str, parts: dict[str, str]
+) -> None:
+    """v2 marker: one ``name\\tschema_json`` line per written part. The
+    schema makes an EMPTY part round-trippable — parquet cannot infer a
+    schema from a data-file-less directory (an empty corpus writes only
+    _SUCCESS), so load reconstructs the empty relation from here."""
     fs, p = _fs_and_path(spark, os.path.join(index_dir, _PARTS_MARKER))
     out = fs.create(p, True)
     try:
-        # writeBytes: low byte per char — part names are ASCII
-        out.writeBytes("\n".join(parts))
+        lines = ["v2"] + [f"{n}\t{s}" for n, s in parts.items()]
+        # writeBytes: low byte per char — names ASCII, schema JSON ASCII
+        out.writeBytes("\n".join(lines))
     finally:
         out.close()
 
 
-def _read_marker(spark: SparkSession, index_dir: str) -> list[str] | None:
+def _read_marker(
+    spark: SparkSession, index_dir: str
+) -> dict[str, str | None] | None:
+    """{part_name: schema_json_or_None}; None when no marker exists.
+    v1 markers (bare part-name lines, pre-r10) parse with None schemas —
+    their promised-part semantics are unchanged, they just cannot
+    round-trip an empty part."""
     fs, p = _fs_and_path(spark, os.path.join(index_dir, _PARTS_MARKER))
     if not fs.exists(p):
         return None
@@ -63,7 +77,27 @@ def _read_marker(spark: SparkSession, index_dir: str) -> list[str] | None:
         ).strip()
     finally:
         stream.close()
-    return [ln for ln in text.splitlines() if ln]
+    lines = [ln for ln in text.splitlines() if ln]
+    if lines and lines[0] == "v2":
+        out: dict[str, str | None] = {}
+        for ln in lines[1:]:
+            name, _, schema = ln.partition("\t")
+            out[name] = schema or None
+        return out
+    return {ln: None for ln in lines}
+
+
+def _has_data_files(fs, hpath) -> bool:
+    """True when the directory holds at least one parquet data file —
+    distinguishes a legitimately EMPTY part (only _SUCCESS; reconstruct
+    from the marker schema) from a corrupt/unreadable one (data present
+    but the read failed; must raise)."""
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet"):
+            return True
+    return False
 
 
 def save_ann_index(
@@ -77,7 +111,7 @@ def save_ann_index(
     future queries consistently), codes/ (optional PQ table), plus the
     ``_PARTS`` marker naming what was written (load uses it to tell
     absence from read failure)."""
-    parts = [CELLS]
+    parts = {CELLS: cells.schema.json()}
     (
         cells.write.mode("overwrite")
         .partitionBy("cell")
@@ -87,10 +121,10 @@ def save_ann_index(
         centroids.write.mode("overwrite").parquet(
             os.path.join(index_dir, CENTROIDS)
         )
-        parts.append(CENTROIDS)
+        parts[CENTROIDS] = centroids.schema.json()
     if codes is not None:
         codes.write.mode("overwrite").parquet(os.path.join(index_dir, CODES))
-        parts.append(CODES)
+        parts[CODES] = codes.schema.json()
     _write_marker(cells.sparkSession, index_dir, parts)
 
 
@@ -125,6 +159,21 @@ def load_ann_index(
         try:
             df = spark.read.parquet(path)
         except AnalysisException:
+            schema_json = written.get(name) if written is not None else None
+            if schema_json is not None and not _has_data_files(fs, p):
+                # legitimately EMPTY part (an empty corpus writes only
+                # _SUCCESS — no footer to infer from): reconstruct the
+                # empty relation from the marker's saved schema
+                from pyspark.sql.types import StructType
+
+                df = spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json))
+                )
+                out[name] = df if name != CELLS else df.select(
+                    "neighbor_id", "c_vec",
+                    F.col("cell").cast("long").alias("cell"),
+                )
+                continue
             if written is not None and name in written:
                 raise
             # pre-marker index with an empty/garbage directory: legacy

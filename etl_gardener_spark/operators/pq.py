@@ -264,6 +264,7 @@ def pq_topk_ivf(
     k_sub: int = 16,
     codes: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (the FAISS IndexIVFPQ layout, ``by_residual=false``
     variant — codes encode raw vectors, not cell residuals, keeping
@@ -300,9 +301,14 @@ def pq_topk_ivf(
             [(cid, vec) for cid, vec in cents],
             "cid long, cvec array<double>",
         )
-    cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
-    )
+    if cells is None:
+        cells = kmeans_assign(corpus, cents_df, id_col, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col("cid").alias("cell")
+        )
+    else:
+        # a persisted index's cell relation (index_store.load_ann_index,
+        # or ivf_build_cells output) — extra columns like c_vec dropped
+        cells = cells.select("neighbor_id", "cell")
     if codes is None:
         codes = exploded_codes(corpus, id_col, vec_col, m, sub_dim, k_sub)
     codes = codes.join(cells, "neighbor_id")

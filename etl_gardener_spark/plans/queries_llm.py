@@ -7382,3 +7382,50 @@ def corpus_curation_with_decontam(
         TX.token_count("text").cast("long").alias("n_tokens"),
         "quality",
     )
+
+
+@query(
+    "emb_ann_topk_ivfpq_persisted",
+    _ivfpq_trained_oracle(),
+    tags=("llm", "ann", "ivf", "pq", "clustering", "index"),
+)
+def emb_ann_topk_ivfpq_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Search over a LOADED persisted COMPRESSED index — the IVF-PQ twin
+    of [[emb_ann_topk_ivf_persisted]]: fit the coarse quantizer
+    ([[emb_ann_topk_ivfpq_trained]]'s kmeans), build the cell relation
+    and the PQ code table once, SAVE all three index parts
+    (operators/index_store: cells partitioned on the ``cell`` pruning
+    key, centroids, codes, plus the _PARTS marker), then LOAD them back
+    and run the search entirely over the loaded relations. The oracle
+    is the in-memory trained-IVF-PQ search's oracle verbatim:
+    save -> load -> search must be bit-identical to never touching
+    disk.
+
+    At 100 TB this IS the deployment: the m-bytes-per-vector code table
+    and the cell assignment are the index artifacts (raw vectors are
+    never read at search time), rebuilt only when ensure_ann_index's
+    corpus fingerprint moves; a probed search reads ~nprobe/C of the
+    cell files (partition pruning) plus the code table."""
+    from etl_gardener_spark.operators import pq as PQ
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        save_ann_index,
+    )
+    from etl_gardener_spark.plans.queries import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kw = dict(m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB)
+    _final, cents = SIM.kmeans_fit(e, "vec_id", "embedding", k=16, n_iter=2)
+    cells = SIM.ivf_build_cells(e, n_centroids=16, centroids=cents)
+    codes = PQ.exploded_codes(e, "vec_id", "embedding", **kw)
+    d = _scratch("pqidx")
+    save_ann_index(d, cells, centroids=cents, codes=codes)
+    idx = load_ann_index(spark, d)
+    return PQ.pq_topk_ivf(
+        e, e.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=16, nprobe=4,
+        codes=idx["codes"], centroids=idx["centroids"], cells=idx["cells"],
+        **kw,
+    )

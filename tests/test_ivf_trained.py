@@ -248,3 +248,38 @@ def test_ensure_ann_index_rebuild_on_corpus_change(vecs, tmp_path):
     # trigger a rebuild
     shuffled = vecs.orderBy(F.rand(7))
     assert corpus_fingerprint(shuffled) == corpus_fingerprint(vecs)
+
+
+def test_empty_index_roundtrip(spark, tmp_path):
+    """An EMPTY corpus's index must round-trip (fuzz seed 0 class): the
+    parquet write of an empty relation leaves only _SUCCESS, which
+    parquet cannot infer a schema from — load reconstructs the empty
+    parts from the v2 marker's saved schemas, and a search over the
+    loaded empty index returns 0 rows instead of raising. Data present
+    but unreadable still raises (absence-vs-failure unchanged)."""
+    from etl_gardener_spark.operators import pq as PQ
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        save_ann_index,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = SIM.ivf_centroids(empty, "vec_id", "embedding", 4)
+    from etl_gardener_spark.functions.localrel import local_df
+
+    cents_df = local_df(
+        spark, [(c, v) for c, v in cents], "cid long, cvec array<double>"
+    )
+    cells = SIM.ivf_build_cells(empty, n_centroids=4, centroids=cents_df)
+    codes = PQ.exploded_codes(empty, "vec_id", "embedding", 2, 4, 4)
+    d = str(tmp_path / "emptyidx")
+    save_ann_index(d, cells, centroids=cents_df, codes=codes)
+    idx = load_ann_index(spark, d)
+    assert idx["cells"].count() == 0
+    assert idx["codes"].count() == 0
+    assert set(idx["cells"].columns) == {"neighbor_id", "c_vec", "cell"}
+    out = SIM.cosine_topk_ivf(
+        empty, empty, k=3, nprobe=2,
+        centroids=idx["centroids"], cells=idx["cells"],
+    )
+    assert out.count() == 0
