@@ -957,3 +957,55 @@ def pq_topk_ivf_residual_trained(
         .agg((F.sum("de6").cast("double") / F.lit(1e6)).alias("score"))
     )
     return _rank_adc(adc, k)
+
+
+def hadamard_rotate(
+    df: DataFrame, vec_col: str, dim: int, out_col: str | None = None
+) -> DataFrame:
+    """Rotate vectors by the normalized Hadamard matrix H_dim/sqrt(dim)
+    (``dim`` must be a power of two): y_i = sum_j (-1)^popcount(i & j)
+    * x_j / sqrt(dim). The deterministic, SQL-expressible stand-in for
+    the random orthogonal rotation FAISS applies before PQ (OPQ /
+    "PCAR" energy balancing): a Hadamard rotation mixes every input
+    coordinate into every output coordinate with equal weight, so
+    per-dimension variance spreads evenly across the PQ sub-spaces
+    instead of concentrating in whichever sub-space holds the
+    high-variance dims. Orthogonal => exact L2 distances are preserved
+    ([[emb_pq_hadamard_recall_report]] relies on this: the rotated
+    exact top-k IS the raw exact top-k).
+
+    Exactness: for power-of-4... rather, for dim a power of two whose
+    sqrt is exact in binary (dim = 4^k, e.g. 64: 1/sqrt(64) = 0.125),
+    the scaling is a float-EXACT multiply, and the inner sum is a
+    left-assoc fold both engines reproduce bit-for-bit (init 0.0 + t0
+    == t0 exactly in IEEE). Oracle mirror: nested list_transform /
+    list_reduce over bit_count(i & j) parity.
+
+    Scale shape: the nested-lambda tree is O(dim^2) ops per vector —
+    fine for the certified reference path; a 100 TB deployment with
+    large dim should swap in the O(dim log dim) fast Walsh-Hadamard
+    butterfly inside a Pandas UDF (numpy), which this function's
+    contract (pure per-row map, no shuffle) makes a drop-in swap.
+    """
+    if dim & (dim - 1):
+        raise ValueError(f"dim={dim} must be a power of two")
+    scale = 1.0 / (dim ** 0.5)
+    out = out_col or vec_col
+    x = F.col(vec_col)
+    rotated = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.when(
+                F.bit_count(i.cast("long").bitwiseAND(j.cast("long"))) % 2
+                == 0,
+                F.element_at(x, (j + 1).cast("int")).cast("double"),
+            ).otherwise(
+                -F.element_at(x, (j + 1).cast("int")).cast("double")
+            ),
+        )
+        * F.lit(scale),
+    )
+    return df.withColumn(out, rotated)

@@ -7429,3 +7429,192 @@ def emb_ann_topk_ivfpq_persisted(
         codes=idx["codes"], centroids=idx["centroids"], cells=idx["cells"],
         **kw,
     )
+
+
+# -- Hadamard-rotated PQ (the OPQ/random-rotation family) -------------------
+
+_HAD_DIM = 64
+
+
+def _hadamard_rot_cte(base: str = "embeddings", dim: int = _HAD_DIM) -> str:
+    """The normalized Hadamard rotation as a SQL relation: the exact
+    mirror of pq.hadamard_rotate (same left-assoc fold — DuckDB's
+    list_reduce starts at t0, Spark's aggregate at 0.0 + t0, IEEE-equal
+    — and the float-exact 1/sqrt(dim) multiply for dim = 4^k)."""
+    scale = 1.0 / (dim ** 0.5)
+    return f"""rot AS (SELECT vec_id,
+      list_transform(range(0, {dim}), i ->
+        list_reduce(
+          list_transform(range(0, {dim}), j ->
+            CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(j AS BIGINT))
+                      % 2 = 0
+                 THEN CAST({base}.embedding[j + 1] AS DOUBLE)
+                 ELSE -CAST({base}.embedding[j + 1] AS DOUBLE) END),
+          (a, b) -> a + b) * {scale!r}) AS embedding
+      FROM {base})"""
+
+
+def _pq_rot_ctes() -> str:
+    """_pq_ctes with the base relation swapped to the rotated corpus:
+    seeded codebook (first k_sub rotated vectors), per-sub-space arms,
+    argmin codes — all over ``rot``."""
+    arms = " UNION ALL ".join(
+        f"SELECT e.vec_id, c.cid, {s} AS s,"
+        f" {_pq_subdist_sql('e.embedding', 'c.cvec', s)} AS de6"
+        f" FROM rot e CROSS JOIN rqseeds c"
+        for s in range(_PQ_M)
+    )
+    return f"""{_hadamard_rot_cte()},
+    rqseeds AS (SELECT vec_id AS cid, embedding AS cvec
+                FROM rot WHERE vec_id < {_PQ_KSUB}),
+    rsd AS ({arms}),
+    rqcodes AS (
+      SELECT vec_id, s, cid AS code, de6 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY de6 ASC, cid ASC) AS rn FROM rsd) t
+      WHERE rn = 1)"""
+
+
+def _pq_hadamard_topk_oracle(k: int = 5) -> str:
+    qd_arms = " UNION ALL ".join(
+        f"SELECT q.query_id, c.cid AS code, {s} AS s,"
+        f" {_pq_subdist_sql('q.q_vec', 'c.cvec', s)} AS de6"
+        f" FROM rpqq q CROSS JOIN rqseeds c"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH {_pq_rot_ctes()},
+    rpqq AS (SELECT vec_id AS query_id, embedding AS q_vec
+             FROM rot WHERE vec_id < 10),
+    rqd AS ({qd_arms}),
+    cand AS (
+      SELECT d.query_id, p.vec_id AS neighbor_id,
+             CAST(SUM(d.de6) AS DOUBLE) / 1e6 AS score
+      FROM rqcodes p JOIN rqd d ON d.s = p.s AND d.code = p.code
+      WHERE p.vec_id <> d.query_id
+      GROUP BY 1, 2),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score ASC, neighbor_id ASC) AS BIGINT) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {k}
+    """
+
+
+@query(
+    "emb_ann_topk_pq_hadamard",
+    _pq_hadamard_topk_oracle(),
+    tags=("llm", "ann", "pq", "rotation"),
+)
+def emb_ann_topk_pq_hadamard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC search over HADAMARD-ROTATED vectors
+    (operators/pq.hadamard_rotate + pq_topk) — the deterministic,
+    oracle-exact stand-in for FAISS's pre-PQ random orthogonal rotation
+    (OPQ / PCAR energy balancing): H mixes every input coordinate into
+    every output coordinate with equal weight, so per-dimension
+    variance spreads evenly across the m sub-spaces instead of letting
+    one sub-space carry all the signal. The rotation is orthogonal —
+    exact distances are preserved — so only the QUANTIZATION changes;
+    [[emb_pq_hadamard_recall_report]] measures whether the balanced
+    sub-spaces quantize better on this corpus. Codebook, codes, and
+    search are the certified seeded-PQ machinery applied after the
+    rotation (first-k_sub seeding now draws ROTATED seeds)."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rot = PQ.hadamard_rotate(e, "embedding", _HAD_DIM).localCheckpoint(
+        eager=False
+    )
+    return PQ.pq_topk(
+        rot, rot.filter(F.col("vec_id") < 10),
+        k=5, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+    )
+
+
+def _pq_hadamard_recall_oracle(k: int = 5) -> str:
+    """Plain seeded PQ vs Hadamard-rotated PQ, one shared exact-L2 GT
+    on the RAW vectors (the rotation preserves exact distances, so raw
+    GT is the right yardstick for both arms)."""
+    exact_arms = " UNION ALL ".join(
+        f"SELECT q.query_id, c.vec_id AS neighbor_id,"
+        f" {_pq_subdist_sql('q.q_vec', 'c.embedding', s)} AS de6"
+        f" FROM embeddings c CROSS JOIN pqq q WHERE c.vec_id <> q.query_id"
+        for s in range(_PQ_M)
+    )
+    return f"""
+    WITH pqq AS (SELECT vec_id AS query_id, embedding AS q_vec
+                 FROM embeddings WHERE vec_id < 10),
+    exact_pairs AS (
+      SELECT query_id, neighbor_id, SUM(de6) AS d
+      FROM ({exact_arms}) GROUP BY 1, 2),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY d ASC, neighbor_id ASC) AS rk
+        FROM exact_pairs) t WHERE rk <= {k}),
+    plainr AS (SELECT query_id, neighbor_id
+               FROM ({_pq_topk_oracle(k)}) t),
+    hadr AS (SELECT query_id, neighbor_id
+             FROM ({_pq_hadamard_topk_oracle(k)}) t),
+    m AS (
+      SELECT 'pq_plain' AS method,
+             CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(*) FROM plainr p JOIN exact b
+                   USING (query_id, neighbor_id)) AS BIGINT) AS n_matched
+      UNION ALL
+      SELECT 'pq_hadamard',
+             CAST((SELECT COUNT(*) FROM exact) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM hadr h JOIN exact b
+                   USING (query_id, neighbor_id)) AS BIGINT))
+    SELECT method, n_exact, n_matched,
+           ROUND(CAST(n_matched AS DOUBLE) / n_exact, 4) AS recall
+    FROM m
+    """
+
+
+@query(
+    "emb_pq_hadamard_recall_report",
+    _pq_hadamard_recall_oracle(),
+    tags=("llm", "ann", "pq", "rotation", "eval", "quality"),
+)
+def emb_pq_hadamard_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOES the rotation pay? — recall of plain seeded PQ
+    ([[emb_ann_topk_pq]]) vs Hadamard-rotated PQ
+    ([[emb_ann_topk_pq_hadamard]]) against the exact-L2 top-5 on the
+    RAW vectors (legitimate shared GT: the rotation is orthogonal, so
+    both arms chase the same true neighbors). FAISS applies OPQ /
+    random rotation by default ahead of PQ on real embedding
+    distributions, where variance concentrates in a few directions; a
+    near-uniform synthetic corpus is the null case — measure before
+    picking, the codebook-report discipline."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 10)
+    kw = dict(m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB)
+    exact = (
+        PQ.exact_l2_topk(e, probes, k=5, m=_PQ_M, sub_dim=_PQ_SUB)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    plain = PQ.pq_topk(e, probes, k=5, **kw).select(
+        "query_id", "neighbor_id"
+    )
+    rot = PQ.hadamard_rotate(e, "embedding", _HAD_DIM).localCheckpoint(
+        eager=False
+    )
+    had = PQ.pq_topk(
+        rot, rot.filter(F.col("vec_id") < 10), k=5, **kw
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    rows = []
+    for method, approx in [("pq_plain", plain), ("pq_hadamard", had)]:
+        matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        recall = round(matched / n_exact, 4) if n_exact else None
+        rows.append((method, n_exact, matched, recall))
+    return local_df(
+        spark, rows,
+        "method string, n_exact long, n_matched long, recall double"
+    )

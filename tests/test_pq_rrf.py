@@ -265,3 +265,37 @@ def test_pq_topk_ivf_refined_exact_ordering_within_candidates(spark):
     }
     ref_pairs = {(r["query_id"], r["neighbor_id"]) for r in refined}
     assert len(ref_pairs & exact) >= len(adc & exact)
+
+
+def test_hadamard_rotate_orthogonal_and_reference(spark):
+    """hadamard_rotate: (a) H4 matches the hand-computed reference, (b)
+    the rotation preserves exact pairwise squared-L2 distances (up to
+    float rounding) — the property the recall report's shared raw-GT
+    rests on, (c) non-power-of-two dims are refused."""
+    import math
+
+    import pytest as _pytest
+
+    from etl_gardener_spark.operators import pq as PQ
+
+    df4 = spark.createDataFrame(
+        [(0, [0.0, 1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    got = PQ.hadamard_rotate(df4, "embedding", 4).collect()[0]["embedding"]
+    assert got == [3.0, -1.0, -2.0, 0.0]
+
+    rows = _vecs(6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    rot = {
+        r["vec_id"]: r["embedding"]
+        for r in PQ.hadamard_rotate(df, "embedding", DIM).collect()
+    }
+    vecs = dict(rows)
+    for a in range(6):
+        for b in range(a + 1, 6):
+            raw = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            rotated = sum((x - y) ** 2 for x, y in zip(rot[a], rot[b]))
+            assert math.isclose(raw, rotated, rel_tol=1e-9), (a, b)
+
+    with _pytest.raises(ValueError):
+        PQ.hadamard_rotate(df, "embedding", 12)
