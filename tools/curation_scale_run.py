@@ -62,12 +62,21 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="etl_gardener_spark_curscale_")
     try:
         wh = Warehouse(root)
-        docs = load_table(spark, ns.sf_dir, "documents").select(
+        raw = load_table(spark, ns.sf_dir, "documents")
+        docs = raw.filter(F.col("source") != "src0").select(
             F.col("doc_id").alias("id"),
             "text",
             F.lit(DAY.isoformat()).cast("date").alias("date"),
         )
         wh.overwrite_partitions(docs, "join", "corpus", "webdocs")
+        # source 'src0' plays the benchmark table for the decontam stage
+        # (the corpus_curation_with_decontam convention)
+        bench = raw.filter(F.col("source") == "src0").select(
+            F.col("doc_id").alias("id"),
+            "text",
+            F.lit("2024-01-01").cast("date").alias("date"),
+        )
+        wh.overwrite_partitions(bench, "bench", "eval", "suite")
         n0 = wh.read_partition(spark, "join", "corpus", "webdocs", DAY).count()
         print(f"join partition rows: {n0}", flush=True)
 
@@ -80,6 +89,7 @@ def main() -> int:
             num_hashes=12,
             bands=4,  # pin the twin's banding for the comparison
             pack_capacity=2048,
+            decontam_bench=("bench", "eval", "suite"),
         )
         job = J.Job(
             bucket="b",
