@@ -2523,7 +2523,7 @@ from etl_gardener_spark.plans import queries_behavior  # noqa: E402,F401
 # counts only CORRECTNESS_r*.json artifacts from EARLIER rounds, so the
 # driver's own artifact for this round (written after round close)
 # cannot retroactively falsify the ≥70% first-time policy.
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 DRIVER_WINDOW: list[str] = [
     # §2.1/2.2 parity (T1-T5 + schema evolution + rollup maintenance)
     # — permanent, never rotates
@@ -2539,45 +2539,45 @@ DRIVER_WINDOW: list[str] = [
     "load_jsonl",
     "load_csv",
     "read_schema_evolved",
-    # round-10 rotating slots (8/38 first-timers; tools/rotate_window.py)
-    "emb_ann_topk_ivf_trained",
-    "emb_ann_topk_ivfpq_trained",
-    "corpus_curation_pipeline",
-    "corpus_incremental_curation",
-    "doc_charlm_quality",
-    "corpus_temperature_mix",
-    "emb_ann_topk_ivfpq_residual",
-    "emb_pq_residual_recall_report",
-    "q18_large_volume_customers",
-    "q9_product_profit",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "scd2_incremental_apply",
-    "snapshot_diff_events",
-    "forget_users",
-    "doc_tfidf_top_terms",
-    "doc_repetition",
-    "doc_shuffle_shards",
-    "doc_chunk_sequences",
-    "doc_simhash",
-    "mm_frame_hashes",
-    "mm_audio_features",
-    "stream_hourly_rollup",
-    "stream_session_window",
-    "stream_dedup_vs_store",
-    "doc_hash_split",
-    "doc_stratified_sample",
-    "doc_top_bigrams",
-    "emb_pca_variance_check",
-    "corpus_training_ready",
-    "doc_mixture_sample",
-    "stream_scrub_split",
-    "emb_incremental_ann_topk",
-    "profile_orders",
-    "dq_k_anonymity",
-    "scd2_point_in_time_join",
-    "emb_negative_samples",
-    "doc_boilerplate_lines",
+    # round-11 rotating slots (10/38 first-timers; tools/rotate_window.py)
+    "emb_ann_topk_pq_trainedcb",
+    "emb_ann_topk_ivfpq_residual_trainedcb",
+    "emb_pq_codebook_recall_report",
+    "emb_ann_topk_ivf_persisted",
+    "emb_ann_topk_ivfpq_refined",
+    "emb_pq_refine_recall_report",
+    "corpus_curation_with_decontam",
+    "emb_ann_topk_ivfpq_persisted",
+    "emb_ann_topk_pq_hadamard",
+    "emb_pq_hadamard_recall_report",
+    "dq_table_contracts",
+    "emb_cluster_balance",
+    "doc_lsh_cost_estimate",
+    "doc_group_split",
+    "doc_zipf_profile",
+    "q3_shipping_priority",
+    "q14_promo_revenue_pct",
+    "emb_vector_norms",
+    "q8_market_share",
+    "emb_quantize_int8",
+    "bucketed_cohort_join",
+    "rollup_grouping_id",
+    "dq_referential_integrity",
+    "doc_sample_split",
+    "doc_profile",
+    "doc_bigram_merges",
+    "doc_lm_score",
+    "doc_shard_manifest",
+    "doc_mixture_report",
+    "emb_label_cohesion",
+    "mm_resize_images",
+    "stream_static_enrich",
+    "stream_stream_attrib",
+    "stream_warehouse_sink",
+    "doc_lsh_recall_report",
+    "doc_domain_cap",
+    "doc_incremental_line_dedup",
+    "doc_dup_span_coverage",
 ]
 
 
