@@ -53,8 +53,11 @@ def _write_marker(
     out = fs.create(p, True)
     try:
         lines = ["v2"] + [f"{n}\t{s}" for n, s in parts.items()]
-        # writeBytes: low byte per char — names ASCII, schema JSON ASCII
-        out.writeBytes("\n".join(lines))
+        # r10 advisor fix: writeBytes keeps only the low byte of each
+        # char, so a non-ASCII column name in the schema JSON would
+        # silently corrupt the marker. Write real UTF-8 bytes.
+        payload = "\n".join(lines).encode("utf-8")
+        out.write(bytearray(payload))
     finally:
         out.close()
 
@@ -202,10 +205,19 @@ def corpus_fingerprint(
     ensure call, no shuffle of the vectors (the per-row hash reduces
     each row to 8 bytes before the exchange). Any insert, delete, or
     vector edit changes the digest; row order and partitioning don't."""
+    # r10 advisor fix: concat_ws skips NULL elements, so [1.0, NULL] vs
+    # [1.0] (or NULL array vs empty array) hashed identically and the
+    # rebuild policy missed the change. Hash the element COUNT too and
+    # map NULL elements to a sentinel inside the transform.
     h = F.xxhash64(
         F.col(id_col),
+        F.coalesce(F.size(F.col(vec_col)), F.lit(-1)),
         F.concat_ws(
-            ",", F.transform(F.col(vec_col), lambda x: x.cast("string"))
+            ",",
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.coalesce(x.cast("string"), F.lit("\x00null")),
+            ),
         ),
     )
     row = (
@@ -260,9 +272,15 @@ def ensure_ann_index(
             stream.close()
         if recorded == fp:
             out = load_ann_index(spark, index_dir)
-            out["rebuilt"] = False
-            out["fingerprint"] = fp
-            return out
+            # r10 advisor fix: a matching fingerprint with the index
+            # parts (and _PARTS) deleted out-of-band legally loads as
+            # all-None — an unusable "index". Only trust the load when
+            # the structural parts actually came back; fall through to
+            # the rebuild branch otherwise.
+            if out[CELLS] is not None and out[CENTROIDS] is not None:
+                out["rebuilt"] = False
+                out["fingerprint"] = fp
+                return out
 
     cents_df = _resolve_cents(corpus, id_col, vec_col, n_centroids, centroids)
     cells = ivf_build_cells(

@@ -991,7 +991,21 @@ def hadamard_rotate(
         raise ValueError(f"dim={dim} must be a power of two")
     scale = 1.0 / (dim ** 0.5)
     out = out_col or vec_col
-    x = F.col(vec_col)
+    # r10 advisor fix: rotating only the first ``dim`` components would
+    # silently TRUNCATE a longer vector, and a shorter one would fold
+    # NULLs (element_at out-of-bounds) into every output component.
+    # assert exact length executor-side (NULL vectors pass through).
+    size_ok = F.col(vec_col).isNull() | (F.size(vec_col) == dim)
+    x = F.when(
+        F.assert_true(
+            size_ok,
+            F.concat(
+                F.lit(f"hadamard_rotate: vector length != dim={dim}: got "),
+                F.size(vec_col).cast("string"),
+            ),
+        ).isNull(),
+        F.col(vec_col),
+    )
     rotated = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.aggregate(

@@ -1064,8 +1064,6 @@ def semantic_dedup(
     Pass an explicit k only when reproducing a fixed clustering (the
     registry oracle pins k=8 for bit-exact replay).
     """
-    import numpy as np
-
     # auto-k routes the assignment through the GEMM path: with k∝n the
     # Catalyst per-pair fold becomes the quadratic term (O(n·k·d)
     # interpreted lambdas — r7 ladder measured α=2.02); pinned k keeps
@@ -1079,24 +1077,88 @@ def semantic_dedup(
     ).localCheckpoint(eager=False)
     v = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
 
+    dup_ids = _cluster_dup_ids(v, id_col, vec_col, threshold, round_digits)
+    return assign.join(dup_ids, id_col, "left").select(
+        id_col,
+        "cluster_id",
+        F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+    )
+
+
+def _cluster_dup_ids(
+    v: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Within-cluster min-id duplicate detection shared by
+    ``semantic_dedup`` and ``semantic_dedup_with_centroids``: over a
+    (id, vec, cluster_id) relation, return the ids that have a
+    SMALLER-id same-cluster neighbor at rounded cosine >= threshold
+    (tagged ``__dup = true``). One vectorized GEMM per cluster inside
+    applyInPandas; generic over the id column's type (the curation
+    chain's day partitions carry STRING ids — numpy compares <U arrays
+    elementwise just like int64, and the min-id survivor rule is the
+    same lexicographic-vs-numeric ordering the exact-dedup window
+    uses)."""
+    import numpy as np
+
+    id_type = v.schema[id_col].dataType.simpleString()
+
     def _cluster_dups(pdf):
         import pandas as pd
 
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         mat = np.array(list(pdf[vec_col]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
-        scores = (mat @ mat.T) / np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = (mat @ mat.T) / np.outer(norms, norms)
+        # zero-norm vectors score nan -> never >= threshold (the oracle's
+        # NULL-cosine comparison is false the same way)
         np.round(scores, round_digits, out=scores)
         # row i is a duplicate iff some column j with a smaller id scores
         # above threshold
         dup = ((scores >= threshold) & (ids[None, :] < ids[:, None])).any(axis=1)
         return pd.DataFrame({id_col: ids[dup]})
 
-    dup_ids = (
+    return (
         v.groupBy("cluster_id")
-        .applyInPandas(_cluster_dups, schema=f"{id_col} long")
+        .applyInPandas(_cluster_dups, schema=f"{id_col} {id_type}")
         .withColumn("__dup", F.lit(True))
     )
+
+
+def semantic_dedup_with_centroids(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """``semantic_dedup`` routed to FIXED centroids (no training): assign
+    each vector to its nearest centroid (``kmeans_assign`` — the fold
+    path, bit-identical to the SQL oracle and generic over id type),
+    then drop any vector with a smaller-id same-cluster neighbor above
+    the cosine threshold. Output (id, cluster_id, keep), the
+    ``semantic_dedup`` contract.
+
+    This is the curation chain's semantic-dedup kernel: a pinned
+    centroid relation (the ``semdedup_centroids`` warehouse triple, or
+    the per-day ``kmeans_fit`` model) routes every day partition to the
+    SAME cluster geometry, so day-over-day dedup decisions are
+    comparable — the same reason ``incremental_semantic_dedup`` routes
+    batches to the store's fitted centroids instead of re-training.
+
+    Scale shape: assignment is a broadcast nested-loop (centroids are
+    O(k) rows) + one map-side-combined argmax; the pairwise stage is
+    grouped by cluster — sum(|cluster|^2), never |corpus|^2."""
+    assign = kmeans_assign(
+        df, cents, id_col, vec_col, round_digits
+    ).withColumnRenamed("cid", "cluster_id")
+    v = df.select(F.col(id_col), F.col(vec_col)).join(assign, id_col)
+    dup_ids = _cluster_dup_ids(v, id_col, vec_col, threshold, round_digits)
     return assign.join(dup_ids, id_col, "left").select(
         id_col,
         "cluster_id",

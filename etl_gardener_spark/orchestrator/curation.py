@@ -12,7 +12,7 @@ Extended chain (stages present only when configured on ANY source):
     Joining -> curating:scrub -> curating:quality_gate
             -> curating:lm_outlier_gate -> curating:decontam
             -> curating:exact_dedup -> curating:near_dedup
-            -> curating:pack -> Complete
+            -> curating:semantic_dedup -> curating:pack -> Complete
 
 Per-job opt-in: each stage short-circuits with a "skipped: not
 configured" detail for jobs whose source config doesn't enable it — the
@@ -41,6 +41,11 @@ reference chain hands off as its final product):
     near_dedup    MinHash+LSH pairs at >= jaccard_threshold; drop every
                   doc that verifies against a smaller id (min-id
                   survivor, the incremental family's convention)
+    semantic_dedup  SemDeDup over the partition's embedding column:
+                  route vectors to centroids (a pinned warehouse
+                  centroid table, or per-day kmeans_fit), drop docs
+                  with a smaller-id same-cluster neighbor at cosine >=
+                  semdedup_threshold; docs without a vector are kept
     pack          greedy sequence packing by token count into
                   capacity-bounded bins, written to the 'packed' tier
                   (a derived table, not an in-place rewrite)
@@ -87,6 +92,7 @@ STAGE_ORDER = (
     "decontam",
     "exact_dedup",
     "near_dedup",
+    "semantic_dedup",
     "pack",
 )
 
@@ -137,6 +143,22 @@ class CurationSpec:
     decontam_bench: tuple[str, str, str] | None = None
     decontam_ngram: int = 5
     decontam_max_overlap: float = 0.0
+    # semantic_dedup (SemDeDup): drop docs with a smaller-id same-cluster
+    # neighbor at rounded cosine >= semdedup_threshold over the
+    # semdedup_vec_col embedding column. Centroid source:
+    # semdedup_centroids names a warehouse table triple (tier,
+    # experiment, datatype) holding a FITTED (cid, cvec) centroid
+    # relation (kmeans_fit's second return, persisted) — the production
+    # shape, routing every day partition to the same cluster geometry;
+    # None self-trains per day (kmeans_fit seed='first_k', string-id
+    # safe) with k = semdedup_k or the k∝n auto rule. Docs with a NULL
+    # or empty vector are unscorable at the embedding grain and are
+    # KEPT — the same convention as lm_outlier_gate/decontam.
+    semdedup_threshold: float = 0.4
+    semdedup_vec_col: str = "embedding"
+    semdedup_k: int | None = None
+    semdedup_n_iter: int = 2
+    semdedup_centroids: tuple[str, str, str] | None = None
 
     def __post_init__(self):
         unknown = [s for s in self.stages if s not in STAGE_ORDER]
@@ -144,19 +166,24 @@ class CurationSpec:
             raise ValueError(
                 f"unknown curation stages {unknown}; known: {list(STAGE_ORDER)}"
             )
-        if self.decontam_bench is not None and not isinstance(
-            self.decontam_bench, tuple
-        ):
-            # YAML lists arrive as lists; frozen dataclass -> setattr
-            object.__setattr__(
-                self, "decontam_bench", tuple(self.decontam_bench)
-            )
+        for field in ("decontam_bench", "semdedup_centroids"):
+            val = getattr(self, field)
+            if val is not None and not isinstance(val, tuple):
+                # YAML lists arrive as lists; frozen dataclass -> setattr
+                object.__setattr__(self, field, tuple(val))
         if "decontam" in self.stages and (
             self.decontam_bench is None or len(self.decontam_bench) != 3
         ):
             raise ValueError(
                 "decontam stage requires decontam_bench=(tier, experiment,"
                 f" datatype); got {self.decontam_bench!r}"
+            )
+        if self.semdedup_centroids is not None and len(
+            self.semdedup_centroids
+        ) != 3:
+            raise ValueError(
+                "semdedup_centroids must be (tier, experiment, datatype);"
+                f" got {self.semdedup_centroids!r}"
             )
         if self.bands is not None and (
             self.bands < 1 or self.num_hashes % self.bands
@@ -386,6 +413,51 @@ class CurationActions:
             elapsed_sec=time.monotonic() - t0,
         )
 
+    def _semantic_dedup(self, job: J.Job, spec: CurationSpec) -> OpStats:
+        from etl_gardener_spark.operators import similarity as SIM
+
+        t0 = time.monotonic()
+        df = self._read(job)
+        before = df.count()
+        vec = F.col(spec.semdedup_vec_col)
+        # unscorable-keep convention: rows with no embedding cannot be
+        # semantic duplicates at this grain (the text axes belong to
+        # exact/near_dedup)
+        scored = df.filter(vec.isNotNull() & (F.size(vec) > 0))
+        if spec.semdedup_centroids is not None:
+            tier, exp, dt = spec.semdedup_centroids
+            cents = self.wh.read(self.spark, tier, exp, dt).select(
+                "cid", "cvec"
+            )
+        else:
+            k = spec.semdedup_k or SIM.semdedup_auto_k(scored.count())
+            _assign, cents = SIM.kmeans_fit(
+                scored,
+                spec.id_col,
+                spec.semdedup_vec_col,
+                k=k,
+                n_iter=spec.semdedup_n_iter,
+                seed="first_k",
+            )
+        rep = SIM.semantic_dedup_with_centroids(
+            scored,
+            cents,
+            spec.id_col,
+            spec.semdedup_vec_col,
+            threshold=spec.semdedup_threshold,
+        )
+        drops = rep.filter(~F.col("keep")).select(spec.id_col)
+        kept = df.join(drops, spec.id_col, "left_anti")
+        after = kept.count()
+        if after != before:
+            self._rewrite(job, kept, after)
+        return OpStats(
+            op="semantic_dedup",
+            rows_out=after,
+            rows_deleted=before - after,
+            elapsed_sec=time.monotonic() - t0,
+        )
+
     def _pack(self, job: J.Job, spec: CurationSpec) -> OpStats:
         t0 = time.monotonic()
         df = self._read(job)
@@ -429,6 +501,7 @@ class CurationActions:
         "decontam": _decontam,
         "exact_dedup": _exact_dedup,
         "near_dedup": _near_dedup,
+        "semantic_dedup": _semantic_dedup,
         "pack": _pack,
     }
 

@@ -7618,3 +7618,115 @@ def emb_pq_hadamard_recall_report(
         spark, rows,
         "method string, n_exact long, n_matched long, recall double"
     )
+
+
+# -- curation chain with the semantic_dedup stage (round 11) ---------------
+
+
+def _curation_semdedup_oracle(
+    min_quality: float = 0.25,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+) -> str:
+    """Composes the certified stage oracles in the orchestrator's chain
+    order with the SemDeDup stage at the end: scrub -> quality gate ->
+    exact dedup -> k-means (first_k seeding over the CURATED ids — the
+    stage's string-id-safe seeding, here replayed on the curated
+    survivor set) -> within-cluster smaller-id cosine drop. The k-means
+    CTEs train on `vec_id IN cur` and the final assignment/dup logic is
+    restricted to curated vectors, mirroring kmeans_fit(scored) +
+    semantic_dedup_with_centroids(scored) in the stage body."""
+    redacted = SC.oracle_redact_sql("text")
+    quality = (
+        "FLOOR((0.4 * least(1.0, len(toks) / 100.0)"
+        " + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))"
+        " + 0.3 * (1 - CAST(length(text) - length(regexp_replace(lower(text),"
+        " '[^a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)))"
+        " * 10000 + 0.5) / 10000"
+    )
+    ctes, fin = _kmeans_ctes(
+        k,
+        n_iter,
+        train_where="vec_id IN (SELECT vec_id FROM cur)",
+        seed="first_k",
+    )
+    cos_xy = _cosine_sql("x.embedding", "y.embedding")
+    return f"""
+    WITH scr AS (SELECT doc_id, {redacted} AS text FROM documents),
+    tokd AS (SELECT doc_id, text, {_TOKS} AS toks FROM scr),
+    gated AS (SELECT * FROM (SELECT *, {quality} AS quality FROM tokd)
+              WHERE quality >= {min_quality}),
+    exact AS (SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    cur AS (SELECT doc_id AS vec_id FROM exact),
+    {ctes},
+    av AS (SELECT a.vec_id, a.cid, e.embedding
+           FROM {fin} a JOIN embeddings e USING (vec_id)
+           JOIN cur USING (vec_id)),
+    dups AS (SELECT DISTINCT x.vec_id
+             FROM av x JOIN av y ON x.cid = y.cid AND y.vec_id < x.vec_id
+             WHERE ROUND({cos_xy}, 6) >= {threshold})
+    SELECT a.vec_id AS doc_id, a.cid AS cluster_id, d.vec_id IS NULL AS keep
+    FROM av a LEFT JOIN dups d USING (vec_id)
+    """
+
+
+@query(
+    "corpus_curation_with_semdedup",
+    _curation_semdedup_oracle(),
+    tags=("llm", "curation", "pipeline", "dedup", "clustering"),
+)
+def corpus_curation_with_semdedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation chain with the SEMANTIC_DEDUP stage composed in
+    (orchestrator/curation.py `semantic_dedup`, r11 — the SemDeDup
+    pass a curation user runs after text-level dedup):
+    [[doc_scrub_pii]]'s redaction -> [[doc_quality_score]]'s gate
+    (>= 0.25) -> exact dedup (min-id per normalized scrubbed text) ->
+    [[emb_semantic_dedup]]'s within-cluster cosine drop over the
+    CURATED survivors' embeddings, with the stage's exact kernel:
+    kmeans_fit(seed='first_k', k=8, 2 iters) on the curated vectors,
+    then semantic_dedup_with_centroids routing the same vectors to the
+    fitted centroids. Output: one row per scored curated doc
+    (doc_id, cluster_id, keep) — keep=false marks semantic duplicates
+    the stage would drop. The composition point the per-stage queries
+    can't certify: the clustering is trained on the curated SUBSET
+    (text-gating changes the seed set and the centroid means), exactly
+    what the stage sees per day partition.
+
+    100 TB shape: the text stages are the one-scan chain of
+    [[corpus_curation_pipeline]]; the semantic stage is a broadcast
+    centroid assignment + per-cluster GEMM (sum(|cluster|^2), never
+    |corpus|^2) — the stage's own scale story, unchanged by the
+    composition."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scrubbed = d.select("doc_id", SC.redact("text").alias("text"))
+    gated = scrubbed.withColumn(
+        "quality", TX.quality_score("text")
+    ).filter(F.col("quality") >= 0.25)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    cur = (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("doc_id").alias("vec_id"))
+        .localCheckpoint(eager=True)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ce = e.join(cur, "vec_id").select("vec_id", "embedding")
+    _assign, cents = SIM.kmeans_fit(
+        ce, "vec_id", "embedding", k=8, n_iter=2, seed="first_k"
+    )
+    rep = SIM.semantic_dedup_with_centroids(
+        ce, cents, "vec_id", "embedding", threshold=0.4
+    )
+    return rep.select(
+        F.col("vec_id").alias("doc_id"), "cluster_id", "keep"
+    )

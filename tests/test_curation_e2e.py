@@ -482,3 +482,101 @@ def test_decontam_stage_drops_benchmark_overlap(spark, tmp_path):
         assert "decontam: rows_out=2 deleted=1" in details, details
     finally:
         g.monitor.shutdown()
+
+
+def test_semantic_dedup_stage(spark, tmp_path):
+    """SemDeDup as a monitored chain stage (r10 verdict item 2), both
+    centroid sources: (a) self-trained per-day kmeans_fit (seed=first_k,
+    string-id safe); (b) a pinned warehouse centroid table routed via
+    semdedup_centroids. A doc whose embedding has a smaller-id
+    same-cluster neighbor at cosine >= semdedup_threshold drops; a
+    dissimilar doc survives; a doc with NO embedding is unscorable at
+    this grain and is kept. Also pins the spec validation."""
+    from etl_gardener_spark.orchestrator.curation import CurationSpec
+
+    with pytest.raises(ValueError, match="semdedup_centroids"):
+        CurationSpec(stages=("semantic_dedup",), semdedup_centroids=("a", "b"))
+    assert CurationSpec(
+        stages=("semantic_dedup",), semdedup_centroids=["m", "sem", "cents"]
+    ).semdedup_centroids == ("m", "sem", "cents")
+
+    emb_schema = T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField("embedding", T.ArrayType(T.DoubleType()))]
+    )
+    t = "2024-03-01T01:00:00Z"
+    rows = [
+        {"id": "a", "parser": {"Time": t}, "text": LONG_A,
+         "embedding": [1.0, 0.0, 0.0, 0.0]},
+        # near-identical vector to a (cos ~0.99995) -> min-id survivor a
+        {"id": "b", "parser": {"Time": t}, "text": LONG_B,
+         "embedding": [0.99, 0.01, 0.0, 0.0]},
+        # orthogonal to a/b -> survives at any clustering
+        {"id": "c", "parser": {"Time": t}, "text": LONG_A_NEAR,
+         "embedding": [0.0, 1.0, 0.0, 0.0]},
+        # no embedding: unscorable-keep
+        {"id": "n", "parser": {"Time": t}, "text": "four words only here",
+         "embedding": None},
+    ]
+
+    for variant, params, seed_cents in (
+        ("selftrain", (("semdedup_threshold", 0.9), ("semdedup_k", 2)), False),
+        (
+            "pinned",
+            (
+                ("semdedup_threshold", 0.9),
+                ("semdedup_centroids", ("model", "sem", "cents")),
+            ),
+            True,
+        ),
+    ):
+        cfg = GardenerConfig(
+            start_date=Date(2024, 3, 1),
+            sources=(
+                SourceConfig(
+                    bucket="b",
+                    experiment="corpus",
+                    datatype=f"sd_{variant}",
+                    datasets=Datasets(
+                        tmp=f"tmp_{variant}", raw=f"raw_{variant}",
+                        join=f"j_{variant}",
+                    ),
+                    curation=("semantic_dedup",),
+                    curation_params=params,
+                ),
+            ),
+        )
+        g = Gardener(
+            spark,
+            cfg,
+            warehouse_root=str(tmp_path / f"wh_{variant}"),
+            landing_root=str(tmp_path / f"landing_{variant}"),
+            schema_for=lambda job: emb_schema,
+            state_dir=str(tmp_path / f"state_{variant}"),
+            retry_delay_sec=0.1,
+        )
+        try:
+            wh = Warehouse(str(tmp_path / f"wh_{variant}"))
+            if seed_cents:
+                cents = spark.createDataFrame(
+                    [(0, [1.0, 0.0, 0.0, 0.0], Date(2024, 1, 1)),
+                     (1, [0.0, 1.0, 0.0, 0.0], Date(2024, 1, 1))],
+                    "cid long, cvec array<double>, date date",
+                )
+                wh.overwrite_partitions(cents, "model", "sem", "cents")
+            job = _run_job(g, landing=str(tmp_path / f"landing_{variant}"),
+                           datatype=f"sd_{variant}", rows=rows)
+            st = g.tracker.get_status(job.key())
+            assert st.state == J.COMPLETE, [si.state for si in st.history]
+            assert state_for("semantic_dedup") in [
+                si.state for si in st.history
+            ]
+            joined = wh.read_partition(
+                g.spark, "join", "corpus", f"sd_{variant}", job.date
+            )
+            ids = {r.id for r in joined.collect()}
+            assert ids == {"a", "c", "n"}, (variant, ids)
+            details = " | ".join(si.detail or "" for si in st.history)
+            assert "semantic_dedup: rows_out=3 deleted=1" in details, details
+        finally:
+            g.monitor.shutdown()

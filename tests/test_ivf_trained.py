@@ -283,3 +283,59 @@ def test_empty_index_roundtrip(spark, tmp_path):
         centroids=idx["centroids"], cells=idx["cells"],
     )
     assert out.count() == 0
+
+
+def test_ensure_rebuilds_when_parts_deleted_out_of_band(vecs, tmp_path):
+    """r10 advisor fix: a matching _CORPUS_FPRINT with the index parts
+    deleted out-of-band must NOT return a silently unusable all-None
+    index — ensure falls through to the rebuild branch."""
+    import shutil
+
+    from etl_gardener_spark.operators.index_store import ensure_ann_index
+
+    spark = vecs.sparkSession
+    d = str(tmp_path / "goneidx")
+    _f, trained = SIM.kmeans_fit(vecs, "vec_id", "embedding", k=8, n_iter=1)
+    first = ensure_ann_index(spark, d, vecs, centroids=trained)
+    assert first["rebuilt"] is True
+    # simulate out-of-band deletion of everything but the fingerprint
+    for part in ("cells", "centroids", "codes", "_PARTS"):
+        shutil.rmtree(f"{d}/{part}", ignore_errors=True)
+        import os as _os
+
+        if _os.path.isfile(f"{d}/{part}"):
+            _os.remove(f"{d}/{part}")
+    again = ensure_ann_index(spark, d, vecs, centroids=trained)
+    assert again["rebuilt"] is True
+    assert again["cells"] is not None and again["centroids"] is not None
+    assert again["cells"].count() == 40
+
+
+def test_marker_utf8_roundtrip(spark, tmp_path):
+    """r10 advisor fix: the _PARTS marker must survive non-ASCII schema
+    payloads (writeBytes kept only the low byte of each char)."""
+    from etl_gardener_spark.operators.index_store import (
+        _read_marker,
+        _write_marker,
+    )
+
+    d = str(tmp_path / "utf8idx")
+    payload = '{"name":"名前μ","type":"string"}'
+    _write_marker(spark, d, {"cells": payload})
+    got = _read_marker(spark, d)
+    assert got == {"cells": payload}
+
+
+def test_fingerprint_sees_null_elements(spark):
+    """r10 advisor fix: vectors differing only by NULL components (or a
+    NULL array vs an empty array) must produce different corpus
+    fingerprints, so the rebuild policy notices the change."""
+    from etl_gardener_spark.operators.index_store import corpus_fingerprint
+
+    schema = "vec_id long, embedding array<double>"
+    a = spark.createDataFrame([(1, [1.0, None])], schema)
+    b = spark.createDataFrame([(1, [1.0])], schema)
+    c = spark.createDataFrame([(1, None)], schema)
+    d = spark.createDataFrame([(1, [])], schema)
+    fps = {corpus_fingerprint(x) for x in (a, b, c, d)}
+    assert len(fps) == 4, fps

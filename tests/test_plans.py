@@ -711,3 +711,22 @@ def test_quality_funnel_one_scan_one_exchange_no_join(spark):
     # formatted explain names each node twice (tree line + detail header)
     assert p.count("Scan parquet") == 2  # ONE scan node
     assert p.count("Exchange") <= 4      # ONE exchange node (+ AQE read)
+
+
+def test_bench_record_rolling_band():
+    """r10 verdict item 5: the canary gate compares against a rolling
+    band over the last up-to-3 committed canaries — one drifted round
+    widens the band instead of moving the reference; a single prior
+    degenerates to the original +-15% check."""
+    from tools.bench_record import rolling_band
+
+    # the actual committed history: r9 0.803 (adjudicated outlier),
+    # r10 0.33 (normal box) — both normal-box and outlier-box readings
+    # sit inside the band, so neither fails the gate mechanically
+    lo, hi, med = rolling_band([0.803, 0.33])
+    assert lo <= 0.33 <= hi and lo <= 0.803 <= hi
+    assert med == 0.803  # upper median for even windows
+    assert not (lo <= 0.25 <= hi) and not (lo <= 0.95 <= hi)
+    # single prior: the original +-15% semantics
+    lo1, hi1, _ = rolling_band([1.0])
+    assert (lo1, hi1) == (0.85, 1.15)

@@ -299,3 +299,30 @@ def test_hadamard_rotate_orthogonal_and_reference(spark):
 
     with _pytest.raises(ValueError):
         PQ.hadamard_rotate(df, "embedding", 12)
+
+
+def test_hadamard_rotate_rejects_length_mismatch(spark):
+    """r10 advisor fix: a vector longer than dim must raise (it would
+    silently truncate), and shorter must raise (NULL components), via
+    the executor-side exact-length assert."""
+    import pytest
+
+    from etl_gardener_spark.operators import pq as PQ
+
+    long_df = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])], "vec_id long, embedding array<double>"
+    )
+    short_df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    for bad in (long_df, short_df):
+        with pytest.raises(Exception) as ei:
+            PQ.hadamard_rotate(bad, "embedding", 4).collect()
+        assert "vector length != dim" in str(ei.value)
+    # NULL vectors do not trip the assert (left to caller null handling;
+    # the rotation of a NULL array is all-NULL components, as before)
+    null_df = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    got = PQ.hadamard_rotate(null_df, "embedding", 4).collect()
+    assert got[0]["embedding"] == [None] * 4

@@ -16,14 +16,26 @@ conditions so a committed BENCH_FULL is trustworthy without footnotes:
   4. Solo run, best-of-3 per query (SPARK_GRAFT_BENCH_RUNS=3).
   5. Canary normalization: bench.py times a pinned canary query
      (q1_pricing_summary) best-of-3 before the sweep and embeds
-     ``canary_task_sec``; this wrapper compares it against the prior
-     round's committed value and FAILS the recording when the factor is
-     outside +-15% — re-run on a quieter box instead of committing a
-     drifted artifact.
+     ``canary_task_sec``; this wrapper compares it against a ROLLING
+     BAND over the last up-to-3 committed artifacts (pass several
+     --prior files) and FAILS the recording when the reading falls
+     outside [0.85 * min(window), 1.15 * max(window)] — re-run on a
+     quieter box instead of committing a drifted artifact.
+
+     Why a band, not a single prior (r10 verdict item 5): the gate's
+     first real firing compared r10's normal-box canary against r9's —
+     which the committed history showed was the outlier — so a single
+     prior makes the gate hostage to whichever box state the LAST round
+     recorded. The band over the last 3 committed canaries encodes the
+     history mechanically: one drifted round widens the band instead of
+     moving the reference, and the window self-heals as normal rounds
+     land. With a single --prior the band degenerates to the old
+     +-15% check.
 
 Usage:
     python tools/bench_record.py BENCH_FULL_out.json \
-        [--prior BENCH_FULL_r08.json] [--scale-dir /tmp/sfscale] [--force]
+        [--prior BENCH_FULL_r09.json BENCH_FULL_r10.json ...] \
+        [--scale-dir /tmp/sfscale] [--force]
 """
 
 from __future__ import annotations
@@ -38,6 +50,17 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOAD_LIMIT = 2.0
 CANARY_TOLERANCE = 0.15
+
+
+def rolling_band(vals: list[float]) -> tuple[float, float, float]:
+    """(lo, hi, median) of the rolling canary band: accept readings in
+    [0.85 * min, 1.15 * max] of the committed window. One drifted round
+    WIDENS the band instead of moving the reference; a single-value
+    window degenerates to the original +-15% prior check."""
+    lo = (1.0 - CANARY_TOLERANCE) * min(vals)
+    hi = (1.0 + CANARY_TOLERANCE) * max(vals)
+    med = sorted(vals)[len(vals) // 2]
+    return lo, hi, med
 
 
 def drop_page_cache() -> bool:
@@ -60,15 +83,19 @@ def main(argv: list[str] | None = None) -> int:
         description="Quiet-box BENCH_FULL recording (see module docstring)",
     )
     ap.add_argument("out_path", help="output BENCH_FULL json artifact")
-    ap.add_argument("--prior", help="prior round's artifact for the canary gate")
+    ap.add_argument(
+        "--prior", nargs="+", default=None,
+        help="prior committed artifacts (up to 3 used) for the rolling "
+             "canary band",
+    )
     ap.add_argument("--scale-dir", help="scale-ladder fixture dir to remove first")
     ap.add_argument("--force", action="store_true",
                     help="record despite load/canary refusals (flagged)")
     ns = ap.parse_args(argv)
-    out_path, prior, scale_dir, force = (
-        ns.out_path, ns.prior, ns.scale_dir, ns.force
+    out_path, priors, scale_dir, force = (
+        ns.out_path, ns.prior or [], ns.scale_dir, ns.force
     )
-    if prior and prior == out_path:
+    if out_path in priors:
         print("refusing: --prior and output are the same file")
         return 2
 
@@ -109,29 +136,41 @@ def main(argv: list[str] | None = None) -> int:
     }
 
     verdict = 0
-    if prior and os.path.exists(prior):
-        with open(prior) as f:
-            prior_payload = json.load(f)
-        pc = prior_payload.get("canary_task_sec")
-        cc = payload.get("canary_task_sec")
-        if pc and cc:
-            factor = cc / pc
-            payload["protocol"]["canary_factor_vs_prior"] = round(factor, 3)
-            print(f"canary factor vs {prior}: {factor:.3f}")
-            if abs(factor - 1.0) > CANARY_TOLERANCE and not force:
-                print(
-                    f"RECORDING FAILED: canary drift {factor:.3f} outside "
-                    f"+-{CANARY_TOLERANCE:.0%} — box state differs from the "
-                    "prior recording; re-run on a quieter box (artifact "
-                    "kept, marked canary_ok=false)."
-                )
-                payload["protocol"]["canary_ok"] = False
-                verdict = 1
-            else:
-                payload["protocol"]["canary_ok"] = True
+    window: list[tuple[str, float]] = []
+    for p in priors:
+        if not os.path.exists(p):
+            print(f"prior artifact missing, skipped: {p}")
+            continue
+        with open(p) as f:
+            pc = json.load(f).get("canary_task_sec")
+        if pc:
+            window.append((p, float(pc)))
         else:
-            print("prior artifact has no canary_task_sec (pre-r9) — factor "
-                  "unavailable; first protocol recording establishes it")
+            print(f"prior artifact has no canary_task_sec (pre-r9), "
+                  f"skipped: {p}")
+    window = window[-3:]  # rolling: last up-to-3 committed canaries
+    cc = payload.get("canary_task_sec")
+    if window and cc:
+        vals = [v for _, v in window]
+        lo, hi, med = rolling_band(vals)
+        payload["protocol"]["canary_window"] = {
+            p: v for p, v in window
+        }
+        payload["protocol"]["canary_band"] = [round(lo, 3), round(hi, 3)]
+        payload["protocol"]["canary_factor_vs_median"] = round(cc / med, 3)
+        print(f"canary {cc:.3f} vs rolling band [{lo:.3f}, {hi:.3f}] "
+              f"(window {vals}, median {med:.3f})")
+        if not (lo <= cc <= hi) and not force:
+            print(
+                f"RECORDING FAILED: canary {cc:.3f} outside the rolling "
+                f"band [{lo:.3f}, {hi:.3f}] — box state differs from every "
+                "recent committed recording; re-run on a quieter box "
+                "(artifact kept, marked canary_ok=false)."
+            )
+            payload["protocol"]["canary_ok"] = False
+            verdict = 1
+        else:
+            payload["protocol"]["canary_ok"] = True
 
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)

@@ -63,10 +63,21 @@ def main() -> int:
     try:
         wh = Warehouse(root)
         raw = load_table(spark, ns.sf_dir, "documents")
-        docs = raw.filter(F.col("source") != "src0").select(
-            F.col("doc_id").alias("id"),
-            "text",
-            F.lit(DAY.isoformat()).cast("date").alias("date"),
+        # embeddings ride along on the join partition (doc_id = vec_id)
+        # for the semantic_dedup stage; docs without a vector exercise
+        # the unscorable-keep path
+        emb = load_table(spark, ns.sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        docs = (
+            raw.filter(F.col("source") != "src0")
+            .join(emb, "doc_id", "left")
+            .select(
+                F.col("doc_id").alias("id"),
+                "text",
+                "embedding",
+                F.lit(DAY.isoformat()).cast("date").alias("date"),
+            )
         )
         wh.overwrite_partitions(docs, "join", "corpus", "webdocs")
         # source 'src0' plays the benchmark table for the decontam stage
