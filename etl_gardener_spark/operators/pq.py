@@ -960,7 +960,11 @@ def pq_topk_ivf_residual_trained(
 
 
 def hadamard_rotate(
-    df: DataFrame, vec_col: str, dim: int, out_col: str | None = None
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    out_col: str | None = None,
+    method: str = "sql",
 ) -> DataFrame:
     """Rotate vectors by the normalized Hadamard matrix H_dim/sqrt(dim)
     (``dim`` must be a power of two): y_i = sum_j (-1)^popcount(i & j)
@@ -981,16 +985,27 @@ def hadamard_rotate(
     == t0 exactly in IEEE). Oracle mirror: nested list_transform /
     list_reduce over bit_count(i & j) parity.
 
-    Scale shape: the nested-lambda tree is O(dim^2) ops per vector —
-    fine for the certified reference path; a 100 TB deployment with
-    large dim should swap in the O(dim log dim) fast Walsh-Hadamard
-    butterfly inside a Pandas UDF (numpy), which this function's
-    contract (pure per-row map, no shuffle) makes a drop-in swap.
+    Scale shape (``method``): 'sql' (default) is the certified
+    nested-lambda tree — O(dim^2) ops per vector, bit-exact against the
+    DuckDB oracle, right for the reference dims (64); 'fwht' is the
+    O(dim log dim) fast Walsh-Hadamard butterfly (numpy, Arrow-batched
+    mapInPandas) — the 100 TB path for embedding dims 768-4096 where
+    the quadratic kernel is ~100-4000x more flops. Both compute the
+    SAME transform (Sylvester ordering: H[i,j] = (-1)^popcount(i&j));
+    the fast path differs only in float summation ORDER (pairwise
+    butterfly vs sequential fold), so it is allclose-but-not-bit-equal
+    — keep 'sql' wherever an oracle replays the fold
+    (tests/test_pq_rrf.py pins allclose + identical downstream top-k
+    at dim 64, and the sf ladder records the crossover at dim 512).
     """
     if dim & (dim - 1):
         raise ValueError(f"dim={dim} must be a power of two")
+    if method not in ("sql", "fwht"):
+        raise ValueError(f"method must be 'sql' or 'fwht', got {method!r}")
     scale = 1.0 / (dim ** 0.5)
     out = out_col or vec_col
+    if method == "fwht":
+        return _hadamard_rotate_fwht(df, vec_col, dim, out, scale)
     # r10 advisor fix: rotating only the first ``dim`` components would
     # silently TRUNCATE a longer vector, and a shorter one would fold
     # NULLs (element_at out-of-bounds) into every output component.
@@ -1023,3 +1038,59 @@ def hadamard_rotate(
         * F.lit(scale),
     )
     return df.withColumn(out, rotated)
+
+
+def _hadamard_rotate_fwht(
+    df: DataFrame, vec_col: str, dim: int, out: str, scale: float
+) -> DataFrame:
+    """The O(dim log dim) butterfly: per Arrow batch, log2(dim)
+    vectorized (x+y, x-y) passes over a (rows, dim) float64 matrix —
+    pure per-row map (no shuffle), all other columns pass through.
+    NULL vectors yield NULL outputs (the SQL kernel's all-NULL
+    components collapse to NULL here — callers treat both as
+    unscorable); a non-NULL vector whose length differs from ``dim``
+    raises, matching the SQL kernel's executor-side assert."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    in_fields = list(df.schema.fields)
+    names = [f.name for f in in_fields]
+    out_field = StructField(out, ArrayType(DoubleType()))
+    if out in names:
+        fields = [out_field if f.name == out else f for f in in_fields]
+    else:
+        fields = in_fields + [out_field]
+    out_schema = StructType(fields)
+    out_names = [f.name for f in fields]
+
+    def gen(batches):
+        for pdf in batches:
+            res: list = [None] * len(pdf)
+            mask = pdf[vec_col].notna()
+            if mask.any():
+                vecs = [list(v) for v in pdf[vec_col][mask]]
+                bad = {len(v) for v in vecs} - {dim}
+                if bad:
+                    raise ValueError(
+                        f"hadamard_rotate: vector length != dim={dim}: "
+                        f"got {sorted(bad)}"
+                    )
+                mat = np.array(vecs, dtype=np.float64)
+                n_rows = mat.shape[0]
+                h = 1
+                while h < dim:
+                    m = mat.reshape(n_rows, dim // (2 * h), 2, h)
+                    x, y = m[:, :, 0, :], m[:, :, 1, :]
+                    mat = np.stack((x + y, x - y), axis=2).reshape(
+                        n_rows, dim
+                    )
+                    h *= 2
+                mat *= scale
+                for r, i in enumerate(np.nonzero(mask.to_numpy())[0]):
+                    res[int(i)] = mat[r].tolist()
+            out_pdf = pdf.copy()
+            out_pdf[out] = res
+            yield out_pdf[out_names]
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -326,3 +326,97 @@ def test_hadamard_rotate_rejects_length_mismatch(spark):
     )
     got = PQ.hadamard_rotate(null_df, "embedding", 4).collect()
     assert got[0]["embedding"] == [None] * 4
+
+
+def test_hadamard_fwht_parity_with_sql_kernel(spark):
+    """r10 verdict item 3: hadamard_rotate(method='fwht') — the
+    O(dim log dim) numpy butterfly — computes the same transform as the
+    certified O(dim^2) SQL kernel up to float summation order: allclose
+    at dim 64 on real-ish vectors, IDENTICAL downstream PQ top-k, NULL
+    pass-through, and exact equality on a +-1 vector where both sums
+    are integer-valued (dim 512 exercises 9 butterfly passes)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from etl_gardener_spark.operators import pq as PQ
+
+    rng = random.Random(11)
+    n, dim = 60, 64
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got_sql = {
+        r["vec_id"]: r["embedding"]
+        for r in PQ.hadamard_rotate(df, "embedding", dim).collect()
+    }
+    got_fwht = {
+        r["vec_id"]: r["embedding"]
+        for r in PQ.hadamard_rotate(
+            df, "embedding", dim, method="fwht"
+        ).collect()
+    }
+    assert set(got_sql) == set(got_fwht)
+    for k in got_sql:
+        assert np.allclose(got_sql[k], got_fwht[k], atol=1e-9), k
+    # orthogonality survives the fast path: norms preserved
+    for k, v in got_fwht.items():
+        raw = math.sqrt(sum(x * x for x in dict(rows)[k]))
+        rot = math.sqrt(sum(x * x for x in v))
+        assert abs(raw - rot) < 1e-9
+
+    # identical downstream PQ top-k from either rotation
+    kw = dict(m=4, sub_dim=16, k_sub=4)
+    sql_rot = PQ.hadamard_rotate(df, "embedding", dim)
+    fw_rot = PQ.hadamard_rotate(df, "embedding", dim, method="fwht")
+    a = {
+        tuple(r)
+        for r in PQ.pq_topk(
+            sql_rot, sql_rot.filter(F.col("vec_id") < 5), k=3, **kw
+        ).select("query_id", "neighbor_id").collect()
+    }
+    b = {
+        tuple(r)
+        for r in PQ.pq_topk(
+            fw_rot, fw_rot.filter(F.col("vec_id") < 5), k=3, **kw
+        ).select("query_id", "neighbor_id").collect()
+    }
+    assert a == b and a
+
+    # NULL pass-through + length mismatch raises on the fast path too
+    null_df = spark.createDataFrame(
+        [(1, None), (2, [1.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in PQ.hadamard_rotate(
+            null_df, "embedding", dim, method="fwht"
+        ).collect()
+    }
+    assert got[1] is None and got[2] is not None
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        PQ.hadamard_rotate(bad, "embedding", dim, method="fwht").collect()
+    with pytest.raises(ValueError, match="method"):
+        PQ.hadamard_rotate(df, "embedding", dim, method="nope")
+
+    # dim 512: +-1 inputs make every butterfly sum integer-valued, so
+    # fast == H @ x exactly (scale 1/sqrt(512) applied to both sides)
+    d2 = 512
+    sgn = [1.0 if (i * 7 + 3) % 5 < 3 else -1.0 for i in range(d2)]
+    big = spark.createDataFrame(
+        [(0, sgn)], "vec_id long, embedding array<double>"
+    )
+    out = PQ.hadamard_rotate(
+        big, "embedding", d2, method="fwht"
+    ).collect()[0]["embedding"]
+    v = np.array(sgn)
+    i = np.arange(d2)
+    ref = np.array([
+        ((-1.0) ** np.array([bin(ii & jj).count("1") for jj in i]) * v).sum()
+        for ii in i
+    ]) * (1.0 / math.sqrt(d2))  # multiply-by-reciprocal, as the kernel does
+    assert np.array_equal(np.array(out), ref)
