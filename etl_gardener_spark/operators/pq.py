@@ -1094,3 +1094,311 @@ def _hadamard_rotate_fwht(
             yield out_pdf[out_names]
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+# -- OPQ: learned rotation via integer-micro Newton-Schulz polar ----------
+
+
+def _identity_e6(dim: int) -> list[list[int]]:
+    return [
+        [1_000_000 if i == j else 0 for j in range(dim)] for i in range(dim)
+    ]
+
+
+def _ns_polar_e6(scatter_sums, cnt: int, dim: int, ns_iter: int):
+    """Orthogonal (Procrustes) factor of the scatter matrix in EXACT
+    integer-micro arithmetic: R = polar(M) = UV^T for M = USV^T, computed
+    WITHOUT an SVD so a SQL oracle can replay it bit-for-bit — mean the
+    exact int64 scatter sums, normalize by the Frobenius norm (spectral
+    <= Frobenius, so every singular value lands in NS's (0, sqrt(3))
+    convergence basin), then ``ns_iter`` Newton-Schulz steps
+    Y <- 1.5*Y - 0.5*Y*Y^T*Y. Every matrix lives on the 1e-6 grid as
+    int64; every product/sum is exact; every re-quantization is the
+    same FLOOR(CAST(int AS DOUBLE)/div + 0.5) kernel the DuckDB mirror
+    writes, so driver-numpy and oracle-SQL produce IDENTICAL matrices.
+    A zero scatter (empty/degenerate sample) falls back to identity."""
+    import numpy as np
+
+    if cnt <= 0:
+        return _identity_e6(dim)
+    s = np.asarray(scatter_sums, dtype=np.int64)
+    mbar = np.floor(
+        s.astype(np.float64) / (float(cnt) * 1e6) + 0.5
+    ).astype(np.int64)
+    import math
+
+    ss = int((mbar.astype(object) ** 2).sum())  # exact: entries ~1e6
+    fro = int(np.floor(math.sqrt(float(ss)) + 0.5))  # IEEE sqrt == SQL SQRT
+    if fro == 0:
+        return _identity_e6(dim)
+    y = np.floor(
+        mbar.astype(np.float64) * 1e6 / float(fro) + 0.5
+    ).astype(np.int64)
+    # identity-shift regularization: the scatter of a PQ reconstruction
+    # is near-symmetric-PSD with EXACT zeros along data-free directions
+    # (piecewise-constant Yhat), and NS cannot lift a zero singular
+    # value — the polar factor there is arbitrary anyway, so bias the
+    # completion toward identity with sigma_min >~ 0.01, well inside
+    # the (0, sqrt(3)) basin and converged by ~16 of the iterations.
+    y = y + 10_000 * np.eye(y.shape[0], dtype=np.int64)
+    for _ in range(ns_iter):
+        assert int(np.abs(y).max()) < (1 << 22), "NS iterate out of bounds"
+        z = np.floor(
+            (y @ y.T).astype(np.float64) / 1e6 + 0.5
+        ).astype(np.int64)
+        w = np.floor(
+            (z @ y).astype(np.float64) / 1e6 + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            (3 * y - w).astype(np.float64) / 2.0 + 0.5
+        ).astype(np.int64)
+    return [[int(v) for v in row] for row in y]
+
+
+def opq_rotate(
+    df: DataFrame,
+    vec_col: str,
+    r_e6: list[list[int]],
+    dim: int,
+    out_col: str | None = None,
+    method: str = "gemm",
+) -> DataFrame:
+    """Apply a learned micro-grid rotation: y[j] = sum_i x[i]*R[i][j],
+    computed ENTIRELY in exact int64 micros — x quantized to the 1e-6
+    grid, int64 products, exact sums (order-independent, so there is no
+    fold-order hazard anywhere), one half-up re-quantization — then
+    scaled back to double. NULL vectors pass through as NULL; length is
+    the CALLER's contract (pq_topk_opq filters len == dim, mirroring
+    its oracle's WHERE).
+
+    ``method``: 'gemm' (default) computes the same integer math as an
+    Arrow-batched numpy int64 matmul in mapInPandas; 'sql' is the
+    literal expression-tree mirror of the DuckDB oracle's relational
+    kernel. The two are BIT-IDENTICAL (unlike the fwht float path)
+    because every operation is exact int64 — which is why gemm can be
+    the default on a certified path: tests/test_pq_rrf.py pins the
+    equality. 'sql' exists as the readable oracle reference but is NOT
+    the hot path — the nested element_at on a broadcast 64x64 array
+    column falls out of whole-stage codegen (measured 514 s vs <1 s
+    for 20k rows x dim 64). Both are pure per-row maps: no shuffle."""
+    if method not in ("sql", "gemm"):
+        raise ValueError(f"method must be 'sql' or 'gemm', got {method!r}")
+    out = out_col or vec_col
+    if method == "gemm":
+        return _opq_rotate_gemm(df, vec_col, r_e6, dim, out)
+    spark = df.sparkSession
+    rdf = spark.createDataFrame([(r_e6,)], "__opq_r array<array<long>>")
+    xm = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    df2 = df.crossJoin(F.broadcast(rdf)).withColumn("__xm", xm)
+    rotated = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.floor(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.element_at(F.col("__xm"), i + 1)
+                * F.element_at(
+                    F.element_at(F.col("__opq_r"), i + 1), j + 1
+                ),
+            ).cast("double")
+            / F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").cast("double")
+        / F.lit(1e6),
+    )
+    return df2.withColumn(
+        out, F.when(F.col(vec_col).isNotNull(), rotated)
+    ).drop("__xm", "__opq_r")
+
+
+def _opq_rotate_gemm(
+    df: DataFrame, vec_col: str, r_e6: list[list[int]], dim: int, out: str
+) -> DataFrame:
+    """numpy int64 twin of the SQL rotation kernel — exact integer
+    matmul + the identical floor-half-up double re-quantization, so the
+    two methods agree bit-for-bit."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    r_mat = np.asarray(r_e6, dtype=np.int64)
+    in_fields = list(df.schema.fields)
+    out_field = StructField(out, ArrayType(DoubleType()))
+    names = [f.name for f in in_fields]
+    if out in names:
+        fields = [out_field if f.name == out else f for f in in_fields]
+    else:
+        fields = in_fields + [out_field]
+    out_schema = StructType(fields)
+    out_names = [f.name for f in fields]
+
+    def gen(batches):
+        for pdf in batches:
+            res: list = [None] * len(pdf)
+            mask = pdf[vec_col].notna()
+            if mask.any():
+                vecs = [list(v) for v in pdf[vec_col][mask]]
+                xm = np.floor(
+                    np.array(vecs, dtype=np.float64) * 1e6 + 0.5
+                ).astype(np.int64)
+                ym = np.floor(
+                    (xm @ r_mat).astype(np.float64) / 1e6 + 0.5
+                ).astype(np.int64)
+                rot = ym.astype(np.float64) / 1e6
+                for r, i in enumerate(np.nonzero(mask.to_numpy())[0]):
+                    res[int(i)] = rot[r].tolist()
+            out_pdf = pdf.copy()
+            out_pdf[out] = res
+            yield out_pdf[out_names]
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def opq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    n_opq_iter: int = 1,
+    ns_iter: int = 40,
+    sample_bound: int = 256,
+    max_sample_rows: int = 1 << 20,
+) -> list[list[int]]:
+    """Learn the OPQ rotation (Ge et al., CVPR 2013; FAISS OPQMatrix)
+    by alternating PQ codebook training with the orthogonal Procrustes
+    update: given codes, the best rotation for min ||X R - Yhat||_F is
+    R = UV^T from X^T Yhat = USV^T — the POLAR factor of the scatter,
+    which _ns_polar_e6 computes by Newton-Schulz so the whole fit stays
+    on the exact 1e-6 integer grid (deterministic AND SQL-replayable;
+    FAISS reaches the same factor via SVD).
+
+    Alternation t: rotate the sample by R_t (t=0 skips — R_0 = I), fit
+    per-sub-space codebooks (pq_fit), reconstruct, scatter
+    S = X^T Yhat over the RAW sample, R_{t+1} = polar(S). The fit runs
+    on the id-bounded sample (``sample_bound`` — FAISS's own
+    bounded-training convention); the scatter collect is O(sample * dim)
+    and REFUSED above ``max_sample_rows`` (the broadcast-guard
+    discipline, similarity.py). Returns R as a row-major int64 micro
+    matrix for opq_rotate."""
+    sample = corpus.filter(
+        (F.col(id_col) < sample_bound)
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+    ).select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
+    cnt = sample.count()
+    if cnt == 0:
+        return _identity_e6(dim)
+    if cnt > max_sample_rows:
+        raise ValueError(
+            f"opq_fit would collect {cnt} sample rows to the driver, over "
+            f"the max_sample_rows bound of {max_sample_rows}. Lower "
+            "sample_bound (OPQ trains on a bounded sample by convention) "
+            "or raise max_sample_rows explicitly."
+        )
+    sample = sample.localCheckpoint(eager=True)
+    import numpy as np
+
+    x_rows = {r["sid"]: r["vec"] for r in sample.collect()}
+    r_e6 = _identity_e6(dim)
+    for t in range(n_opq_iter):
+        src = (
+            sample
+            if t == 0
+            else opq_rotate(sample, "vec", r_e6, dim)
+        )
+        cb = pq_fit(src, "sid", "vec", m, sub_dim, k_sub, n_iter)
+        cbj = cb.select(
+            F.col("s").alias("__cs"), F.col("cid").alias("__cc"), "cvec"
+        )
+        recon = (
+            exploded_codes_sub(src, "sid", "vec", m, sub_dim, cb)
+            .join(
+                F.broadcast(cbj),
+                (F.col("s") == F.col("__cs"))
+                & (F.col("code") == F.col("__cc")),
+            )
+            .select(F.col("neighbor_id").alias("sid"), "s", "cvec")
+            .groupBy("sid")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "cvec"))),
+                        lambda st: st.getField("cvec"),
+                    )
+                ).alias("yhat")
+            )
+        )
+        y_rows = {r["sid"]: r["yhat"] for r in recon.collect()}
+        sids = [sid for sid in x_rows if sid in y_rows]
+        if not sids:
+            return _identity_e6(dim)
+        xm = np.floor(
+            np.array(
+                [x_rows[sid] for sid in sids], dtype=np.float64
+            ) * 1e6 + 0.5
+        ).astype(np.int64)
+        ym = np.floor(
+            np.array(
+                [y_rows[sid] for sid in sids], dtype=np.float64
+            ) * 1e6 + 0.5
+        ).astype(np.int64)
+        assert int(np.abs(xm).max(initial=0)) < (1 << 26)
+        assert int(np.abs(ym).max(initial=0)) < (1 << 26)
+        scatter = xm.T @ ym  # exact int64: |terms| < 2^52, n <= 2^20
+        r_e6 = _ns_polar_e6(scatter, cnt, dim, ns_iter)
+    return r_e6
+
+
+def pq_topk_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    n_opq_iter: int = 1,
+    ns_iter: int = 40,
+    sample_bound: int = 256,
+    r_e6: list[list[int]] | None = None,
+    rotate_method: str = "gemm",
+) -> DataFrame:
+    """ADC top-k under a LEARNED rotation — the full OPQ composition:
+    opq_fit's Procrustes rotation (trained on the id-bounded sample),
+    both relations rotated on the exact integer grid, then the
+    certified trained-codebook search (pq_fit on the rotated corpus +
+    pq_topk_trained's ADC body). ``r_e6`` accepts a precomputed
+    rotation — fit once, search many. Rows with NULL or mis-sized
+    vectors are dropped up front (the oracle's WHERE, and what every
+    downstream kernel would reject anyway)."""
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    corpus = corpus.filter(valid)
+    queries = queries.filter(valid)
+    rot = (
+        opq_fit(
+            corpus, id_col, vec_col, dim, m, sub_dim, k_sub,
+            n_iter, n_opq_iter, ns_iter, sample_bound,
+        )
+        if r_e6 is None
+        else r_e6
+    )
+    rc = opq_rotate(
+        corpus, vec_col, rot, dim, method=rotate_method
+    ).localCheckpoint(eager=False)
+    rq = opq_rotate(queries, vec_col, rot, dim, method=rotate_method)
+    return pq_topk_trained(
+        rc, rq, id_col, vec_col, k, m, sub_dim, k_sub, n_iter
+    )

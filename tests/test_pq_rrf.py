@@ -420,3 +420,90 @@ def test_hadamard_fwht_parity_with_sql_kernel(spark):
         for ii in i
     ]) * (1.0 / math.sqrt(d2))  # multiply-by-reciprocal, as the kernel does
     assert np.array_equal(np.array(out), ref)
+
+
+def test_opq_fit_rotation_and_method_parity(spark):
+    """r10 verdict item 4 (OPQ proper): opq_fit learns an ORTHOGONAL
+    rotation (integer-micro Newton-Schulz polar of the Procrustes
+    scatter), opq_rotate's 'sql' and 'gemm' kernels agree BIT-FOR-BIT
+    (every op exact int64 — unlike the fwht float path), the learned
+    rotation lowers the PQ quantization objective vs no rotation on a
+    correlated corpus, and the degenerate cases (empty corpus, NULL
+    vectors, over-bound samples) behave."""
+    import numpy as np
+    import pytest
+
+    from etl_gardener_spark.operators import pq as PQ
+
+    rng = random.Random(4)
+    n, dim = 300, 64
+    # correlated corpus: variance concentrated in a few directions so
+    # the learned rotation has real energy to rebalance
+    basis = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for i in range(n):
+        coef = [rng.gauss(0, 1.0 / (1 + b)) for b in range(4)]
+        v = [
+            sum(coef[b] * basis[b][d] for b in range(4))
+            + rng.gauss(0, 0.05)
+            for d in range(dim)
+        ]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    r_e6 = PQ.opq_fit(df, dim=dim, ns_iter=40)
+    rm = np.array(r_e6, dtype=np.float64) / 1e6
+    assert float(np.abs(rm.T @ rm - np.eye(dim)).max()) < 1e-3
+
+    a = {
+        r["vec_id"]: tuple(r["embedding"])
+        for r in PQ.opq_rotate(df, "embedding", r_e6, dim,
+                               method="sql").collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["embedding"])
+        for r in PQ.opq_rotate(df, "embedding", r_e6, dim,
+                               method="gemm").collect()
+    }
+    assert a == b and len(a) == n
+
+    def mse(src):
+        cb = PQ.pq_fit(src, "vec_id", "embedding", 4, 16, 16, 2)
+        codes = PQ.exploded_codes_sub(src, "vec_id", "embedding", 4, 16, cb)
+        return codes.agg(F.sum("de6")).collect()[0][0] / 1e6 / n
+
+    rot = PQ.opq_rotate(df, "embedding", r_e6, dim).localCheckpoint()
+    assert mse(rot) < mse(df)  # the OPQ objective actually improves
+
+    # NULL pass-through on both kernels
+    nd = spark.createDataFrame(
+        [(1, None), (2, [1.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    for m in ("sql", "gemm"):
+        got = {
+            r["vec_id"]: r["embedding"]
+            for r in PQ.opq_rotate(nd, "embedding", r_e6, dim,
+                                   method=m).collect()
+        }
+        assert got[1] is None and got[2] is not None, m
+    with pytest.raises(ValueError, match="method"):
+        PQ.opq_rotate(df, "embedding", r_e6, dim, method="nope")
+
+    # empty corpus: identity rotation, empty search — the fuzz seed-0
+    # shape, and the oracle's fro = 0 CASE twin
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert PQ.opq_fit(empty, dim=dim) == PQ._identity_e6(dim)
+    assert PQ.pq_topk_opq(
+        empty, empty, k=3, dim=dim, m=4, sub_dim=16
+    ).count() == 0
+
+    # bounded-collect refusal (the broadcast-guard discipline)
+    with pytest.raises(ValueError, match="max_sample_rows"):
+        PQ.opq_fit(df, dim=dim, max_sample_rows=10)
+
+    # search end-to-end returns ranked rows
+    res = PQ.pq_topk_opq(
+        df, df.filter(F.col("vec_id") < 3), k=4, dim=dim, r_e6=r_e6
+    )
+    got = res.groupBy("query_id").count().collect()
+    assert {r["count"] for r in got} == {4}
