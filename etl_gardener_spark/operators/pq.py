@@ -1402,3 +1402,53 @@ def pq_topk_opq(
     return pq_topk_trained(
         rc, rq, id_col, vec_col, k, m, sub_dim, k_sub, n_iter
     )
+
+
+def pq_topk_ivfpq_opq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_sub: int = 16,
+    n_iter: int = 2,
+    n_opq_iter: int = 1,
+    ns_iter: int = 40,
+    sample_bound: int = 256,
+    r_e6: list[list[int]] | None = None,
+    rotate_method: str = "gemm",
+) -> DataFrame:
+    """The full FAISS production stack —
+    IndexPreTransform(OPQMatrix, IndexIVFPQ(by_residual=true) with
+    ProductQuantizer::train): opq_fit's learned rotation applied to
+    both relations on the exact integer grid, then the certified
+    residual IVF-PQ trained-codebook search (pq_topk_ivf_residual_trained)
+    entirely in rotated space — coarse centroids seeded from the
+    ROTATED corpus, residuals taken against rotated centroids, the
+    residual codebook trained on rotated residuals. Rotation cost is a
+    pure per-row map; everything downstream reuses the certified plan
+    shapes unchanged."""
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    corpus = corpus.filter(valid)
+    queries = queries.filter(valid)
+    rot = (
+        opq_fit(
+            corpus, id_col, vec_col, dim, m, sub_dim, k_sub,
+            n_iter, n_opq_iter, ns_iter, sample_bound,
+        )
+        if r_e6 is None
+        else r_e6
+    )
+    rc = opq_rotate(
+        corpus, vec_col, rot, dim, method=rotate_method
+    ).localCheckpoint(eager=False)
+    rq = opq_rotate(queries, vec_col, rot, dim, method=rotate_method)
+    return pq_topk_ivf_residual_trained(
+        rc, rq, id_col, vec_col, k, n_centroids, nprobe,
+        m, sub_dim, k_sub, n_iter,
+    )

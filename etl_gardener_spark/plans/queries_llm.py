@@ -6894,7 +6894,8 @@ def emb_ann_topk_pq_trainedcb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_residual_trainedcb_oracle(
-    n_centroids: int = 16, nprobe: int = 4, k: int = 5, n_iter: int = 2
+    n_centroids: int = 16, nprobe: int = 4, k: int = 5, n_iter: int = 2,
+    src: str = "embeddings",
 ) -> str:
     """Residual IVF-PQ with a TRAINED residual codebook: the certified
     residual front half (cells, residuals, per-probe query residuals —
@@ -6917,16 +6918,16 @@ def _ivfpq_residual_trainedcb_oracle(
     )
     return f"""
     WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-                   FROM embeddings WHERE vec_id < {n_centroids}),
+                   FROM {src} WHERE vec_id < {n_centroids}),
     asg AS (SELECT vec_id, cid AS cell FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY FLOOR(COALESCE({cos_ec}, -2.0) * 1e6 + 0.5)
                    DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        FROM {src} e CROSS JOIN cents c) t WHERE rn = 1),
     res AS (SELECT a.vec_id AS nid, a.cell,
                    {rsub(d=_DIM + 1, a="e.embedding", b="c.cvec")} AS rvec
-            FROM asg a JOIN embeddings e USING (vec_id)
+            FROM asg a JOIN {src} e USING (vec_id)
             JOIN cents c ON a.cell = c.cid),
     {fit},
     tcodes AS (SELECT sid AS nid, s, cid AS code FROM (
@@ -6939,11 +6940,11 @@ def _ivfpq_residual_trainedcb_oracle(
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY ROUND(COALESCE({cos_ec}, -2.0), 6)
                    DESC, c.cid ASC) AS rn
-        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10) t
+        FROM {src} e CROSS JOIN cents c WHERE e.vec_id < 10) t
         WHERE rn <= {nprobe}),
     qres AS (SELECT p.query_id, p.cell,
                     {rsub(d=_DIM + 1, a="e.embedding", b="c.cvec")} AS rvec
-             FROM qprobe p JOIN embeddings e ON e.vec_id = p.query_id
+             FROM qprobe p JOIN {src} e ON e.vec_id = p.query_id
              JOIN cents c ON p.cell = c.cid),
     qsubs AS ({qsub_arms}),
     qd AS (SELECT v.query_id, v.cell, c.cid AS code, v.s,
@@ -8035,4 +8036,45 @@ def emb_pq_opq_mse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.sort(key=lambda r: r[0])
     return local_df(
         spark, rows, "method string, n_vectors long, mse double"
+    )
+
+
+def _ivfpq_opq_oracle(k: int = 5) -> str:
+    """OPQ rotation CTEs feeding the certified residual-trainedcb IVF-PQ
+    oracle with its source relation swapped to the rotated corpus."""
+    rot = _opq_rot_ctes()
+    inner = _ivfpq_residual_trainedcb_oracle(k=k, src="opqrot").strip()
+    assert inner.startswith("WITH ")
+    return f"""
+    WITH {rot},
+    {inner[len("WITH "):]}
+    """
+
+
+@query(
+    "emb_ann_topk_ivfpq_opq",
+    _ivfpq_opq_oracle(),
+    tags=("llm", "ann", "ivf", "pq", "rotation", "clustering"),
+)
+def emb_ann_topk_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS production composition —
+    IndexPreTransform(OPQMatrix, IndexIVFPQ) with by_residual=true AND
+    trained codebooks (operators/pq.pq_topk_ivfpq_opq): the learned
+    Procrustes rotation of [[emb_ann_topk_pq_opq]] applied ahead of the
+    residual IVF-PQ trained-codebook search of
+    [[emb_ann_topk_ivfpq_residual_trainedcb]], everything downstream
+    running in rotated space (rotated coarse seeds, rotated residuals,
+    codebook trained on rotated residuals). This is the index FAISS
+    documentation actually recommends for billion-scale corpora
+    ("OPQ64,IVF...,PQ64"); each piece reuses a certified kernel, and
+    the oracle is the certified residual-trainedcb SQL with its source
+    relation swapped to the rotated-corpus CTE chain."""
+    from etl_gardener_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return PQ.pq_topk_ivfpq_opq(
+        e, e.filter(F.col("vec_id") < 10),
+        k=5, dim=_DIM, n_centroids=16, nprobe=4,
+        m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+        n_iter=2, n_opq_iter=1, ns_iter=_OPQ_NS, sample_bound=_OPQ_SAMPLE,
     )
