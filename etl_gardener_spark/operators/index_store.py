@@ -32,7 +32,9 @@ from pyspark.sql.utils import AnalysisException
 CELLS = "cells"
 CENTROIDS = "centroids"
 CODES = "codes"
+CODEBOOKS = "codebooks"
 _PARTS_MARKER = "_PARTS"
+_OPQ_MARKER = "_OPQ_R"
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -108,6 +110,7 @@ def save_ann_index(
     cells: DataFrame,
     centroids: DataFrame | None = None,
     codes: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
 ) -> None:
     """Write an index under ``index_dir``: cells/ (partitioned by cell —
     the pruning key), centroids/ (the quantizer, required to route
@@ -128,6 +131,11 @@ def save_ann_index(
     if codes is not None:
         codes.write.mode("overwrite").parquet(os.path.join(index_dir, CODES))
         parts[CODES] = codes.schema.json()
+    if codebooks is not None:
+        codebooks.write.mode("overwrite").parquet(
+            os.path.join(index_dir, CODEBOOKS)
+        )
+        parts[CODEBOOKS] = codebooks.schema.json()
     _write_marker(cells.sparkSession, index_dir, parts)
 
 
@@ -137,7 +145,8 @@ def load_ann_index(
     """Read the index back: {'cells', 'centroids', 'codes'} (parts not
     written -> None). Cells come back with the partition column restored
     to its long type; pass them straight to
-    ``cosine_topk_ivf(..., centroids=..., cells=...)``.
+    ``cosine_topk_ivf(..., centroids=..., cells=...)``; ``codebooks``
+    is a persisted ``pq_fit`` relation for ``pq_topk_trained``.
 
     A part the save-time ``_PARTS`` marker promises but that cannot be
     read (corrupt parquet, permissions, transient FS error) RAISES —
@@ -147,7 +156,7 @@ def load_ann_index(
     """
     written = _read_marker(spark, index_dir)
     out: dict[str, DataFrame | None] = {}
-    for name in (CELLS, CENTROIDS, CODES):
+    for name in (CELLS, CENTROIDS, CODES, CODEBOOKS):
         path = os.path.join(index_dir, name)
         fs, p = _fs_and_path(spark, path)
         if not fs.exists(p):
@@ -298,3 +307,60 @@ def ensure_ann_index(
     out["rebuilt"] = True
     out["fingerprint"] = fp
     return out
+
+
+# -- persisted OPQ rotation (the IndexPreTransform artifact) --------------
+
+
+def save_opq_rotation(
+    spark: SparkSession, index_dir: str, r_e6: list[list[int]]
+) -> None:
+    """Persist the learned rotation next to the index parts it was
+    trained with (FAISS serializes the OPQMatrix inside the index file;
+    a warehouse writes it as a tiny versioned artifact): one ``v1``
+    line, one dim line, one comma-joined int64-micro row per line —
+    integers end to end, so the round-trip is exact by construction."""
+    fs, p = _fs_and_path(spark, os.path.join(index_dir, _OPQ_MARKER))
+    out = fs.create(p, True)
+    try:
+        dim = len(r_e6)
+        lines = ["v1", str(dim)] + [
+            ",".join(str(int(v)) for v in row) for row in r_e6
+        ]
+        out.write(bytearray("\n".join(lines).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def load_opq_rotation(
+    spark: SparkSession, index_dir: str
+) -> list[list[int]] | None:
+    """Read a persisted rotation back: None when genuinely absent (the
+    index was built without a pretransform); a present-but-garbled
+    marker RAISES — searching with a different rotation than the codes
+    were built under silently destroys recall, the exact failure mode
+    the absence-vs-failure discipline exists for."""
+    fs, p = _fs_and_path(spark, os.path.join(index_dir, _OPQ_MARKER))
+    if not fs.exists(p):
+        return None
+    jvm = spark.sparkContext._jvm
+    stream = fs.open(p)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        ).strip()
+    finally:
+        stream.close()
+    lines = text.splitlines()
+    try:
+        if not lines or lines[0] != "v1":
+            raise ValueError(f"unknown rotation marker version: {lines[:1]}")
+        dim = int(lines[1])
+        rows = [[int(v) for v in ln.split(",")] for ln in lines[2 : 2 + dim]]
+        if len(rows) != dim or any(len(r) != dim for r in rows):
+            raise ValueError("rotation marker row/dim mismatch")
+    except (ValueError, IndexError) as e:
+        raise ValueError(
+            f"corrupt OPQ rotation marker at {index_dir}/{_OPQ_MARKER}: {e}"
+        ) from e
+    return rows

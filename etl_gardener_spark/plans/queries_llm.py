@@ -8078,3 +8078,67 @@ def emb_ann_topk_ivfpq_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
         n_iter=2, n_opq_iter=1, ns_iter=_OPQ_NS, sample_bound=_OPQ_SAMPLE,
     )
+
+
+@query(
+    "emb_ann_topk_pq_opq_persisted",
+    _opq_topk_oracle(),
+    tags=("llm", "ann", "pq", "rotation", "persistence"),
+)
+def emb_ann_topk_pq_opq_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPQ search over a LOADED persisted pretransform + codebook
+    (operators/index_store.save_opq_rotation / the ``codebooks`` index
+    part): fit the rotation once (opq_fit), rotate the corpus, train
+    the PQ codebooks on it (pq_fit), SAVE rotation + codebooks — FAISS
+    serializes the OPQMatrix inside the index file; the warehouse
+    writes a versioned integer-exact marker plus a codebook relation —
+    then LOAD both back and search with only loaded artifacts. The
+    oracle is [[emb_ann_topk_pq_opq]]'s verbatim: save -> load ->
+    search must be bit-identical to never having touched disk (the
+    rotation round-trips exactly by construction — int64 micros end to
+    end). Completes the persisted family ([[emb_ann_topk_ivf_persisted]],
+    [[emb_ann_topk_ivfpq_persisted]]) for the rotated stack."""
+    from etl_gardener_spark.operators import pq as PQ
+    from etl_gardener_spark.operators.index_store import (
+        load_ann_index,
+        load_opq_rotation,
+        save_ann_index,
+        save_opq_rotation,
+    )
+    from etl_gardener_spark.plans.queries import _scratch
+
+    e = load_table(spark, sf_dir, "embeddings")
+    valid = e.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _DIM)
+    )
+    r_fit = PQ.opq_fit(
+        valid, dim=_DIM, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+        n_iter=2, n_opq_iter=1, ns_iter=_OPQ_NS, sample_bound=_OPQ_SAMPLE,
+    )
+    rot_fit = PQ.opq_rotate(valid, "embedding", r_fit, _DIM).localCheckpoint(
+        eager=False
+    )
+    cb_fit = PQ.pq_fit(
+        rot_fit, "vec_id", "embedding", _PQ_M, _PQ_SUB, _PQ_KSUB, 2
+    )
+    d = _scratch("opqidx")
+    # the cells slot is the IVF artifact; this flat-PQ index persists
+    # rotation + codebooks, with an empty cells relation as the anchor
+    empty_cells = spark.createDataFrame(
+        [], "neighbor_id long, c_vec array<double>, cell long"
+    )
+    save_ann_index(d, empty_cells, codebooks=cb_fit)
+    save_opq_rotation(spark, d, r_fit)
+
+    r = load_opq_rotation(spark, d)
+    cb = load_ann_index(spark, d)["codebooks"]
+    rc = PQ.opq_rotate(valid, "embedding", r, _DIM).localCheckpoint(
+        eager=False
+    )
+    rq = rc.filter(F.col("vec_id") < 10)
+    return PQ.pq_topk_trained(
+        rc, rq, k=5, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+        codebooks=cb,
+    )

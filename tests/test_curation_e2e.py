@@ -580,3 +580,113 @@ def test_semantic_dedup_stage(spark, tmp_path):
             assert "semantic_dedup: rows_out=3 deleted=1" in details, details
         finally:
             g.monitor.shutdown()
+
+
+def test_curation_resume_from_persisted_tracker(spark, tmp_path):
+    """Restart recovery at test scale (the pytest twin of
+    tools/curation_restart_run.py's sf1 hard-kill proof): drive the
+    chain with a Monitor wired for only a PREFIX of the stages (the
+    process 'dies' with the tracker persisted at curating:exact_dedup),
+    then build a FRESH Tracker from the saved JSON and a fresh Monitor
+    with the full chain — the resumed run must converge to exactly the
+    same curated + packed content as an uninterrupted run, and the
+    recovered tracker must resume from the persisted mid-chain state,
+    not from the start (the reference's no-leases-survive-restart
+    property: tracker/tracker.go recovery + the claim set rebuilt
+    empty)."""
+    from etl_gardener_spark.orchestrator.curation import (
+        STAGE_ORDER,
+        CurationActions,
+        CurationSpec,
+    )
+    from etl_gardener_spark.orchestrator.monitor import Action, Monitor
+    from etl_gardener_spark.orchestrator.tracker import Tracker
+
+    day = Date(2024, 3, 1)
+    chain = tuple(s for s in STAGE_ORDER if s != "semantic_dedup")
+    spec = CurationSpec(
+        stages=chain,
+        min_quality=0.25,
+        jaccard_threshold=0.5,
+        pack_capacity=40,
+        decontam_bench=("bench", "eval", "suite"),
+    )
+    job = J.Job(
+        bucket="b", experiment="corpus", datatype="webdocs", date=day,
+        datasets=Datasets(tmp="t", raw="r", join="c"),
+    )
+    rows = [
+        ("a", LONG_A + " contact bob@example.com"),
+        ("b", LONG_A),
+        ("d", LONG_B),
+        ("e", "  " + LONG_B.upper() + "  "),
+        ("z", "!!! !!! !!! !!! !!!"),
+    ]
+
+    def build(root):
+        wh = Warehouse(str(root / "wh"))
+        docs = spark.createDataFrame(
+            [(i, t, day) for i, t in rows], "id string, text string, date date"
+        )
+        wh.overwrite_partitions(docs, "join", "corpus", "webdocs")
+        bench = spark.createDataFrame(
+            [("q", "nothing matches this benchmark here", Date(2024, 1, 1))],
+            "id string, text string, date date",
+        )
+        wh.overwrite_partitions(bench, "bench", "eval", "suite")
+        return wh
+
+    def wire(tracker, wh, stages):
+        monitor = Monitor(tracker, retry_delay_sec=0.1)
+        ca = CurationActions(spark, wh, lambda _j: spec)
+        states = [state_for(s) for s in chain]
+        nexts = states[1:] + [J.COMPLETE]
+        for st, nxt, stage in zip(states, nexts, chain):
+            if stage in stages:
+                monitor.add_action(Action(st, nxt, ca._stage_action(stage)))
+        return monitor
+
+    def content(wh):
+        j = wh.read_partition(spark, "join", "corpus", "webdocs", day)
+        p = wh.read_partition(spark, "packed", "corpus", "webdocs", day)
+        return (
+            sorted((r.id, r.text) for r in j.collect()),
+            sorted((r.id, r.n_tokens, r.bin_id) for r in p.collect()),
+        )
+
+    # uninterrupted reference run
+    wh1 = build(tmp_path / "one")
+    t1 = Tracker(saver_path=str(tmp_path / "one" / "tracker.json"))
+    t1.add_job(job)
+    t1.set_status(job.key(), state_for(chain[0]))
+    m1 = wire(t1, wh1, set(chain))
+    assert m1.drain(timeout_sec=300.0)
+    assert t1.get_status(job.key()).state == J.COMPLETE
+    expect = content(wh1)
+
+    # interrupted run: the monitor only knows the prefix, so the chain
+    # stalls with the tracker persisted at curating:exact_dedup
+    prefix = ("scrub", "quality_gate", "lm_outlier_gate", "decontam")
+    wh2 = build(tmp_path / "two")
+    saver = str(tmp_path / "two" / "tracker.json")
+    t2 = Tracker(saver_path=saver)
+    t2.add_job(job)
+    t2.set_status(job.key(), state_for(chain[0]))
+    m2 = wire(t2, wh2, set(prefix))
+    assert m2.drain(timeout_sec=300.0)
+    assert t2.get_status(job.key()).state == state_for("exact_dedup")
+    assert t2.save(force=True)
+
+    # "restart": fresh tracker recovered from disk, full chain wired
+    t3 = Tracker(saver_path=saver)
+    st = t3.get_status(job.key())
+    assert st is not None and st.state == state_for("exact_dedup")
+    # full history survived the round-trip
+    assert [si.state for si in st.history][: len(prefix) + 1] == [
+        "init", *[state_for(s) for s in prefix]
+    ]
+    m3 = wire(t3, wh2, set(chain))
+    assert m3.drain(timeout_sec=300.0)
+    assert t3.get_status(job.key()).state == J.COMPLETE
+    assert content(wh2) == expect
+    m1.shutdown(), m2.shutdown(), m3.shutdown()

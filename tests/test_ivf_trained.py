@@ -147,7 +147,9 @@ def test_index_store_absence_vs_failure(vecs, tmp_path):
 
     # an index never saved at all -> all-None, no error (no marker)
     empty = load_ann_index(spark, str(tmp_path / "never_saved"))
-    assert empty == {"cells": None, "centroids": None, "codes": None}
+    assert empty == {
+        "cells": None, "centroids": None, "codes": None, "codebooks": None
+    }
 
 
 def test_persisted_cells_prune_to_probed_partitions(vecs, tmp_path):
@@ -339,3 +341,60 @@ def test_fingerprint_sees_null_elements(spark):
     d = spark.createDataFrame([(1, [])], schema)
     fps = {corpus_fingerprint(x) for x in (a, b, c, d)}
     assert len(fps) == 4, fps
+
+
+def test_opq_rotation_and_codebooks_roundtrip(spark, tmp_path):
+    """Persisted OPQ pretransform (r11): the rotation marker round-trips
+    EXACTLY (int64 micros end to end), absence returns None, a garbled
+    marker raises (absence-vs-failure — searching under a different
+    rotation than the codes were built with silently destroys recall),
+    and the new ``codebooks`` index part round-trips a pq_fit relation
+    including the empty case."""
+    from etl_gardener_spark.operators import pq as PQ
+    from etl_gardener_spark.operators.index_store import (
+        _fs_and_path,
+        load_ann_index,
+        load_opq_rotation,
+        save_ann_index,
+        save_opq_rotation,
+    )
+
+    d = str(tmp_path / "opqidx")
+    assert load_opq_rotation(spark, d) is None  # genuinely absent
+
+    r = PQ._identity_e6(8)
+    r[0][3] = -123456
+    save_opq_rotation(spark, d, r)
+    assert load_opq_rotation(spark, d) == r
+
+    # garbled marker: raises, never returns a wrong rotation
+    fs, p = _fs_and_path(spark, d + "/_OPQ_R")
+    out = fs.create(p, True)
+    out.write(bytearray(b"v1\n8\n1,2,garbage\n"))
+    out.close()
+    with pytest.raises(ValueError, match="corrupt OPQ rotation"):
+        load_opq_rotation(spark, d)
+
+    # codebooks part round-trip (populated + empty)
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = PQ.pq_fit(corpus, "vec_id", "embedding", m=2, sub_dim=4, k_sub=2)
+    anchor = spark.createDataFrame(
+        [], "neighbor_id long, c_vec array<double>, cell long"
+    )
+    d2 = str(tmp_path / "cbidx")
+    save_ann_index(d2, anchor, codebooks=cb)
+    got = load_ann_index(spark, d2)["codebooks"]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, cb.collect())
+    )
+    d3 = str(tmp_path / "cbempty")
+    save_ann_index(d3, anchor, codebooks=cb.filter(F.lit(False)))
+    got_empty = load_ann_index(spark, d3)["codebooks"]
+    assert got_empty is not None and got_empty.count() == 0
+    # an index saved WITHOUT codebooks keeps reporting absence
+    d4 = str(tmp_path / "nocb")
+    save_ann_index(d4, anchor)
+    assert load_ann_index(spark, d4)["codebooks"] is None

@@ -123,7 +123,9 @@ def main() -> int:
     ap.add_argument("--hot-frac", type=float, default=0.05)
     ap.add_argument("--cand-hot-frac", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--phases", default="pairs,cand,ivf")
     ns = ap.parse_args()
+    phases = set(ns.phases.split(","))
 
     spark = get_spark(app_name="skew-stress")
     spark.range(1000).count()  # warmup
@@ -136,7 +138,7 @@ def main() -> int:
         "uniform": docs.localCheckpoint(eager=True),
         "skew": _skew_docs(docs, ns.hot_frac).localCheckpoint(eager=True),
     }
-    for name, df in variants.items():
+    for name, df in variants.items() if "pairs" in phases else ():
         m = _measure(
             spark,
             lambda df=df: ND.minhash_lsh_pairs(
@@ -149,8 +151,13 @@ def main() -> int:
         out[f"pairs_{name}"] = m
         print(json.dumps({f"pairs_{name}": m, "n_docs": n_docs}), flush=True)
 
-    cand_skew = _skew_docs(docs, ns.cand_hot_frac).localCheckpoint(eager=True)
-    for name, df in (("uniform", variants["uniform"]), ("skew", cand_skew)):
+    cand_iter = (
+        (("uniform", variants["uniform"]),
+         ("skew", _skew_docs(docs, ns.cand_hot_frac).localCheckpoint(
+             eager=True)))
+        if "cand" in phases else ()
+    )
+    for name, df in cand_iter:
         def run(df=df):
             sig = ND.minhash_signature(df, "text", "doc_id", num_hashes=12)
             return ND.minhash_lsh_candidates(
@@ -169,7 +176,7 @@ def main() -> int:
         "uniform": emb.localCheckpoint(eager=True),
         "skew": _skew_embeddings(emb, 0.2).localCheckpoint(eager=True),
     }
-    for name, e in evar.items():
+    for name, e in evar.items() if "ivf" in phases else ():
         cells = SIM.ivf_build_cells(e, n_centroids=16)
         occ = {
             int(r["cell"]): int(r["n"])
