@@ -257,6 +257,7 @@ def minhash_lsh_candidates(
     id_col: str,
     num_hashes: int = 12,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH: split the k-slot signature into
     ``bands`` bands of k/bands rows; docs agreeing on ALL rows of any band
@@ -266,17 +267,47 @@ def minhash_lsh_candidates(
     band's concatenated slots — then self-equi-join on (band, band_key)
     with id< id to orient pairs, then distinct. The join key is a hash
     bucket, so work scales with bucket occupancy, never corpus².
+
+    ``max_bucket`` (default None = exact semantics): buckets above the
+    cap emit STAR pairs only — every member paired with the bucket's
+    min-id hub — instead of all pairs, bounding a hot bucket's output at
+    O(occupancy) instead of O(occupancy²). The skew ladder (SCALE.md
+    r11) showed AQE absorbs the hot bucket's SHUFFLE fine; the cap is
+    the lever for the remaining quadratic OUTPUT, which a boilerplate
+    clique produces by construction. Semantics trade-off, stated
+    plainly: within a capped bucket the star preserves CONNECTIVITY
+    (doc_dup_clusters' connected components are unchanged when the
+    bucket is a true near-dup clique — exactly the corpus shape that
+    creates hot buckets), but a downstream pairwise verify sees only
+    hub-spoke pairs, so spoke-spoke pairs whose only collision was the
+    capped bucket are not emitted. Production near-dup systems cap
+    candidates the same way; keep None where exact pair enumeration is
+    the contract (every registry oracle pins None).
     """
     exploded = exploded_bands(sig, id_col, num_hashes, bands)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_key")
+        exploded = exploded.select(
+            id_col, "band", "band_key",
+            F.count(F.lit(1)).over(w).alias("__occ"),
+            F.min(id_col).over(w).alias("__hub"),
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if max_bucket is not None:
+        cond = cond & (
+            (F.col("a.__occ") <= F.lit(max_bucket))
+            | (F.col(f"a.{id_col}") == F.col("a.__hub"))
         )
+    return (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )

@@ -124,6 +124,8 @@ def main() -> int:
     ap.add_argument("--cand-hot-frac", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--phases", default="pairs,cand,ivf")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="max_bucket star-cap for the cand phase")
     ns = ap.parse_args()
     phases = set(ns.phases.split(","))
 
@@ -161,12 +163,13 @@ def main() -> int:
         def run(df=df):
             sig = ND.minhash_signature(df, "text", "doc_id", num_hashes=12)
             return ND.minhash_lsh_candidates(
-                sig, "doc_id", num_hashes=12, bands=4
+                sig, "doc_id", num_hashes=12, bands=4, max_bucket=ns.cap
             ).count()
         m = _measure(spark, run)
         m["parallelism"] = round(
             m["task_sec"] / max(m["wall_sec"], 1e-9) / ns.cores, 3
         )
+        m["cap"] = ns.cap
         out[f"cand_{name}"] = m
         print(json.dumps({f"cand_{name}": m}), flush=True)
 
