@@ -1188,8 +1188,22 @@ def opq_rotate(
         return _opq_rotate_gemm(df, vec_col, r_e6, dim, out)
     spark = df.sparkSession
     rdf = spark.createDataFrame([(r_e6,)], "__opq_r array<array<long>>")
-    xm = F.transform(
+    # executor-side length assert (the hadamard_rotate r10-advisor
+    # contract): a shorter vector would fold element_at NULLs into
+    # every output component, a longer one would silently truncate
+    ok = F.col(vec_col).isNull() | (F.size(vec_col) == F.lit(dim))
+    checked = F.when(
+        F.assert_true(
+            ok,
+            F.concat(
+                F.lit(f"opq_rotate: vector length != dim={dim}: got "),
+                F.size(vec_col).cast("string"),
+            ),
+        ).isNull(),
         F.col(vec_col),
+    )
+    xm = F.transform(
+        checked,
         lambda v: F.floor(v.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
             "long"
         ),
@@ -1244,6 +1258,12 @@ def _opq_rotate_gemm(
             mask = pdf[vec_col].notna()
             if mask.any():
                 vecs = [list(v) for v in pdf[vec_col][mask]]
+                bad = {len(v) for v in vecs} - {len(r_mat)}
+                if bad:
+                    raise ValueError(
+                        f"opq_rotate: vector length != dim="
+                        f"{len(r_mat)}: got {sorted(bad)}"
+                    )
                 xm = np.floor(
                     np.array(vecs, dtype=np.float64) * 1e6 + 0.5
                 ).astype(np.int64)

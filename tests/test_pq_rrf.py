@@ -507,3 +507,20 @@ def test_opq_fit_rotation_and_method_parity(spark):
     )
     got = res.groupBy("query_id").count().collect()
     assert {r["count"] for r in got} == {4}
+
+
+def test_opq_rotate_rejects_length_mismatch(spark):
+    """Both opq_rotate kernels refuse mis-sized vectors instead of
+    folding NULLs (sql) or raising an obscure numpy shape error (gemm)
+    — the hadamard_rotate r10-advisor contract carried over."""
+    import pytest
+
+    from etl_gardener_spark.operators import pq as PQ
+
+    r = PQ._identity_e6(8)
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    for m in ("sql", "gemm"):
+        with pytest.raises(Exception, match="vector length"):
+            PQ.opq_rotate(bad, "embedding", r, 8, method=m).collect()
