@@ -117,25 +117,30 @@ def save_ann_index(
     future queries consistently), codes/ (optional PQ table), plus the
     ``_PARTS`` marker naming what was written (load uses it to tell
     absence from read failure)."""
+    from etl_gardener_spark.parallel import run_jobs
+
     parts = {CELLS: cells.schema.json()}
-    (
-        cells.write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(os.path.join(index_dir, CELLS))
-    )
-    if centroids is not None:
-        centroids.write.mode("overwrite").parquet(
-            os.path.join(index_dir, CENTROIDS)
+    writes = [
+        lambda: (
+            cells.write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(os.path.join(index_dir, CELLS))
         )
-        parts[CENTROIDS] = centroids.schema.json()
-    if codes is not None:
-        codes.write.mode("overwrite").parquet(os.path.join(index_dir, CODES))
-        parts[CODES] = codes.schema.json()
-    if codebooks is not None:
-        codebooks.write.mode("overwrite").parquet(
-            os.path.join(index_dir, CODEBOOKS)
-        )
-        parts[CODEBOOKS] = codebooks.schema.json()
+    ]
+    for name, df in (
+        (CENTROIDS, centroids), (CODES, codes), (CODEBOOKS, codebooks)
+    ):
+        if df is not None:
+            parts[name] = df.schema.json()
+            writes.append(
+                lambda name=name, df=df: df.write.mode("overwrite").parquet(
+                    os.path.join(index_dir, name)
+                )
+            )
+    # the part writes land in disjoint subdirectories — overlap the
+    # write jobs (guide §2.6); the marker is written only after every
+    # part committed, preserving the promise-only-what-exists contract
+    run_jobs(writes)
     _write_marker(cells.sparkSession, index_dir, parts)
 
 
@@ -178,8 +183,10 @@ def load_ann_index(
                 # empty relation from the marker's saved schema
                 from pyspark.sql.types import StructType
 
-                df = spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(schema_json))
+                from etl_gardener_spark.functions.localrel import local_df
+
+                df = local_df(
+                    spark, [], StructType.fromJson(json.loads(schema_json))
                 )
                 out[name] = df if name != CELLS else df.select(
                     "neighbor_id", "c_vec",

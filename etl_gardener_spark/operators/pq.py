@@ -747,7 +747,12 @@ def pq_fit(
     if n_iter > 0:
         # training scans subs repeatedly — pin it once
         subs = subs.localCheckpoint(eager=True)
-        cb = cb.localCheckpoint(eager=True)
+        # eager=False: the codebook is materialized (and its lineage
+        # truncated) by iteration 1's broadcast build anyway — an eager
+        # checkpoint here would pay one extra scheduler round-trip per
+        # fit for a <= m*k_sub-row relation (guide §1.2: fewer driver
+        # actions, same computation)
+        cb = cb.localCheckpoint(eager=False)
     for _ in range(n_iter):
         scored = subs.join(F.broadcast(cb), "s").withColumn(
             "__d", _svec_dist_e6(F.col("svec"), F.col("cvec"))
@@ -789,7 +794,10 @@ def pq_fit(
                     lambda st: st.getField("mv"),
                 ).alias("cvec")
             )
-            .localCheckpoint(eager=True)
+            # eager=False: materialized by the next iteration's (or the
+            # caller's) broadcast build — saves one scheduler round-trip
+            # per Lloyd iteration for the m*k_sub-row relation
+            .localCheckpoint(eager=False)
         )
     return cb
 
@@ -1187,7 +1195,7 @@ def opq_rotate(
     if method == "gemm":
         return _opq_rotate_gemm(df, vec_col, r_e6, dim, out)
     spark = df.sparkSession
-    rdf = spark.createDataFrame([(r_e6,)], "__opq_r array<array<long>>")
+    rdf = local_df(spark, [(r_e6,)], "__opq_r array<array<long>>")
     # executor-side length assert (the hadamard_rotate r10-advisor
     # contract): a shorter vector would fold element_at NULLs into
     # every output component, a longer one would silently truncate
@@ -1325,7 +1333,10 @@ def opq_fit(
             "sample_bound (OPQ trains on a bounded sample by convention) "
             "or raise max_sample_rows explicitly."
         )
-    sample = sample.localCheckpoint(eager=True)
+    # eager=False: the collect below materializes the checkpoint in the
+    # same job (one scheduler round-trip instead of two); the pinned
+    # blocks then feed every pq_fit scan of the sample
+    sample = sample.localCheckpoint(eager=False)
     import numpy as np
 
     x_rows = {r["sid"]: r["vec"] for r in sample.collect()}

@@ -1011,7 +1011,11 @@ def kmeans_fit(
                     lambda s: s.getField("m"),
                 ).alias("cvec")
             )
-        ).localCheckpoint(eager=True)
+            # eager=False: the next assignment pass materializes the
+            # k-row relation (broadcast build on the fold path, collect
+            # on the gemm path) — saves one scheduler round-trip per
+            # Lloyd iteration (guide §1.2)
+        ).localCheckpoint(eager=False)
     final = assign_fn(vecs, cents, id_col, vec_col, round_digits).select(
         F.col(id_col), F.col("cid").alias("cluster_id")
     )

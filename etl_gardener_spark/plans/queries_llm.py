@@ -34,6 +34,7 @@ from etl_gardener_spark.operators import corpus as CP
 from etl_gardener_spark.operators import multimodal as MM
 from etl_gardener_spark.operators import neardup as ND
 from etl_gardener_spark.operators import similarity as SIM
+from etl_gardener_spark.parallel import run_jobs
 from etl_gardener_spark.plans.queries import query
 from etl_gardener_spark.sources.tables import load_table
 
@@ -2523,24 +2524,40 @@ def emb_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_exact = exact.count()
-    _final, trained_cents = SIM.kmeans_fit(
-        e, "vec_id", "embedding", k=16, n_iter=2
-    )
-    quantizers = {"seeded": None, "trained": trained_cents}
-    rows = []
-    for qz, cents in quantizers.items():
+
+    def _probe_arm(qz, cents, cells, np_):
+        approx = SIM.cosine_topk_ivf(
+            e, probes, k=5, n_centroids=16, nprobe=np_,
+            centroids=cents, cells=cells,
+        ).select("query_id", "neighbor_id")
+        matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
+        recall = round(matched / n_exact, 4) if n_exact else None
+        return (qz, np_, n_exact, matched, recall)
+
+    def _quantizer_arms(qz, cents):
         # index built ONCE per quantizer: the corpus-side cell
         # assignment is the expensive half, identical across the four
-        # nprobe arms (only the query probe depth varies)
+        # nprobe arms (only the query probe depth varies) — the four
+        # matched-count jobs then overlap (guide §2.6)
         cells = SIM.ivf_build_cells(e, n_centroids=16, centroids=cents)
-        for np_ in _PROBE_ARMS:
-            approx = SIM.cosine_topk_ivf(
-                e, probes, k=5, n_centroids=16, nprobe=np_,
-                centroids=cents, cells=cells,
-            ).select("query_id", "neighbor_id")
-            matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
-            recall = round(matched / n_exact, 4) if n_exact else None
-            rows.append((qz, np_, n_exact, matched, recall))
+        return run_jobs([
+            (lambda np_=np_: _probe_arm(qz, cents, cells, np_))
+            for np_ in _PROBE_ARMS
+        ])
+
+    def _trained_arms():
+        # the k-means fit chain gates only its own quantizer's arms;
+        # the seeded arms back-fill the box while it runs
+        _final, cents = SIM.kmeans_fit(
+            e, "vec_id", "embedding", k=16, n_iter=2
+        )
+        return _quantizer_arms("trained", cents)
+
+    armsets = run_jobs([
+        lambda: _quantizer_arms("seeded", None),
+        _trained_arms,
+    ])
+    rows = [r for armset in armsets for r in armset]
     return local_df(
         spark, rows,
         "quantizer string, nprobe long, n_exact long, n_matched long,"
@@ -2881,9 +2898,12 @@ def emb_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     comp = SIM.sq8_compress(e).localCheckpoint(eager=False)
-    n_exact = exact.count()
-    rows = []
-    for method, cand in [("sq8_cand8", 8), ("sq8_cand15", 15)]:
+    # materialize the shared inputs concurrently (ground truth + the
+    # compressed corpus both budgets scan), then overlap the arms
+    # (guide §2.6)
+    n_exact, _ = run_jobs([exact.count, comp.count])
+
+    def _arm(method, cand):
         approx = SIM.cosine_topk_sq8(
             e, probes, k=5, cand_per_query=cand, comp=comp
         ).select("query_id", "neighbor_id")
@@ -2891,7 +2911,12 @@ def emb_sq8_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recall of an empty probe set is undefined -> NULL (the SQL
         # x/0 answer the oracle produces)
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((method, n_exact, matched, recall))
+        return (method, n_exact, matched, recall)
+
+    rows = run_jobs([
+        lambda: _arm("sq8_cand8", 8),
+        lambda: _arm("sq8_cand15", 15),
+    ])
     return local_df(
         spark, rows,
         "method string, n_exact long, n_matched long, recall double",
@@ -2976,14 +3001,21 @@ def emb_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = PQ.pq_topk_ivf(
         e, probes, k=5, n_centroids=16, nprobe=4, codes=codes, **kw
     ).select("query_id", "neighbor_id")
-    n_exact = exact.count()
-    rows = []
-    for method, approx in [("pq", flat), ("ivfpq", ivfpq)]:
+    # materialize the shared inputs concurrently (ground truth + the
+    # encode both arms search over), then overlap the arms (guide §2.6)
+    n_exact, _ = run_jobs([exact.count, codes.count])
+
+    def _arm(method, approx):
         matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
         # recall of an empty probe set is undefined -> NULL (the SQL
         # x/0 answer the oracle produces)
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((method, n_exact, matched, recall))
+        return (method, n_exact, matched, recall)
+
+    rows = run_jobs([
+        lambda: _arm("pq", flat),
+        lambda: _arm("ivfpq", ivfpq),
+    ])
     return local_df(
         spark, rows,
         "method string, n_exact long, n_matched long, recall double"
@@ -5121,13 +5153,20 @@ def emb_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, probes, k=5, n_centroids=16, nprobe=4
     ).select("query_id", "neighbor_id")
     n_brute = brute.count()
-    rows = []
-    for method, approx in [("lsh", lsh), ("ivf", ivf)]:
+
+    def _arm(method, approx):
         matched = approx.join(brute, ["query_id", "neighbor_id"]).count()
         # recall of an empty probe set is undefined -> NULL (the SQL
         # x/0 answer the oracle produces; differential-fuzz, seed 0)
         recall = round(matched / n_brute, 4) if n_brute else None
-        rows.append((method, n_brute, matched, recall))
+        return (method, n_brute, matched, recall)
+
+    # both index arms search the same materialized ground truth —
+    # overlap their job chains (guide §2.6)
+    rows = run_jobs([
+        lambda: _arm("lsh", lsh),
+        lambda: _arm("ivf", ivf),
+    ])
     return local_df(
         spark, rows,
         "method string, n_brute long, n_matched long, recall double"
@@ -5213,8 +5252,8 @@ def emb_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     n_exact = full.count()
-    rows = []
-    for dim in _MATRYOSHKA_DIMS:
+
+    def _arm(dim):
         te = e.select(
             "vec_id", F.slice("embedding", 1, dim).alias("embedding")
         )
@@ -5227,7 +5266,13 @@ def emb_matryoshka_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         matched = trunc.join(full, ["query_id", "neighbor_id"]).count()
         # empty corpus: recall undefined -> NULL (the SQL x/0 answer)
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((dim, n_exact, matched, recall))
+        return (dim, n_exact, matched, recall)
+
+    # each truncation arm is an independent brute-force search over the
+    # materialized full-dim ground truth — overlap them (guide §2.6)
+    rows = run_jobs([
+        (lambda dim=dim: _arm(dim)) for dim in _MATRYOSHKA_DIMS
+    ])
     return local_df(
         spark, rows,
         "dim long, n_exact long, n_matched long, recall double"
@@ -5316,10 +5361,12 @@ def dq_table_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap tripwire that catches a producer dropping a column or
     shipping an empty partition. Column counts come from the schemas
     (metadata only); row counts are one count job per table."""
-    rows = []
-    for t in _CONTRACT_TABLES:
+    def _contract(t):
         df = load_table(spark, sf_dir, t)
-        rows.append((t, len(df.columns), df.count()))
+        return (t, len(df.columns), df.count())
+
+    # one independent count job per table — overlap them (guide §2.6)
+    rows = run_jobs([(lambda t=t: _contract(t)) for t in _CONTRACT_TABLES])
     return local_df(
         spark, rows, "tbl string, n_cols long, n_rows long"
     )
@@ -6754,15 +6801,20 @@ def emb_pq_residual_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame
             m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
         ),
     }
-    rows = []
-    for v, fn in arms.items():
+    def _arm(v, fn):
         matched = (
             fn().select("query_id", "neighbor_id")
             .join(exact, ["query_id", "neighbor_id"])
             .count()
         )
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((v, n_exact, matched, recall))
+        return (v, n_exact, matched, recall)
+
+    # both arms are independent searches over the materialized ground
+    # truth — overlap their job chains (guide §2.6)
+    rows = run_jobs([
+        (lambda v=v, fn=fn: _arm(v, fn)) for v, fn in arms.items()
+    ])
     return local_df(
         spark, rows,
         "variant string, n_exact long, n_matched long, recall double",
@@ -7083,15 +7135,20 @@ def emb_pq_codebook_recall_report(
             m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB, n_iter=2,
         ),
     }
-    rows = []
-    for v, fn in sorted(arms.items()):
+    def _arm(v, fn):
         matched = (
             fn().select("query_id", "neighbor_id")
             .join(exact, ["query_id", "neighbor_id"])
             .count()
         )
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((v, n_exact, matched, recall))
+        return (v, n_exact, matched, recall)
+
+    # the four arms are independent fit+search chains over the shared
+    # materialized ground truth — overlap them (guide §2.6)
+    rows = run_jobs([
+        (lambda v=v, fn=fn: _arm(v, fn)) for v, fn in sorted(arms.items())
+    ])
     return local_df(
         spark, rows,
         "variant string, n_exact long, n_matched long, recall double",
@@ -7279,12 +7336,19 @@ def emb_pq_refine_recall_report(
         e, probes, k=5, refine_factor=4, n_centroids=16, nprobe=4,
         codes=codes, **kw
     ).select("query_id", "neighbor_id")
-    n_exact = exact.count()
-    rows = []
-    for method, approx in [("ivfpq", ivfpq), ("ivfpq_refined", refined)]:
+    # materialize the shared inputs concurrently (ground truth + the
+    # encode both arms search over), then overlap the arms (guide §2.6)
+    n_exact, _ = run_jobs([exact.count, codes.count])
+
+    def _arm(method, approx):
         matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((method, n_exact, matched, recall))
+        return (method, n_exact, matched, recall)
+
+    rows = run_jobs([
+        lambda: _arm("ivfpq", ivfpq),
+        lambda: _arm("ivfpq_refined", refined),
+    ])
     return local_df(
         spark, rows,
         "method string, n_exact long, n_matched long, recall double"
@@ -7763,18 +7827,28 @@ def emb_pq_hadamard_recall_report(
     had = PQ.pq_topk(
         rot, rot.filter(F.col("vec_id") < 10), k=5, **kw
     ).select("query_id", "neighbor_id")
-    opq = PQ.pq_topk_opq(
-        e, probes, k=5, dim=_HAD_DIM, n_iter=2, n_opq_iter=1,
-        ns_iter=_OPQ_NS, sample_bound=_OPQ_SAMPLE, **kw
-    ).select("query_id", "neighbor_id")
     n_exact = exact.count()
-    rows = []
-    for method, approx in [
-        ("pq_plain", plain), ("pq_hadamard", had), ("pq_opq", opq)
-    ]:
+
+    def _match(method, approx):
         matched = approx.join(exact, ["query_id", "neighbor_id"]).count()
         recall = round(matched / n_exact, 4) if n_exact else None
-        rows.append((method, n_exact, matched, recall))
+        return (method, n_exact, matched, recall)
+
+    def _opq_arm():
+        # pq_topk_opq runs the opq_fit alternation at CONSTRUCTION time
+        # (driver-side collects), so the whole build lives in this
+        # thunk and the cheap arms back-fill around it (guide §2.6)
+        opq = PQ.pq_topk_opq(
+            e, probes, k=5, dim=_HAD_DIM, n_iter=2, n_opq_iter=1,
+            ns_iter=_OPQ_NS, sample_bound=_OPQ_SAMPLE, **kw
+        ).select("query_id", "neighbor_id")
+        return _match("pq_opq", opq)
+
+    rows = run_jobs([
+        lambda: _match("pq_plain", plain),
+        lambda: _match("pq_hadamard", had),
+        _opq_arm,
+    ])
     return local_df(
         spark, rows,
         "method string, n_exact long, n_matched long, recall double"
@@ -8002,19 +8076,8 @@ def emb_pq_opq_mse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rot_h = PQ.hadamard_rotate(e, "embedding", _HAD_DIM).localCheckpoint(
         eager=False
     )
-    r_e6 = PQ.opq_fit(
-        e, dim=_DIM, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
-        n_iter=2, n_opq_iter=1, ns_iter=_OPQ_NS, sample_bound=_OPQ_SAMPLE,
-    )
-    rot_o = PQ.opq_rotate(valid, "embedding", r_e6, _DIM).localCheckpoint(
-        eager=False
-    )
-    rows = []
-    for method, src in (
-        ("trained", e),
-        ("hadamard_trained", rot_h),
-        ("opq_trained", rot_o),
-    ):
+
+    def _arm(method, src):
         cb = PQ.pq_fit(src, "vec_id", "embedding", _PQ_M, _PQ_SUB,
                        _PQ_KSUB, 2)
         codes = PQ.exploded_codes_sub(
@@ -8032,7 +8095,24 @@ def emb_pq_opq_mse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             if nv
             else None
         )
-        rows.append((method, nv, mse))
+        return (method, nv, mse)
+
+    def _opq_arm():
+        # this arm alone depends on the opq_fit alternation chain; the
+        # other two arms back-fill the box while it runs (guide §2.6)
+        r_e6 = PQ.opq_fit(
+            e, dim=_DIM, m=_PQ_M, sub_dim=_PQ_SUB, k_sub=_PQ_KSUB,
+            n_iter=2, n_opq_iter=1, ns_iter=_OPQ_NS,
+            sample_bound=_OPQ_SAMPLE,
+        )
+        rot_o = PQ.opq_rotate(valid, "embedding", r_e6, _DIM)
+        return _arm("opq_trained", rot_o.localCheckpoint(eager=False))
+
+    rows = run_jobs([
+        lambda: _arm("trained", e),
+        lambda: _arm("hadamard_trained", rot_h),
+        _opq_arm,
+    ])
     rows.sort(key=lambda r: r[0])
     return local_df(
         spark, rows, "method string, n_vectors long, mse double"
@@ -8125,9 +8205,14 @@ def emb_ann_topk_pq_opq_persisted(
     )
     d = _scratch("opqidx")
     # the cells slot is the IVF artifact; this flat-PQ index persists
-    # rotation + codebooks, with an empty cells relation as the anchor
-    empty_cells = spark.createDataFrame(
-        [], "neighbor_id long, c_vec array<double>, cell long"
+    # rotation + codebooks, with an empty cells relation as the anchor.
+    # local_df, NOT createDataFrame: a bare createDataFrame([]) spreads
+    # the empty relation over defaultParallelism pickled slices, and
+    # its partitionBy write then pays 32 Python-worker round-trips for
+    # zero rows (measured 37.6 task-s in the save phase — the whole
+    # query's worst job)
+    empty_cells = local_df(
+        spark, [], "neighbor_id long, c_vec array<double>, cell long"
     )
     save_ann_index(d, empty_cells, codebooks=cb_fit)
     save_opq_rotation(spark, d, r_fit)
