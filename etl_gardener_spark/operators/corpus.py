@@ -745,6 +745,7 @@ def bloom_gram_store(
     n: int = 5,
     bits: int = 1 << 17,
     hashes: int = 3,
+    gram_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-filter store of a benchmark corpus's word ``n``-grams: one
     row per SET bit — ``(bit_pos)``, at most ``bits`` rows of one int64.
@@ -759,10 +760,21 @@ def bloom_gram_store(
     large the benchmark side grows; size ``bits`` ≥ ~10x the expected
     distinct-gram count to keep the false-positive rate near
     (fill)^hashes.
+
+    ``gram_hashes``: optional precomputed ``shingle_hash_sets(bench, …)``
+    relation — callers that also run the exact verification join over
+    the same benchmark side (``doc_bloom_decontaminate``) pass the one
+    materialized hash relation so the md5 shingling pass runs once, not
+    once per consumer (guide §2.4: don't recompute what a sibling branch
+    already computed).
     """
+    sh = (
+        gram_hashes
+        if gram_hashes is not None
+        else shingle_hash_sets(bench, text_col, id_col, n)
+    )
     bg = (
-        shingle_hash_sets(bench, text_col, id_col, n)
-        .select(F.explode_outer("sh").alias("g"))
+        sh.select(F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
     )
@@ -779,6 +791,7 @@ def bloom_decontaminate(
     n: int = 5,
     bits: int = 1 << 17,
     hashes: int = 3,
+    gram_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom pre-filter for benchmark decontamination: per training
     document, how many of its distinct word ``n``-grams the Bloom
@@ -795,10 +808,17 @@ def bloom_decontaminate(
     loses a contamination; false positives (measured against the exact
     join by the registry query ``doc_bloom_decontaminate``) cost only
     wasted verification work, at rate ≈ fill^hashes.
+
+    ``gram_hashes``: optional precomputed ``shingle_hash_sets(train, …)``
+    relation, same sharing contract as :func:`bloom_gram_store`.
     """
+    sh = (
+        gram_hashes
+        if gram_hashes is not None
+        else shingle_hash_sets(train, text_col, id_col, n)
+    )
     tg = (
-        shingle_hash_sets(train, text_col, id_col, n)
-        .select(F.col(id_col), F.explode_outer("sh").alias("g"))
+        sh.select(F.col(id_col), F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
     )
     probe = tg.select(

@@ -623,15 +623,16 @@ def jaccard_pairs(
     # The shingle relation feeds multiple plan branches; materialize once
     # instead of recomputing the shingling pipeline per branch (callers
     # running several pipelines over one corpus pass it in via `hashes`).
-    sh = (
-        hashes
-        if hashes is not None
-        else shingle_hash_sets(df, text_col, id_col, n).localCheckpoint(
-            eager=True
-        )
-    )
+    # On the standalone prefix-filter path `sh` has exactly ONE consumer
+    # (the sorted_sh projection below, itself checkpointed), so
+    # materializing it separately would just add a serial job and a
+    # second pass — checkpoint only when a shared relation was passed in
+    # or the candidate-verify path reads it twice.
+    sh = hashes if hashes is not None else shingle_hash_sets(df, text_col, id_col, n)
 
     if candidates is not None:
+        if hashes is None:
+            sh = sh.localCheckpoint(eager=True)
         sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

@@ -747,12 +747,6 @@ def pq_fit(
     if n_iter > 0:
         # training scans subs repeatedly — pin it once
         subs = subs.localCheckpoint(eager=True)
-        # eager=False: the codebook is materialized (and its lineage
-        # truncated) by iteration 1's broadcast build anyway — an eager
-        # checkpoint here would pay one extra scheduler round-trip per
-        # fit for a <= m*k_sub-row relation (guide §1.2: fewer driver
-        # actions, same computation)
-        cb = cb.localCheckpoint(eager=False)
     for _ in range(n_iter):
         scored = subs.join(F.broadcast(cb), "s").withColumn(
             "__d", _svec_dist_e6(F.col("svec"), F.col("cvec"))
@@ -766,7 +760,18 @@ def pq_fit(
         exploded = assigned.join(subs, [id_col, "s"]).select(
             "s", "cid", F.posexplode("svec").alias("pos", "val")
         )
-        cb = (
+        # the updated codebook is O(m·k_sub·sub_dim) values — collect the
+        # per-(s, cid, pos) integer-micro means and re-embed them as a
+        # local relation (the kmeans_fit pattern): a lazy localCheckpoint
+        # of an AQE plan still force-runs every intermediate stage
+        # serially via toRdd, and each later consumer pays a
+        # broadcast-build job, while a LocalTableScan broadcasts without
+        # scheduling anything. Values are bit-identical — the distributed
+        # aggregate is unchanged and the driver only reassembles its rows
+        # into pos-ordered arrays, exactly what the former
+        # array_sort(collect_list(struct)) tail did (pos is unique per
+        # (s, cid), so the orders coincide).
+        mrows = (
             exploded.groupBy("s", "cid", "pos")
             .agg(
                 F.sum(
@@ -787,17 +792,22 @@ def pq_fit(
                     / F.lit(1e6)
                 ).alias("mv"),
             )
-            .groupBy("s", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda st: st.getField("mv"),
-                ).alias("cvec")
+            .collect()
+        )
+        by_key: dict[tuple[int, int], list[tuple[int, float | None]]] = {}
+        for r in mrows:
+            by_key.setdefault((int(r[0]), int(r[1])), []).append(
+                (int(r[2]), None if r[3] is None else float(r[3]))
             )
-            # eager=False: materialized by the next iteration's (or the
-            # caller's) broadcast build — saves one scheduler round-trip
-            # per Lloyd iteration for the m*k_sub-row relation
-            .localCheckpoint(eager=False)
+        cb = local_df(
+            corpus.sparkSession,
+            [
+                (s, cid, [mv for _, mv in sorted(vals)])
+                for (s, cid), vals in sorted(by_key.items())
+            ],
+            # s stays INT (the seed's F.lit(s) type), cid long, mv double
+            # — the exact schema the former aggregate tail produced
+            "s int, cid long, cvec array<double>",
         )
     return cb
 

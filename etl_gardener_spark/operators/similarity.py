@@ -997,25 +997,43 @@ def kmeans_fit(
         cur = assign_fn(vecs, cents, id_col, vec_col, round_digits)
         # update: element-wise mean per cluster, rebuilt into an array
         # ordered by dimension; empty clusters drop out (their cid simply
-        # stops attracting points — Lloyd's standard degenerate case)
+        # stops attracting points — Lloyd's standard degenerate case).
+        # The rounded per-(cid, pos) means are collected to the driver
+        # and re-embedded as a local relation: the centroid relation is
+        # O(k·dim) — the same driver-size class the gemm assignment path
+        # collects every iteration anyway — and a local relation feeds
+        # the next assignment pass with NO broadcast-build job and no
+        # checkpoint materialization (a lazy localCheckpoint of an AQE
+        # plan still force-runs every intermediate stage serially via
+        # toRdd: measured 7-9 scheduler round-trips per Lloyd iteration
+        # vs 2-3 for this one collect). Values are bit-identical: the
+        # distributed avg+round aggregate is unchanged, and the driver
+        # only reassembles its output rows into pos-ordered arrays —
+        # exactly what the former array_sort(collect_list(struct)) tail
+        # did (pos is unique per cid, so the orders coincide).
         exploded = vecs.join(cur, id_col).select(
             "cid", F.posexplode(vec_col).alias("pos", "val")
         )
-        cents = (
+        mrows = (
             exploded.groupBy("cid", "pos")
             .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.getField("m"),
-                ).alias("cvec")
+            .collect()
+        )
+        by_cid: dict[int, list[tuple[int, float | None]]] = {}
+        for r in mrows:
+            # m is NULL when every contributing element was NULL — the
+            # old collect_list tail kept it as a NULL array element
+            by_cid.setdefault(int(r[0]), []).append(
+                (int(r[1]), None if r[2] is None else float(r[2]))
             )
-            # eager=False: the next assignment pass materializes the
-            # k-row relation (broadcast build on the fold path, collect
-            # on the gemm path) — saves one scheduler round-trip per
-            # Lloyd iteration (guide §1.2)
-        ).localCheckpoint(eager=False)
+        cents = local_df(
+            spark,
+            [
+                (cid, [m for _, m in sorted(vals)])
+                for cid, vals in sorted(by_cid.items())
+            ],
+            "cid long, cvec array<double>",
+        )
     final = assign_fn(vecs, cents, id_col, vec_col, round_digits).select(
         F.col(id_col), F.col("cid").alias("cluster_id")
     )

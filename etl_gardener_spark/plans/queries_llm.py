@@ -5958,20 +5958,31 @@ def doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("source") == "src0")
     train = d.filter(F.col("source") != "src0")
+    # one md5 shingling pass PER SIDE, shared by the Bloom branch and the
+    # exact-verification branch (guide §2.4 — the two branches previously
+    # each recomputed their side's hashes, doubling the query's CPU floor)
+    bench_sh = ND.shingle_hash_sets(
+        bench, "text", "doc_id", _DECON_N
+    ).localCheckpoint(eager=True)
+    train_sh = ND.shingle_hash_sets(
+        train, "text", "doc_id", _DECON_N
+    ).localCheckpoint(eager=True)
     store = CP2.bloom_gram_store(
-        bench, "text", "doc_id", n=_DECON_N, bits=_BLOOM_BITS, hashes=_BLOOM_K
+        bench, "text", "doc_id", n=_DECON_N, bits=_BLOOM_BITS, hashes=_BLOOM_K,
+        gram_hashes=bench_sh,
     )
     bloom = CP2.bloom_decontaminate(
         train, store, "text", "doc_id",
         n=_DECON_N, bits=_BLOOM_BITS, hashes=_BLOOM_K,
+        gram_hashes=train_sh,
     )
     tg = (
-        ND.shingle_hash_sets(train, "text", "doc_id", _DECON_N)
+        train_sh
         .select(F.col("doc_id"), F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
     )
     bg = (
-        ND.shingle_hash_sets(bench, "text", "doc_id", _DECON_N)
+        bench_sh
         .select(F.explode_outer("sh").alias("g"))
         .filter(F.col("g").isNotNull())
         .distinct()
