@@ -1298,6 +1298,172 @@ def _opq_rotate_gemm(
     return df.mapInPandas(gen, schema=out_schema)
 
 
+def _pq_group_key(svec) -> tuple:
+    """Grouping key with Spark's aggregate-key float semantics: -0.0
+    groups with 0.0 and all NaNs group together (Catalyst normalizes
+    both before hashing group keys)."""
+    out = []
+    for v in svec:
+        f = float(v)
+        if f != f:
+            out.append("nan")
+        else:
+            out.append(0.0 if f == 0.0 else f)
+    return tuple(out)
+
+
+def _svec_dist_e6_local(x, y) -> int:
+    """Driver twin of _svec_dist_e6: identical left-to-right IEEE double
+    fold of squared differences, identical floor half-up micro cast.
+    Python floats ARE IEEE doubles, so each op is bit-identical."""
+    import math
+
+    acc = 0.0
+    for a, b in zip(x, y):
+        d = float(a) - float(b)
+        acc = acc + d * d
+    return int(math.floor(acc * 1e6 + 0.5))
+
+
+def _pq_fit_local(
+    rows: list[tuple[int, list[float]]],
+    m: int,
+    sub_dim: int,
+    k_sub: int,
+    n_iter: int,
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Driver-side exact replica of :func:`pq_fit` for an ALREADY
+    COLLECTED, bounded sample (the opq_fit alternation trains on the
+    id-bounded sample per FAISS convention, and opq_fit collects that
+    sample anyway for the scatter) — same seeding (first k_sub distinct
+    sub-vectors by min id), same integer-micro argmin with (d, cid)
+    tie-break, same exact-int64-sum half-up-mean update, same empty-
+    codeword dropout. Running it on the driver replaces ~4 scheduler
+    round-trips per Lloyd iteration with zero; bit-equality with the
+    distributed kernel is pinned by
+    tests/test_pq_rrf.py::test_pq_fit_local_matches_spark.
+
+    Returns {s: [(cid, cvec), ...]} sorted by cid within each s."""
+    import math
+
+    melted: list[tuple[int, int, list[float]]] = []
+    for sid, vec in rows:
+        if vec is None:
+            continue
+        if len(vec) < m * sub_dim:
+            raise ValueError(
+                f"pq: embedding shorter than m*sub_dim={m * sub_dim}: "
+                f"got {len(vec)}"
+            )
+        for s in range(m):
+            raw = vec[s * sub_dim : (s + 1) * sub_dim]
+            if any(v is None for v in raw):
+                raise ValueError("pq: NULL vector component in fit sample")
+            melted.append((sid, s, [float(v) for v in raw]))
+    # seed: per sub-space, min id per DISTINCT sub-vector, first k_sub
+    # by that min id, renumbered 0..k_sub-1 (pq_fit's window rank)
+    distinct: dict[tuple, tuple[int, list[float]]] = {}
+    for sid, s, sv in melted:
+        key = (s, _pq_group_key(sv))
+        cur = distinct.get(key)
+        if cur is None or sid < cur[0]:
+            distinct[key] = (sid, sv)
+    per_s: dict[int, list[tuple[int, list[float]]]] = {}
+    for (s, _k), (mid, sv) in distinct.items():
+        per_s.setdefault(s, []).append((mid, sv))
+    cb: dict[int, list[tuple[int, list[float]]]] = {}
+    for s, lst in per_s.items():
+        lst.sort(key=lambda t: t[0])
+        cb[s] = [(cid, sv) for cid, (_mid, sv) in enumerate(lst[:k_sub])]
+    for _ in range(n_iter):
+        # assignment: integer-micro argmin, (de6 ASC, cid ASC) tie-break
+        sums: dict[tuple[int, int, int], list[int]] = {}
+        for sid, s, sv in melted:
+            best = None
+            for cid, cvec in cb.get(s, []):
+                key = (_svec_dist_e6_local(sv, cvec), cid)
+                if best is None or key < best:
+                    best = key
+            if best is None:
+                continue
+            cid = best[1]
+            for pos, val in enumerate(sv):
+                e6 = int(math.floor(val * 1e6 + 0.5))
+                acc = sums.get((s, cid, pos))
+                if acc is None:
+                    sums[(s, cid, pos)] = [e6, 1]
+                else:
+                    acc[0] += e6
+                    acc[1] += 1
+        by_key: dict[tuple[int, int], list[tuple[int, float]]] = {}
+        for (s, cid, pos), (se6, n) in sums.items():
+            mv = float(int(math.floor(float(se6) / n + 0.5))) / 1e6
+            by_key.setdefault((s, cid), []).append((pos, mv))
+        cb = {}
+        for (s, cid), vals in sorted(by_key.items()):
+            cb.setdefault(s, []).append(
+                (cid, [mv for _pos, mv in sorted(vals)])
+            )
+    return cb
+
+
+def _pq_encode_local(
+    rows: list[tuple[int, list[float]]],
+    cb: dict[int, list[tuple[int, list[float]]]],
+    m: int,
+    sub_dim: int,
+) -> dict[int, list[float]]:
+    """Driver twin of exploded_codes_sub + the opq_fit reconstruction
+    tail: per (id, sub-space) integer-micro argmin against the trained
+    codebook, yhat = the chosen codewords concatenated in sub-space
+    order. Returns {sid: yhat}."""
+    out: dict[int, list[float]] = {}
+    for sid, vec in rows:
+        if vec is None:
+            continue
+        yhat: list[float] = []
+        for s in range(m):
+            sv = [float(v) for v in vec[s * sub_dim : (s + 1) * sub_dim]]
+            best = None
+            best_cvec = None
+            for cid, cvec in cb.get(s, []):
+                key = (_svec_dist_e6_local(sv, cvec), cid)
+                if best is None or key < best:
+                    best = key
+                    best_cvec = cvec
+            if best_cvec is None:
+                # empty sub-space codebook: the distributed join drops
+                # this sub-space's rows but keeps the id (unreachable
+                # for non-empty samples; mirrored for exactness)
+                continue
+            yhat.extend(best_cvec)
+        if yhat:
+            out[sid] = yhat
+    return out
+
+
+def _opq_rotate_rows(
+    rows: list[tuple[int, list[float]]],
+    r_e6: list[list[int]],
+) -> list[tuple[int, list[float]]]:
+    """Driver twin of opq_rotate's exact integer-grid kernel (the gemm
+    math verbatim: quantize, int64 matmul, half-up re-quantize)."""
+    import numpy as np
+
+    if not rows:
+        return rows
+    r_mat = np.asarray(r_e6, dtype=np.int64)
+    sids = [sid for sid, _v in rows]
+    xm = np.floor(
+        np.array([v for _s, v in rows], dtype=np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    ym = np.floor((xm @ r_mat).astype(np.float64) / 1e6 + 0.5).astype(
+        np.int64
+    )
+    rot = ym.astype(np.float64) / 1e6
+    return [(sid, rot[i].tolist()) for i, sid in enumerate(sids)]
+
+
 def opq_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1343,43 +1509,29 @@ def opq_fit(
             "sample_bound (OPQ trains on a bounded sample by convention) "
             "or raise max_sample_rows explicitly."
         )
-    # eager=False: the collect below materializes the checkpoint in the
-    # same job (one scheduler round-trip instead of two); the pinned
-    # blocks then feed every pq_fit scan of the sample
-    sample = sample.localCheckpoint(eager=False)
     import numpy as np
 
-    x_rows = {r["sid"]: r["vec"] for r in sample.collect()}
+    # ONE collect (the count above guards its bound); the whole
+    # alternation — rotate sample, fit per-sub-space codebooks, encode,
+    # reconstruct — runs on the driver with the exact-twin kernels
+    # (_pq_fit_local/_pq_encode_local/_opq_rotate_rows): the sample is
+    # O(sample_bound * dim) BY CONSTRUCTION, the same driver size class
+    # as the scatter this function always collected, and the Spark
+    # round-trips it replaces were ~15 scheduler jobs over <=256 rows
+    # (guide §1.2/§5 — don't schedule a cluster for driver-sized work).
+    sample_rows = [
+        (r["sid"], list(r["vec"])) for r in sample.collect()
+    ]
+    x_rows = {sid: vec for sid, vec in sample_rows}
     r_e6 = _identity_e6(dim)
     for t in range(n_opq_iter):
-        src = (
-            sample
+        src_rows = (
+            sample_rows
             if t == 0
-            else opq_rotate(sample, "vec", r_e6, dim)
+            else _opq_rotate_rows(sample_rows, r_e6)
         )
-        cb = pq_fit(src, "sid", "vec", m, sub_dim, k_sub, n_iter)
-        cbj = cb.select(
-            F.col("s").alias("__cs"), F.col("cid").alias("__cc"), "cvec"
-        )
-        recon = (
-            exploded_codes_sub(src, "sid", "vec", m, sub_dim, cb)
-            .join(
-                F.broadcast(cbj),
-                (F.col("s") == F.col("__cs"))
-                & (F.col("code") == F.col("__cc")),
-            )
-            .select(F.col("neighbor_id").alias("sid"), "s", "cvec")
-            .groupBy("sid")
-            .agg(
-                F.flatten(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("s", "cvec"))),
-                        lambda st: st.getField("cvec"),
-                    )
-                ).alias("yhat")
-            )
-        )
-        y_rows = {r["sid"]: r["yhat"] for r in recon.collect()}
+        cb = _pq_fit_local(src_rows, m, sub_dim, k_sub, n_iter)
+        y_rows = _pq_encode_local(src_rows, cb, m, sub_dim)
         sids = [sid for sid in x_rows if sid in y_rows]
         if not sids:
             return _identity_e6(dim)

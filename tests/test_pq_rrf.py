@@ -524,3 +524,77 @@ def test_opq_rotate_rejects_length_mismatch(spark):
     for m in ("sql", "gemm"):
         with pytest.raises(Exception, match="vector length"):
             PQ.opq_rotate(bad, "embedding", r, 8, method=m).collect()
+
+
+def test_pq_fit_local_matches_spark(spark):
+    """The driver-side fit replica opq_fit now trains its sample on
+    (_pq_fit_local) is BIT-IDENTICAL to the distributed pq_fit on the
+    same relation — same distinct-by-min-id seeding, integer-micro
+    argmin tie-break, exact-int64-sum half-up means, and empty-codeword
+    dropout — across n_iter 0/1/2 and duplicate-heavy float32 input."""
+    dup = [(i, [0.0] * DIM) for i in range(3)]
+    rows = [(i, v) for i, (_, v) in enumerate(dup + _vecs(50, seed=5))]
+    f32rows = [
+        (i, [float(__import__("numpy").float32(x)) for x in v])
+        for i, v in rows
+    ]
+    for schema, data in (
+        ("vec_id long, embedding array<double>", rows),
+        ("vec_id long, embedding array<float>", rows),
+    ):
+        df = spark.createDataFrame(data, schema)
+        collected = [
+            (r["vec_id"], list(r["embedding"])) for r in df.collect()
+        ]
+        for n_iter in (0, 1, 2):
+            got = PQ._pq_fit_local(collected, M, SUB, KSUB, n_iter)
+            exp: dict = {}
+            for r in PQ.pq_fit(
+                df, m=M, sub_dim=SUB, k_sub=KSUB, n_iter=n_iter
+            ).collect():
+                exp.setdefault(r["s"], []).append(
+                    (r["cid"], list(r["cvec"]))
+                )
+            for s in exp:
+                exp[s].sort()
+            assert got == exp, (schema, n_iter)
+    del f32rows
+
+
+def test_pq_encode_local_matches_spark_recon(spark):
+    """_pq_encode_local (the driver twin of exploded_codes_sub + the
+    opq reconstruction tail) produces the identical yhat per id as the
+    distributed join/flatten pipeline it replaced."""
+    from etl_gardener_spark.functions.localrel import local_df
+
+    rows = [(i, v) for i, v in _vecs(40, seed=9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb_local = PQ._pq_fit_local(rows, M, SUB, KSUB, 2)
+    cb_rows = [
+        (s, cid, cvec) for s, lst in sorted(cb_local.items())
+        for cid, cvec in lst
+    ]
+    cb = local_df(spark, cb_rows, "s int, cid long, cvec array<double>")
+    cbj = cb.select(
+        F.col("s").alias("__cs"), F.col("cid").alias("__cc"), "cvec"
+    )
+    recon = (
+        PQ.exploded_codes_sub(df, "vec_id", "embedding", M, SUB, cb)
+        .join(
+            F.broadcast(cbj),
+            (F.col("s") == F.col("__cs")) & (F.col("code") == F.col("__cc")),
+        )
+        .select(F.col("neighbor_id").alias("sid"), "s", "cvec")
+        .groupBy("sid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "cvec"))),
+                    lambda st: st.getField("cvec"),
+                )
+            ).alias("yhat")
+        )
+    )
+    exp = {r["sid"]: list(r["yhat"]) for r in recon.collect()}
+    got = PQ._pq_encode_local(rows, cb_local, M, SUB)
+    assert got == exp
