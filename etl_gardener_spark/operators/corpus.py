@@ -372,7 +372,11 @@ def drop_duplicate_lines(
     over the line stream. (Suffix-array substring dedup is the heavier
     cousin; line-grain is the standard first pass.)
     """
-    lines = _line_stream(df, text_col, id_col, line_sep)
+    # two consumers (verdict aggregate + join-back): pin the hashed line
+    # stream once so split+md5 runs one corpus scan, not two (guide §2.4)
+    lines = _line_stream(df, text_col, id_col, line_sep).localCheckpoint(
+        eager=True
+    )
     verdict = lines.groupBy("__h").agg(
         F.countDistinct("__id").alias("__n_docs")
     )
@@ -584,7 +588,11 @@ def drop_duplicate_spans(
                 " ", F.slice(F.col("__toks"), F.col("__p") + 1, span_len)
             )
         ).alias("__h"),
-    )
+        # two consumers (the verdict aggregate and the join-back): pin
+        # the narrow (id, p, h) gram stream once so the slice+concat+md5
+        # window kernel — the CPU floor of the pass — runs ONE corpus
+        # scan, not two (guide §2.4; the shingle hashes= contract)
+    ).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("__h")
         .agg(F.countDistinct("__id").alias("__n_docs"))
@@ -680,7 +688,11 @@ def duplicate_span_profile(
                 " ", F.slice(F.col("__toks"), F.col("__p") + 1, span_len)
             )
         ).alias("__h"),
-    )
+        # two consumers (the verdict aggregate and the join-back): pin
+        # the narrow (id, p, h) gram stream once so the slice+concat+md5
+        # window kernel — the CPU floor of the pass — runs ONE corpus
+        # scan, not two (guide §2.4; the shingle hashes= contract)
+    ).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("__h")
         .agg(F.countDistinct("__id").alias("__n_docs"))

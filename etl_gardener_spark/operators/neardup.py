@@ -417,6 +417,13 @@ def minhash_lsh_pairs(
                 F.transform(F.col("h32"), _perm_fn(a, b))
             ).alias(f"sig_{i}")
         )
+    # NOT checkpointed before the candidate self-join: the r11 A/B
+    # (profile_query, 3 runs) measured the extra serial job costing more
+    # wall AND task than the duplicated 12-permutation arithmetic saves
+    # (the permutations read the already-pinned shingle checkpoint, so
+    # only narrow integer transforms recompute — unlike the raw
+    # minhash_signature(materialize=True) path, which guards the full
+    # shingle+md5 pipeline).
     sig = staged.select(id_col, *sig_cols)
     cand = minhash_lsh_candidates(sig, id_col, num_hashes, bands)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

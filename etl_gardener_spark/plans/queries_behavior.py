@@ -524,6 +524,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the segmentation survives 1e9-customer cardinality. Monetary
     accumulates in DECIMAL and every order carries a custkey tie-break,
     so quartile boundaries are identical across engines."""
+    from etl_gardener_spark.parallel import run_jobs
     from etl_gardener_spark.operators.rank import (
         global_row_number,
         ntile_from_rank,
@@ -541,19 +542,39 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("monetary"),
         )
+        # three independent rank passes read this — one materialization
+        .localCheckpoint(eager=True)
     )
-    n_tot = rfm.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    scored = rfm.crossJoin(F.broadcast(n_tot))
-    for name, order in (
-        ("r", [F.asc("recency_days"), F.asc("o_custkey")]),
-        ("f", [F.desc("frequency"), F.asc("o_custkey")]),
-        ("m", [F.desc("monetary"), F.asc("o_custkey")]),
-    ):
-        scored = global_row_number(
-            scored, order, out_col="__rn"
-        ).withColumn(
-            name, ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
-        ).drop("__rn")
+    n_tot = rfm.count()  # same count the former broadcast column carried
+
+    def _tile(name: str, key: str, order) -> DataFrame:
+        # NARROW pass: each global rank shuffles only (custkey, key) —
+        # a third of the former width, which chained all three passes
+        # over the full widening relation (guide §2.3: project before
+        # the exchange); the quartile arithmetic is unchanged.
+        ranked = global_row_number(
+            rfm.select("o_custkey", key), order, out_col="__rn"
+        )
+        return ranked.select(
+            "o_custkey",
+            ntile_from_rank(
+                F.col("__rn"), F.lit(n_tot).cast("long"), 4
+            ).alias(name),
+        )
+
+    # the three passes are independent chains (each ends in
+    # global_row_number's per-partition-count collect) — overlap them
+    # (guide §2.6); custkey is unique per pass, so the equi-joins below
+    # recompose exactly the former per-customer (r, f, m) triple
+    tiles = run_jobs([
+        lambda: _tile("r", "recency_days",
+                      [F.asc("recency_days"), F.asc("o_custkey")]),
+        lambda: _tile("f", "frequency",
+                      [F.desc("frequency"), F.asc("o_custkey")]),
+        lambda: _tile("m", "monetary",
+                      [F.desc("monetary"), F.asc("o_custkey")]),
+    ])
+    scored = tiles[0].join(tiles[1], "o_custkey").join(tiles[2], "o_custkey")
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")
     )

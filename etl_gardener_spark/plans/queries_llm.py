@@ -4979,7 +4979,9 @@ def doc_span_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("h"),
-    )
+        # two consumers (owners aggregate + join-back): pin the hashed
+        # span stream so the shingle+md5 kernel runs once (guide §2.4)
+    ).localCheckpoint(eager=True)
     owners = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
     return (
