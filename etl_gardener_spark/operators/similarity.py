@@ -787,8 +787,25 @@ def kmeans_assign(
     midpoint score — the repr-midpoint divergence class documented in
     functions/exact.py; the ordering key stays the scaled integer (no
     /10^d: injective for |cos| <= 2, one fewer op)."""
+    scored = _assign_scored(df, cents_df, id_col, vec_col, round_digits)
+    ordk = F.struct((-F.col("__s")).alias("s"), F.col("cid").alias("c"))
+    return scored.groupBy(id_col).agg(F.min_by(F.col("cid"), ordk).alias("cid"))
+
+
+def _assign_scored(
+    df: DataFrame,
+    cents_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """The (id, __v, cid, __s) pair-score relation kmeans_assign
+    aggregates — factored out so kmeans_fit's Lloyd update can carry the
+    vector THROUGH the argmin aggregate (F.first over the k identical
+    copies the broadcast nested-loop replicates) instead of paying a
+    join-back shuffle of the corpus per iteration."""
     kscale = F.lit(float(10**round_digits))
-    scored = (
+    return (
         df.select(
             F.col(id_col),
             F.col(vec_col).alias("__v"),
@@ -803,6 +820,7 @@ def kmeans_assign(
         )
         .select(
             id_col,
+            "__v",
             "cid",
             # COALESCE(-2.0): a zero-norm vector or zero centroid scores
             # NULL; -2 sits below any true cosine so the argmax is
@@ -821,8 +839,6 @@ def kmeans_assign(
             ).alias("__s"),
         )
     )
-    ordk = F.struct((-F.col("__s")).alias("s"), F.col("cid").alias("c"))
-    return scored.groupBy(id_col).agg(F.min_by(F.col("cid"), ordk).alias("cid"))
 
 
 def kmeans_assign_gemm(
@@ -994,7 +1010,6 @@ def kmeans_fit(
 
     vecs = df.select(F.col(id_col), F.col(vec_col))
     for _ in range(n_iter):
-        cur = assign_fn(vecs, cents, id_col, vec_col, round_digits)
         # update: element-wise mean per cluster, rebuilt into an array
         # ordered by dimension; empty clusters drop out (their cid simply
         # stops attracting points — Lloyd's standard degenerate case).
@@ -1011,9 +1026,32 @@ def kmeans_fit(
         # only reassembles its output rows into pos-ordered arrays —
         # exactly what the former array_sort(collect_list(struct)) tail
         # did (pos is unique per cid, so the orders coincide).
-        exploded = vecs.join(cur, id_col).select(
-            "cid", F.posexplode(vec_col).alias("pos", "val")
-        )
+        if assign == "fold":
+            # the vector rides THROUGH the argmin aggregate (F.first over
+            # the k identical copies the broadcast nested-loop makes), so
+            # the update needs no join-back shuffle of the corpus — one
+            # exchange per iteration instead of two (guide §2.4). Ids are
+            # unique (the relation contract throughout this repo), so
+            # first(__v) is the row's own vector, not a choice.
+            ordk = F.struct(
+                (-F.col("__s")).alias("s"), F.col("cid").alias("c")
+            )
+            assigned = (
+                _assign_scored(vecs, cents, id_col, vec_col, round_digits)
+                .groupBy(id_col)
+                .agg(
+                    F.min_by(F.col("cid"), ordk).alias("cid"),
+                    F.first("__v").alias("__v"),
+                )
+            )
+            exploded = assigned.select(
+                "cid", F.posexplode("__v").alias("pos", "val")
+            )
+        else:
+            cur = assign_fn(vecs, cents, id_col, vec_col, round_digits)
+            exploded = vecs.join(cur, id_col).select(
+                "cid", F.posexplode(vec_col).alias("pos", "val")
+            )
         mrows = (
             exploded.groupBy("cid", "pos")
             .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("m"))
