@@ -554,6 +554,7 @@ def pq_topk_ivf_residual(
     sub_dim: int = 16,
     k_sub: int = 16,
     centroids: DataFrame | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding (``by_residual=true`` — the FAISS
     IndexIVFPQ default, completing the by_residual=false variant
@@ -586,9 +587,17 @@ def pq_topk_ivf_residual(
     non-residual variant. Output: (query_id, neighbor_id, score, rank)
     — integer-exact ADC score, rank (score ASC, neighbor_id ASC).
     """
-    res, cells, probes = _residual_parts(
-        corpus, queries, id_col, vec_col, m, sub_dim, n_centroids, nprobe,
-        centroids,
+    # ``parts``: a precomputed _residual_parts triple — callers running
+    # the seeded AND trained variants over one corpus (the codebook
+    # recall instrument) share the bit-identical front half instead of
+    # building the cells/residuals/probes twice (guide §2.4)
+    res, cells, probes = (
+        parts
+        if parts is not None
+        else _residual_parts(
+            corpus, queries, id_col, vec_col, m, sub_dim, n_centroids,
+            nprobe, centroids,
+        )
     )
     rcb = _codebook_df(res, "neighbor_id", "rvec", k_sub)
     codes = exploded_codes(
@@ -751,13 +760,20 @@ def pq_fit(
         scored = subs.join(F.broadcast(cb), "s").withColumn(
             "__d", _svec_dist_e6(F.col("svec"), F.col("cvec"))
         )
+        # the sub-vector rides THROUGH the argmin aggregate (F.first over
+        # the k_sub identical copies the broadcast join replicates), so
+        # the update below needs no join-back shuffle of the melted
+        # corpus — one exchange per Lloyd iteration instead of two
+        # (the kmeans_fit fusion, guide §2.4); (id, s) is unique in subs,
+        # so first(svec) is the row's own slice, not a choice.
         assigned = scored.groupBy(id_col, "s").agg(
             F.min_by(
                 F.col("cid"),
                 F.struct(F.col("__d").alias("d"), F.col("cid").alias("c")),
-            ).alias("cid")
+            ).alias("cid"),
+            F.first("svec").alias("svec"),
         )
-        exploded = assigned.join(subs, [id_col, "s"]).select(
+        exploded = assigned.select(
             "s", "cid", F.posexplode("svec").alias("pos", "val")
         )
         # the updated codebook is O(m·k_sub·sub_dim) values — collect the
@@ -906,6 +922,7 @@ def pq_topk_ivf_residual_trained(
     n_iter: int = 2,
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
+    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ with a TRAINED sub-quantizer codebook — the full
     FAISS-faithful IndexIVFPQ composition (by_residual=true AND
@@ -921,9 +938,13 @@ def pq_topk_ivf_residual_trained(
     fit once, search many (pair with operators/index_store).
     Output: (query_id, neighbor_id, score, rank), integer-exact ADC.
     """
-    res, cells, probes = _residual_parts(
-        corpus, queries, id_col, vec_col, m, sub_dim, n_centroids, nprobe,
-        centroids,
+    res, cells, probes = (
+        parts
+        if parts is not None
+        else _residual_parts(
+            corpus, queries, id_col, vec_col, m, sub_dim, n_centroids,
+            nprobe, centroids,
+        )
     )
     rcb = (
         codebooks
