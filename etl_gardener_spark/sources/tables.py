@@ -51,6 +51,15 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+# path -> Spark's own inferred schema JSON, memoized per driver process.
+# METADATA only (the catalog/manifest role a warehouse table format plays
+# at 100 TB — guide §6): re-inferring the schema costs a driver-side file
+# listing + footer read per spark.read call (~90 ms), paid by every query
+# build; the data itself is always re-read. Keyed on the path alone — a
+# table's schema is immutable for the life of a bench/driver process.
+_SCHEMA_CACHE: dict[str, str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``<sf_dir>/<name>.parquet`` with nanos timestamps normalized to
     Spark TimestampType (microseconds, truncating — DuckDB-identical)."""
@@ -58,7 +67,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos = _nanos_columns(path)
     if nanos and spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
-    df = spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema.json()
+    else:
+        from pyspark.sql.types import StructType
+
+        import json as _json
+
+        df = spark.read.schema(
+            StructType.fromJson(_json.loads(cached))
+        ).parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     # If the session still inferred TIMESTAMP_NTZ (tz-naive parquet micros),
