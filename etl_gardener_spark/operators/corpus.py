@@ -373,7 +373,12 @@ def drop_duplicate_lines(
     cousin; line-grain is the standard first pass.)
     """
     # two consumers (verdict aggregate + join-back): pin the hashed line
-    # stream once so split+md5 runs one corpus scan, not two (guide §2.4)
+    # stream once so split+md5 runs one corpus scan, not two (guide §2.4).
+    # SIZE CLASS (r11 advisor): this pins an O(corpus-lines) relation —
+    # (id, pos, hash, line) — to executor storage, a measured 2x win at
+    # bench scale but storage pressure at the 100 TB design point; there
+    # the checkpoint should be dropped (recompute: one extra scan) or
+    # replaced by a spill-to-disk persist, gated on estimated input size.
     lines = _line_stream(df, text_col, id_col, line_sep).localCheckpoint(
         eager=True
     )
@@ -591,7 +596,10 @@ def drop_duplicate_spans(
         # two consumers (the verdict aggregate and the join-back): pin
         # the narrow (id, p, h) gram stream once so the slice+concat+md5
         # window kernel — the CPU floor of the pass — runs ONE corpus
-        # scan, not two (guide §2.4; the shingle hashes= contract)
+        # scan, not two (guide §2.4; the shingle hashes= contract).
+        # SIZE CLASS (r11 advisor): O(corpus-tokens) rows pinned to
+        # executor storage — at the 100 TB design point gate this on
+        # estimated input size and fall back to recompute (one extra scan)
     ).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("__h")
@@ -691,7 +699,10 @@ def duplicate_span_profile(
         # two consumers (the verdict aggregate and the join-back): pin
         # the narrow (id, p, h) gram stream once so the slice+concat+md5
         # window kernel — the CPU floor of the pass — runs ONE corpus
-        # scan, not two (guide §2.4; the shingle hashes= contract)
+        # scan, not two (guide §2.4; the shingle hashes= contract).
+        # SIZE CLASS (r11 advisor): O(corpus-tokens) rows pinned to
+        # executor storage — at the 100 TB design point gate this on
+        # estimated input size and fall back to recompute (one extra scan)
     ).localCheckpoint(eager=True)
     dup = (
         grams.groupBy("__h")

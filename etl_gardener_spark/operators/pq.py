@@ -554,7 +554,6 @@ def pq_topk_ivf_residual(
     sub_dim: int = 16,
     k_sub: int = 16,
     centroids: DataFrame | None = None,
-    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding (``by_residual=true`` — the FAISS
     IndexIVFPQ default, completing the by_residual=false variant
@@ -587,17 +586,15 @@ def pq_topk_ivf_residual(
     non-residual variant. Output: (query_id, neighbor_id, score, rank)
     — integer-exact ADC score, rank (score ASC, neighbor_id ASC).
     """
-    # ``parts``: a precomputed _residual_parts triple — callers running
-    # the seeded AND trained variants over one corpus (the codebook
-    # recall instrument) share the bit-identical front half instead of
-    # building the cells/residuals/probes twice (guide §2.4)
-    res, cells, probes = (
-        parts
-        if parts is not None
-        else _residual_parts(
-            corpus, queries, id_col, vec_col, m, sub_dim, n_centroids,
-            nprobe, centroids,
-        )
+    # Each caller builds its own _residual_parts triple: the r11 A/B
+    # measured that sharing one triple across the codebook report's two
+    # residual arms SERIALIZES the front half ahead of the arm fan-out
+    # and loses (task 8.62→10.96 s) — duplicate front halves that
+    # overlap on idle cores are free in wall terms (guide §2.6), so the
+    # former ``parts=`` sharing hook was dropped (r11 advisor: no caller).
+    res, cells, probes = _residual_parts(
+        corpus, queries, id_col, vec_col, m, sub_dim, n_centroids,
+        nprobe, centroids,
     )
     rcb = _codebook_df(res, "neighbor_id", "rvec", k_sub)
     codes = exploded_codes(
@@ -922,7 +919,6 @@ def pq_topk_ivf_residual_trained(
     n_iter: int = 2,
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
-    parts: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Residual IVF-PQ with a TRAINED sub-quantizer codebook — the full
     FAISS-faithful IndexIVFPQ composition (by_residual=true AND
@@ -938,13 +934,9 @@ def pq_topk_ivf_residual_trained(
     fit once, search many (pair with operators/index_store).
     Output: (query_id, neighbor_id, score, rank), integer-exact ADC.
     """
-    res, cells, probes = (
-        parts
-        if parts is not None
-        else _residual_parts(
-            corpus, queries, id_col, vec_col, m, sub_dim, n_centroids,
-            nprobe, centroids,
-        )
+    res, cells, probes = _residual_parts(
+        corpus, queries, id_col, vec_col, m, sub_dim, n_centroids,
+        nprobe, centroids,
     )
     rcb = (
         codebooks
@@ -1515,10 +1507,21 @@ def opq_fit(
     and REFUSED above ``max_sample_rows`` (the broadcast-guard
     discipline, similarity.py). Returns R as a row-major int64 micro
     matrix for opq_rotate."""
+    # Non-finite vectors are excluded from the training sample: the local
+    # fit kernels floor distances through int(math.floor(...)), which
+    # raises on NaN where the distributed pq_fit this replaced yielded a
+    # null distance (r11 advisor). Skipping them is the deliberate,
+    # documented behavior — a NaN embedding carries no geometry to train
+    # on, and FAISS likewise requires finite training vectors.
+    finite = ~F.exists(
+        F.col(vec_col),
+        lambda v: F.isnan(v) | v.isNull() | (F.abs(v) == F.lit(float("inf"))),
+    )
     sample = corpus.filter(
         (F.col(id_col) < sample_bound)
         & F.col(vec_col).isNotNull()
         & (F.size(vec_col) == dim)
+        & finite
     ).select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
     cnt = sample.count()
     if cnt == 0:

@@ -39,11 +39,14 @@ _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
 @lru_cache(maxsize=256)
-def _nanos_columns(path: str) -> tuple[str, ...]:
+def _nanos_columns(key: tuple[str, int, int]) -> tuple[str, ...]:
+    """Nanos-typed column names for the parquet at ``key[0]``; the key
+    carries the same (mtime_ns, size) fingerprint as _SCHEMA_CACHE so a
+    rewritten file re-reads its footer."""
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    schema = pq.read_schema(path)
+    schema = pq.read_schema(key[0])
     return tuple(
         name
         for name, typ in zip(schema.names, schema.types)
@@ -51,26 +54,37 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
-# path -> Spark's own inferred schema JSON, memoized per driver process.
-# METADATA only (the catalog/manifest role a warehouse table format plays
-# at 100 TB — guide §6): re-inferring the schema costs a driver-side file
-# listing + footer read per spark.read call (~90 ms), paid by every query
-# build; the data itself is always re-read. Keyed on the path alone — a
-# table's schema is immutable for the life of a bench/driver process.
-_SCHEMA_CACHE: dict[str, str] = {}
+# (path, mtime_ns, size) -> Spark's own inferred schema JSON, memoized per
+# driver process. METADATA only (the catalog/manifest role a warehouse
+# table format plays at 100 TB — guide §6): re-inferring the schema costs
+# a driver-side file listing + footer read per spark.read call (~90 ms),
+# paid by every query build; the data itself is always re-read. The key
+# carries a cheap file fingerprint (one os.stat, ~µs) so a parquet
+# REWRITTEN at the same path with a different schema re-infers instead of
+# silently applying the stale schema (r11 advisor).
+_SCHEMA_CACHE: dict[tuple[str, int, int], str] = {}
+
+
+def _schema_key(path: str) -> tuple[str, int, int]:
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, -1, -1)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read ``<sf_dir>/<name>.parquet`` with nanos timestamps normalized to
     Spark TimestampType (microseconds, truncating — DuckDB-identical)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos = _nanos_columns(path)
+    key = _schema_key(path)
+    nanos = _nanos_columns(key)
     if nanos and spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")
-    cached = _SCHEMA_CACHE.get(path)
+    cached = _SCHEMA_CACHE.get(key)
     if cached is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema.json()
+        _SCHEMA_CACHE[key] = df.schema.json()
     else:
         from pyspark.sql.types import StructType
 

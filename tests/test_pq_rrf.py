@@ -534,10 +534,11 @@ def test_pq_fit_local_matches_spark(spark):
     dropout — across n_iter 0/1/2 and duplicate-heavy float32 input."""
     dup = [(i, [0.0] * DIM) for i in range(3)]
     rows = [(i, v) for i, (_, v) in enumerate(dup + _vecs(50, seed=5))]
-    f32rows = [
-        (i, [float(__import__("numpy").float32(x)) for x in v])
-        for i, v in rows
-    ]
+    # float32 coverage comes from the array<float> schema arm below: Spark
+    # casts the ingested doubles to float32, and the collect reads them
+    # back as float32-representable doubles — the quantized values
+    # _pq_fit_local then trains on (r11 advisor: an explicit f32 row list
+    # here was built and never used).
     for schema, data in (
         ("vec_id long, embedding array<double>", rows),
         ("vec_id long, embedding array<float>", rows),
@@ -558,7 +559,6 @@ def test_pq_fit_local_matches_spark(spark):
             for s in exp:
                 exp[s].sort()
             assert got == exp, (schema, n_iter)
-    del f32rows
 
 
 def test_pq_encode_local_matches_spark_recon(spark):
