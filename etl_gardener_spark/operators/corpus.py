@@ -1108,7 +1108,6 @@ def char_trigram_nll(
     cnt = train.groupBy("ctx", "ch").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    ctx_tot = cnt.groupBy("ctx").agg(F.sum("c").cast("long").alias("n"))
     # per-doc array_distinct BEFORE the explode: the global distinct
     # count is identical, but the exploded stream shrinks from |chars|
     # to |distinct chars per doc| (~10x for natural text — measured
@@ -1126,27 +1125,52 @@ def char_trigram_nll(
         .agg(F.count_distinct("__ch").cast("double").alias("v"))
     )
     # the model relations are bounded by |alphabet|^3 observed trigram
-    # contexts (the docstring's broadcastable claim) — made EXPLICIT
-    # here because the planner's estimate for an aggregate output is
-    # the input size, so without the hint the scoring join sort-merges,
-    # SORTING the exploded trigram stream: measured sf1->sf3 the SMJ
-    # plan scales task-s at alpha 1.31 (561 task-s at sf3) vs 1.12
-    # (429) broadcast — the n log n sort term, not the linear scan, was
-    # the chain's superlinearity. Caveat: on a CJK-heavy corpus the
-    # observed-trigram model can reach ~1e7 rows; if a deployment hits
-    # broadcast OOM there, drop the hints and let AQE decide from
-    # runtime sizes.
+    # contexts (the docstring's broadcastable claim) and are COLLECTED
+    # once (guide §1.2, the r11 O(model)-collect pattern): before,
+    # ``cnt`` fed two separate broadcast builds — the (ctx, ch) join AND
+    # the ctx_tot derivation — so the train-side trigram explode +
+    # aggregate ran TWICE, and the vocab count was a third concurrent
+    # store pass; 3x33 concurrent tasks oversubscribed the cores
+    # (measured 46.9 task-s vs 16.7 cpu-s at sf0.1). Now one pass
+    # collects the model, ctx totals are an exact integer re-sum of the
+    # collected counts on the driver (the same values the former Spark
+    # SUM produced), and the vocab scalar rides as a literal. The two
+    # remaining train jobs (model + vocab) overlap on idle cores.
+    # Caveat unchanged from the broadcast-hint era: on a CJK-heavy
+    # corpus the observed-trigram model can reach ~1e7 rows — the same
+    # memory class the broadcast build always pinned on the driver; a
+    # deployment hitting that should sample the reference corpus.
+    from etl_gardener_spark.functions.localrel import local_df
+    from etl_gardener_spark.parallel import run_jobs
+
+    spark = batch_docs.sparkSession
+    cnt_rows, v = run_jobs(
+        [
+            lambda: cnt.collect(),
+            lambda: float(vocab.collect()[0]["v"]),
+        ]
+    )
+    ctx_totals: dict[str, int] = {}
+    for r in cnt_rows:
+        ctx_totals[r["ctx"]] = ctx_totals.get(r["ctx"], 0) + r["c"]
+    cnt_local = local_df(
+        spark,
+        [(r["ctx"], r["ch"], r["c"]) for r in cnt_rows],
+        "ctx string, ch string, c long",
+    )
+    ctx_local = local_df(
+        spark, sorted(ctx_totals.items()), "ctx string, n long"
+    )
     scored = (
         tri(batch_docs)
-        .join(F.broadcast(cnt), ["ctx", "ch"], "left")
-        .join(F.broadcast(ctx_tot), "ctx", "left")
-        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cnt_local), ["ctx", "ch"], "left")
+        .join(F.broadcast(ctx_local), "ctx", "left")
         .select(
             id_col,
             F.floor(
                 -F.log(
                     (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k) * F.col("v"))
+                    / (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k) * F.lit(v))
                 )
                 * 1e6
                 + 0.5
