@@ -615,10 +615,12 @@ def jaccard_pairs(
 
     Without ``candidates``: exact sparse algorithm — explode distinct
     shingle hashes, self-join (only co-occurring docs ever meet), count
-    intersections, join per-doc set sizes, filter. Three shuffles
-    (shingle join, pair count, size join) and no corpus² term: cost is
-    sum over shingles of (docs-per-shingle choose 2) — the standard
-    inverted-index bound.
+    match rows per pair (= the exact intersection size over distinct
+    sets), filter. Two shuffles (shingle join, map-side-combined pair
+    count; set sizes ride through as attributes) and no corpus² term:
+    cost is sum over shingles of (docs-per-shingle choose 2) — the
+    standard inverted-index bound, pre-pruned by the lossless size
+    filter t*|a| <= |b| <= |a|/t.
 
     With ``candidates`` (e.g. from MinHash LSH): the inverted index is
     skipped entirely — candidate pairs join directly to the two documents'
@@ -630,16 +632,14 @@ def jaccard_pairs(
     # The shingle relation feeds multiple plan branches; materialize once
     # instead of recomputing the shingling pipeline per branch (callers
     # running several pipelines over one corpus pass it in via `hashes`).
-    # On the standalone prefix-filter path `sh` has exactly ONE consumer
-    # (the sorted_sh projection below, itself checkpointed), so
-    # materializing it separately would just add a serial job and a
-    # second pass — checkpoint only when a shared relation was passed in
-    # or the candidate-verify path reads it twice.
+    # Both local paths read `sh` twice (the candidate-verify path joins
+    # it on each side; the inverted-index self-join scans its explode
+    # from both aliases), so an un-shared relation is pinned here.
     sh = hashes if hashes is not None else shingle_hash_sets(df, text_col, id_col, n)
+    if hashes is None:
+        sh = sh.localCheckpoint(eager=True)
 
     if candidates is not None:
-        if hashes is None:
-            sh = sh.localCheckpoint(eager=True)
         sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -658,69 +658,53 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
 
-    # Prefix-filtered inverted index (lossless at the threshold): under a
-    # global canonical order of shingle hashes, two sets with Jaccard >= t
-    # must overlap by o >= t*|s| elements EACH, so each must expose one
-    # shared element among its (|s| - ceil(t*|s|) + 1) smallest hashes.
-    # Indexing only prefixes shrinks the index ~(1-t)x and the candidate
-    # join ~(1-t)^2 x; a size filter (t*|a| <= |b| <= |a|/t) prunes
-    # cross-length pairs. At 10 copies/doc x 50k docs this is the
-    # difference between 174s (full co-occurrence join) and ~25s.
-    sorted_sh = sh.select(
-        F.col(id_col), F.array_sort("sh").alias("sh"), F.size("sh").alias("n_sh")
-    ).localCheckpoint(eager=True)
-    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast(
-        "int"
-    )
-    tok = sorted_sh.select(
-        F.col(id_col),
-        F.col("n_sh"),
-        F.posexplode(F.slice("sh", 1, prefix_len)).alias("pos", "shingle"),
+    # Count-based inverted index (exact, the docstring's sparse
+    # algorithm): explode the distinct hashes, self-join on the hash with
+    # the lossless size filter (t*|a| <= |b| <= |a|/t), and aggregate the
+    # match rows per pair — the per-pair match COUNT over distinct-hash
+    # sets IS the intersection size, so no candidate materialization, no
+    # distinct, and no per-pair array_intersect verify ever runs. The
+    # r11-era prefix-filtered PPJoin variant this replaces cut the
+    # inverted index to the (1-t)-prefixes but then re-intersected the
+    # full hash ARRAYS per surviving candidate (458k candidates at
+    # sf0.1/t=0.3 — the measured CPU floor of the recall report); the
+    # count aggregate map-side-combines the same co-occurrence rows
+    # instead. A/B on identical outputs (256 pairs sf0.1, 2560 pairs
+    # sf1): sf0.1 task 7.2 -> 7.0 s, wall 3.4 -> 1.1 s; sf1 task 128 ->
+    # 44 s, cpu 75 -> 30 s — better at BOTH rungs, more so at scale
+    # (the verify term grew with candidate count; the count term grows
+    # with true co-occurrence mass, which the size filter bounds).
+    tok = sh.select(
+        F.col(id_col), F.size("sh").alias("n_sh"), F.explode_outer("sh").alias("g")
     )
     a, b = tok.alias("a"), tok.alias("b")
-    # PPJoin positional bound, also lossless: Jaccard >= t needs overlap
-    # o >= t/(1+t)*(|a|+|b|), and a match at sorted positions (i, j) can
-    # contribute at most 1 + min(|a|-i-1, |b|-j-1) total overlap when it
-    # is the pair's smallest common hash. Every qualifying pair's smallest
-    # common hash falls inside both prefixes (it has o-1 common elements
-    # above it, and o >= ceil(t*|s|) on each side), so filtering match
-    # rows by the bound never drops a true pair — but halves the
-    # candidate set that reaches the array-intersection verify join on
-    # shared-vocabulary corpora, where spurious single-shingle
-    # co-occurrences deep in both prefixes are common.
-    need = F.lit(threshold / (1.0 + threshold)) * (F.col("a.n_sh") + F.col("b.n_sh"))
-    ubound = 1 + F.least(
-        F.col("a.n_sh") - F.col("a.pos") - 1, F.col("b.n_sh") - F.col("b.pos") - 1
-    )
-    cand = (
+    inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.g") == F.col("b.g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             & (F.col("b.n_sh") >= F.lit(threshold) * F.col("a.n_sh"))
             & (F.col("a.n_sh") >= F.lit(threshold) * F.col("b.n_sh")),
         )
-        .filter(ubound >= need)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
-    )
-    sa = sorted_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sorted_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter_sz = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                inter_sz / (F.size("sh_a") + F.size("sh_b") - inter_sz), 6
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            # (id, n_sh) is functionally dependent on id — max() just
+            # carries the attribute through the aggregate
+            F.max("a.n_sh").alias("__na"),
+            F.max("b.n_sh").alias("__nb"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -1523,19 +1523,14 @@ def opq_fit(
         & (F.size(vec_col) == dim)
         & finite
     ).select(F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"))
-    cnt = sample.count()
-    if cnt == 0:
-        return _identity_e6(dim)
-    if cnt > max_sample_rows:
-        raise ValueError(
-            f"opq_fit would collect {cnt} sample rows to the driver, over "
-            f"the max_sample_rows bound of {max_sample_rows}. Lower "
-            "sample_bound (OPQ trains on a bounded sample by convention) "
-            "or raise max_sample_rows explicitly."
-        )
     import numpy as np
 
-    # ONE collect (the count above guards its bound); the whole
+    # ONE job total: the former separate count() guard is fused into the
+    # collect via limit(max_sample_rows + 1) — if the limit row count
+    # comes back over the bound the collect is refused EXACTLY as the
+    # count guard refused it, and below the bound limit(n + 1) returns
+    # every sample row (content-identical; _pq_fit_local's
+    # distinct-by-min-id seeding is order-independent). The whole
     # alternation — rotate sample, fit per-sub-space codebooks, encode,
     # reconstruct — runs on the driver with the exact-twin kernels
     # (_pq_fit_local/_pq_encode_local/_opq_rotate_rows): the sample is
@@ -1544,8 +1539,19 @@ def opq_fit(
     # round-trips it replaces were ~15 scheduler jobs over <=256 rows
     # (guide §1.2/§5 — don't schedule a cluster for driver-sized work).
     sample_rows = [
-        (r["sid"], list(r["vec"])) for r in sample.collect()
+        (r["sid"], list(r["vec"]))
+        for r in sample.limit(max_sample_rows + 1).collect()
     ]
+    cnt = len(sample_rows)
+    if cnt == 0:
+        return _identity_e6(dim)
+    if cnt > max_sample_rows:
+        raise ValueError(
+            f"opq_fit would collect over {max_sample_rows} sample rows to "
+            "the driver (the max_sample_rows bound). Lower sample_bound "
+            "(OPQ trains on a bounded sample by convention) or raise "
+            "max_sample_rows explicitly."
+        )
     x_rows = {sid: vec for sid, vec in sample_rows}
     r_e6 = _identity_e6(dim)
     for t in range(n_opq_iter):
