@@ -995,7 +995,7 @@ def hadamard_rotate(
     vec_col: str,
     dim: int,
     out_col: str | None = None,
-    method: str = "sql",
+    method: str = "npfold",
 ) -> DataFrame:
     """Rotate vectors by the normalized Hadamard matrix H_dim/sqrt(dim)
     (``dim`` must be a power of two): y_i = sum_j (-1)^popcount(i & j)
@@ -1016,27 +1016,38 @@ def hadamard_rotate(
     == t0 exactly in IEEE). Oracle mirror: nested list_transform /
     list_reduce over bit_count(i & j) parity.
 
-    Scale shape (``method``): 'sql' (default) is the certified
-    nested-lambda tree — O(dim^2) ops per vector, bit-exact against the
-    DuckDB oracle, right for the reference dims (64); 'fwht' is the
-    O(dim log dim) fast Walsh-Hadamard butterfly (numpy, Arrow-batched
-    mapInPandas) — the 100 TB path for embedding dims 768-4096 where
-    the quadratic kernel is ~100-4000x more flops. Both compute the
-    SAME transform (Sylvester ordering: H[i,j] = (-1)^popcount(i&j));
-    the fast path differs only in float summation ORDER (pairwise
-    butterfly vs sequential fold), so it is allclose-but-not-bit-equal
-    — keep 'sql' wherever an oracle replays the fold
-    (tests/test_pq_rrf.py pins allclose + identical downstream top-k
-    at dim 64, and the sf ladder records the crossover at dim 512).
+    Scale shape (``method``): 'npfold' (default) evaluates the SAME
+    left-assoc IEEE fold as the SQL kernel in numpy — exact ±x_j terms
+    (H entries are ±1), np.cumsum's strictly sequential accumulate
+    reproduces the fold addition-by-addition, and the 1/sqrt(dim) scale
+    is float-exact for dim = 4^k — so it is BIT-IDENTICAL to 'sql'
+    (pinned by tests/test_pq_rrf.py::test_hadamard_npfold_bit_equal)
+    at ~10x less task time: the nested-lambda tree runs interpreted
+    (higher-order functions take no codegen), ~1.7 task-s per sf0.1
+    corpus rotation vs ~0.2. 'sql' is the certified oracle-reference
+    expression tree (the DuckDB mirror is its literal transliteration);
+    'fwht' is the O(dim log dim) fast Walsh-Hadamard butterfly — the
+    100 TB path for embedding dims 768-4096 where the quadratic kernel
+    is ~100-4000x more flops. All three compute the SAME transform
+    (Sylvester ordering: H[i,j] = (-1)^popcount(i&j)); fwht differs
+    only in float summation ORDER (pairwise butterfly vs sequential
+    fold), so it is allclose-but-not-bit-equal — keep 'sql'/'npfold'
+    wherever an oracle replays the fold (tests/test_pq_rrf.py pins
+    fwht allclose + identical downstream top-k at dim 64, and the sf
+    ladder records the crossover at dim 512).
     """
     if dim & (dim - 1):
         raise ValueError(f"dim={dim} must be a power of two")
-    if method not in ("sql", "fwht"):
-        raise ValueError(f"method must be 'sql' or 'fwht', got {method!r}")
+    if method not in ("sql", "fwht", "npfold"):
+        raise ValueError(
+            f"method must be 'sql', 'fwht' or 'npfold', got {method!r}"
+        )
     scale = 1.0 / (dim ** 0.5)
     out = out_col or vec_col
     if method == "fwht":
         return _hadamard_rotate_fwht(df, vec_col, dim, out, scale)
+    if method == "npfold":
+        return _hadamard_rotate_npfold(df, vec_col, dim, out, scale)
     # r10 advisor fix: rotating only the first ``dim`` components would
     # silently TRUNCATE a longer vector, and a shorter one would fold
     # NULLs (element_at out-of-bounds) into every output component.
@@ -1125,6 +1136,93 @@ def _hadamard_rotate_fwht(
             yield out_pdf[out_names]
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def _hadamard_rotate_npfold(
+    df: DataFrame, vec_col: str, dim: int, out: str, scale: float
+) -> DataFrame:
+    """BIT-EXACT numpy twin of the SQL kernel: y_i = (fold_j acc ± x_j)
+    * scale with the identical left-assoc IEEE addition order — each
+    term ±x_j is an exact sign flip (H entries are ±1), np.cumsum is a
+    strictly sequential accumulate (no pairwise re-association), the
+    fold's 0.0 + t0 == t0 start coincides with cumsum's first element,
+    and the final * scale is float-exact for dim = 4^k. Per Arrow
+    batch, rows fold in (rows, dim, dim)-term chunks bounded to ~8 MB.
+
+    Null semantics mirror the expression tree exactly: a NULL vector —
+    or any NULL component, since H has no zero entries so every output
+    folds every input — yields an array of ``dim`` NULL components
+    (NOT a NULL array: the transform runs over sequence(0, dim-1));
+    a non-NULL vector of the wrong length raises, matching the SQL
+    kernel's executor-side assert. mapInArrow, not mapInPandas: the
+    Arrow<->pandas conversion renders NULL list components and NaN
+    identically, erasing a distinction the fold's output preserves
+    ([null]*dim vs [nan]*dim); Arrow batches round-trip both exactly."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    in_fields = list(df.schema.fields)
+    names = [f.name for f in in_fields]
+    out_field = StructField(out, ArrayType(DoubleType()))
+    if out in names:
+        fields = [out_field if f.name == out else f for f in in_fields]
+    else:
+        fields = in_fields + [out_field]
+    out_schema = StructType(fields)
+    out_names = [f.name for f in fields]
+    all_null = [None] * dim
+
+    def gen(batches):
+        import pyarrow as pa
+
+        ii = np.arange(dim, dtype=np.int64)
+        parity = np.zeros((dim, dim), dtype=np.int64)
+        anded = ii[:, None] & ii[None, :]
+        while anded.any():
+            parity ^= anded & 1
+            anded >>= 1
+        sign = np.where(parity == 0, 1.0, -1.0)
+        chunk = max(1, (8 << 20) // (dim * dim * 8))
+        list_t = pa.list_(pa.float64())
+        for batch in batches:
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            vals = cols[vec_col].to_pylist()  # None/NaN preserved exactly
+            res: list = [None] * len(vals)
+            clean_idx, clean_vecs, bad = [], [], set()
+            for i, v in enumerate(vals):
+                if v is None:
+                    res[i] = all_null
+                    continue
+                if len(v) != dim:
+                    bad.add(len(v))
+                elif any(c is None for c in v):
+                    # a NULL component poisons every fold (H has no
+                    # zero entries) -> dim NULL components, like SQL
+                    res[i] = all_null
+                else:
+                    clean_idx.append(i)
+                    clean_vecs.append(v)
+            if bad:
+                raise ValueError(
+                    f"hadamard_rotate: vector length != dim={dim}: "
+                    f"got {sorted(bad)}"
+                )
+            if clean_vecs:
+                mat = np.array(clean_vecs, dtype=np.float64)
+                for s in range(0, mat.shape[0], chunk):
+                    blk = mat[s : s + chunk]
+                    terms = sign[None, :, :] * blk[:, None, :]
+                    y = np.cumsum(terms, axis=2)[:, :, -1] * scale
+                    for r in range(blk.shape[0]):
+                        res[clean_idx[s + r]] = y[r].tolist()
+            out_arr = pa.array(res, type=list_t)
+            arrays = [
+                out_arr if n == out else cols[n] for n in out_names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+    return df.mapInArrow(gen, schema=out_schema)
 
 
 # -- OPQ: learned rotation via integer-micro Newton-Schulz polar ----------

@@ -422,6 +422,69 @@ def test_hadamard_fwht_parity_with_sql_kernel(spark):
     assert np.array_equal(np.array(out), ref)
 
 
+def test_hadamard_npfold_bit_equal(spark):
+    """hadamard_rotate(method='npfold') — the numpy cumsum fold that is
+    now the default — is BIT-IDENTICAL to the certified SQL expression
+    tree: exact float equality on random vectors (not allclose — the
+    cumsum accumulate reproduces the left-assoc IEEE fold addition by
+    addition), [None]*dim for a NULL vector AND for a vector carrying a
+    NULL component (H has no zero entries, so one NULL poisons every
+    output fold), NaN propagation, and the length assert."""
+    import math
+
+    import pytest
+
+    from etl_gardener_spark.operators import pq as PQ
+
+    rng = random.Random(23)
+    dim = 64
+    rows = [
+        (i, [rng.uniform(-100, 100) * (10 ** rng.randint(-3, 3)) for _ in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got_sql = {
+        r["vec_id"]: r["embedding"]
+        for r in PQ.hadamard_rotate(df, "embedding", dim, method="sql").collect()
+    }
+    got_np = {
+        r["vec_id"]: r["embedding"]
+        for r in PQ.hadamard_rotate(
+            df, "embedding", dim, method="npfold"
+        ).collect()
+    }
+    assert set(got_sql) == set(got_np)
+    for k in got_sql:
+        # exact equality, component-wise — repr captures the full bits
+        assert [repr(x) for x in got_sql[k]] == [repr(x) for x in got_np[k]], k
+
+    # NULL vector, NULL component, and NaN component mirror the SQL tree
+    special = spark.createDataFrame(
+        [
+            (1, None),
+            (2, [1.0] * 31 + [None] + [1.0] * 32),
+            (3, [1.0] * 63 + [float("nan")]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for method in ("sql", "npfold"):
+        got = {
+            r["vec_id"]: r["embedding"]
+            for r in PQ.hadamard_rotate(
+                special, "embedding", dim, method=method
+            ).collect()
+        }
+        assert got[1] == [None] * dim, method
+        assert got[2] == [None] * dim, method
+        assert all(x is not None and math.isnan(x) for x in got[3]), method
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        PQ.hadamard_rotate(bad, "embedding", dim, method="npfold").collect()
+
+
 def test_opq_fit_rotation_and_method_parity(spark):
     """r10 verdict item 4 (OPQ proper): opq_fit learns an ORTHOGONAL
     rotation (integer-micro Newton-Schulz polar of the Procrustes
